@@ -1,0 +1,154 @@
+"""Frame integration into the FusionGrid — the XLA reference path.
+
+Semantics match ClipFusion.integrate / ClipSeemFusion.integrate
+(clipfusion.py:627-721, clip_seem_fusion.py:676-822) exactly, reformulated as
+order-independent sum-form updates (see voxel_grid.py):
+
+  1. project every voxel into the frame: xyz_cam = R^T (x - t), uvz = K xyz_cam
+  2. sample depth (nearest), sdf = (depth - z) / trunc, tsdf = clamp(sdf, -1, 1)
+  3. _valid = in-frustum & z > 0
+     tsdf update mask: _valid & sdf > -1        (free space included)
+     feature update mask: _valid & |sdf| <= 1   (near-surface only)
+  4. rgb sampled (nearest in ClipFusion, bilinear in ClipSeemFusion), CLIP
+     features bilinear from the low-res patch-feature image, labels nearest
+     from the panoptic mask; all accumulated with per-observation weight 1.
+
+The whole frame batch is integrated by one jitted lax.scan over frames — the
+grid stays in HBM, XLA fuses the projection/sample/update per step. The Pallas
+kernel in pallas_fusion.py accelerates the dominant feat_sum update by turning
+the bilinear splat into an MXU matmul; this module is the correctness oracle.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import project_points, world_to_cam, in_frustum_mask
+from ..core.sampling import sample_image_at_uv
+from .voxel_grid import FrameBatch, FusionGrid
+
+
+def voxel_world_coords(nvox, origin, voxel_size):
+    """[N, 3] world coordinates of voxel centers: idx * voxel_size + origin
+    (reference clipfusion.py:617-622)."""
+    nx, ny, nz = nvox
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 2)
+    idx = jnp.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(jnp.float32)
+    return idx * voxel_size + jnp.asarray(origin, jnp.float32)
+
+
+def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K):
+    """Per-frame projection + sdf. Returns (uv, masks, tsdf_contrib)."""
+    H, W = depth.shape
+    xyz_cam = world_to_cam(xyz_world, pose)  # [N, 3]
+    uv, z = project_points(xyz_cam, K)  # [N, 2], [N]
+    frustum = in_frustum_mask(uv, z, W, H)
+
+    d = sample_image_at_uv(depth[..., None], uv, mode="nearest")[..., 0]  # [N]
+    sdf = (d - z) / grid.trunc
+    tsdf = jnp.clip(sdf, -1.0, 1.0)
+
+    tsdf_valid = frustum & (sdf > -1.0)
+    feat_valid = frustum & (jnp.abs(sdf) <= 1.0)
+    return uv, tsdf, tsdf_valid, feat_valid
+
+
+def sample_feat_img(feat_img, uv, imwidth, imheight):
+    """Bilinear-sample the low-res patch-feature image at full-res pixel
+    coordinates. The reference samples the [Py, Px] feature map with the same
+    normalized grid as the full image (clipfusion.py:708-713), i.e. the patch
+    map is treated as a downsampled image over the same extent."""
+    py, px = feat_img.shape[0], feat_img.shape[1]
+    scale = jnp.array([px / imwidth, py / imheight], jnp.float32)
+    uv_patch = (uv + 0.5) * scale - 0.5
+    return sample_image_at_uv(feat_img, uv_patch, mode="bilinear")
+
+
+def integrate_one_frame(
+    grid: FusionGrid,
+    xyz_world,
+    depth,
+    rgb,
+    pose,
+    K,
+    feat_img,
+    labels=None,
+    frame_valid=True,
+    rgb_mode: str = "bilinear",
+) -> FusionGrid:
+    """Accumulate a single frame. Pure function; used inside lax.scan."""
+    H, W = depth.shape
+    uv, tsdf, tsdf_valid, feat_valid = frame_geometry(grid, xyz_world, depth, pose, K)
+    fv = jnp.asarray(frame_valid)
+    tsdf_valid = tsdf_valid & fv
+    feat_valid = feat_valid & fv
+
+    tsdf_w = tsdf_valid.astype(jnp.float32)
+    feat_w = feat_valid.astype(jnp.float32)
+
+    rgb_s = sample_image_at_uv(rgb, uv, mode=rgb_mode)  # [N, 3]
+    feat_s = sample_feat_img(feat_img, uv, W, H)  # [N, C]
+
+    new = dict(
+        tsdf_sum=grid.tsdf_sum + tsdf * tsdf_w,
+        tsdf_w=grid.tsdf_w + tsdf_valid.astype(jnp.int32),
+        rgb_sum=grid.rgb_sum + rgb_s * feat_w[:, None],
+        feat_sum=(grid.feat_sum + (feat_s * feat_w[:, None]).astype(grid.feat_sum.dtype)),
+        w=grid.w + feat_valid.astype(jnp.int32),
+    )
+    if grid.label_hist is not None:
+        if labels is None:
+            raise ValueError("grid tracks labels but frame has none")
+        num_classes = grid.label_hist.shape[1]
+        lab = sample_image_at_uv(
+            labels[..., None].astype(jnp.float32), uv, mode="nearest"
+        )[..., 0].astype(jnp.int32)
+        onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
+        new["label_hist"] = grid.label_hist + onehot * feat_valid[:, None].astype(
+            jnp.int32
+        )
+    return grid.replace(**new)
+
+
+@functools.partial(jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,))
+def integrate_frames(
+    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+) -> FusionGrid:
+    """Integrate a FrameBatch with a lax.scan over frames.
+
+    The grid is donated: the update is in-place in HBM. One compiled
+    executable per (grid shape, frame shape) bucket.
+    """
+    xyz_world = voxel_world_coords(grid.nvox, grid.origin, grid.voxel_size)
+
+    def step(g, frame):
+        depth, rgb, pose, K, feat_img, labels, fv = frame
+        g = integrate_one_frame(
+            g, xyz_world, depth, rgb, pose, K, feat_img, labels, fv,
+            rgb_mode=rgb_mode,
+        )
+        return g, None
+
+    if grid.label_hist is not None:
+        if frames.labels is None:
+            raise ValueError("grid tracks labels but FrameBatch.labels is None")
+        labels_xs = frames.labels
+    else:
+        labels_xs = jnp.zeros((frames.num_frames, 1, 1), jnp.int32)
+    xs = (
+        frames.depth,
+        frames.rgb,
+        frames.pose,
+        frames.K,
+        frames.feat_img,
+        labels_xs,
+        frames.frame_valid,
+    )
+    grid, _ = jax.lax.scan(step, grid, xs)
+    return grid

@@ -1,0 +1,139 @@
+"""The HBM-resident TSDF + feature voxel grid.
+
+The reference keeps running averages updated sequentially one frame at a time
+(clipfusion.py:605-613, 681-721). Running averages are order-dependent
+read-modify-write, which serializes fusion. We instead store *sum-form*
+accumulators:
+
+    tsdf_sum   = sum_f  w_f * tsdf_f        tsdf_w = sum_f w_f
+    rgb_sum    = sum_f  w_f * rgb_f         w      = sum_f w_f
+    feat_sum   = sum_f  w_f * clip_feat_f
+    label_hist = sum_f  one_hot(label_f)
+
+with w_f in {0, 1} per (voxel, frame). Division happens once at read time
+(`finalize_grid`). Because sums are associative and commutative, integration
+is order-independent: frames can be batched, processed in any order, and the
+grid can be sharded across TPU chips with a single psum (or no communication
+at all when the grid itself is sharded over voxels).
+
+Numerically this matches the reference's integer-weight running average
+exactly in exact arithmetic (both equal sum(x_f)/count); float discrepancy is
+at the ulp level and covered by golden tests.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+# The reference reserves 133 COCO panoptic classes + 10 spare user classes,
+# with 133 = null (clip_seem_fusion.py:653-659).
+NUM_LABEL_CLASSES = 143
+NULL_CLASS_ID = 133
+
+
+@flax.struct.dataclass
+class FusionGrid:
+    """Pytree of flat [N, ...] voxel buffers. N = prod(nvox).
+
+    Flat layout (not [X, Y, Z, ...]) keeps every accumulator a plain 2D
+    (N, C) array: contiguous 128-lane tiles for the VPU/MXU and trivially
+    shardable on the voxel axis.
+    """
+
+    tsdf_sum: jnp.ndarray  # [N] f32
+    tsdf_w: jnp.ndarray  # [N] i32
+    rgb_sum: jnp.ndarray  # [N, 3] f32
+    feat_sum: jnp.ndarray  # [N, C] f32
+    w: jnp.ndarray  # [N] i32
+    label_hist: Optional[jnp.ndarray]  # [N, L] i32 or None
+    origin: jnp.ndarray  # [3] f32 world position of voxel (0,0,0)
+    nvox: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    voxel_size: float = flax.struct.field(pytree_node=False)
+    trunc: float = flax.struct.field(pytree_node=False)
+
+    @property
+    def num_voxels(self) -> int:
+        return int(np.prod(self.nvox))
+
+    @property
+    def feature_dim(self) -> int:
+        return self.feat_sum.shape[-1]
+
+
+def create_grid(
+    origin,
+    voxel_size: float,
+    nvox,
+    trunc: float,
+    feature_dim: int = 512,
+    with_labels: bool = False,
+    num_classes: int = NUM_LABEL_CLASSES,
+    feat_dtype=jnp.float32,
+) -> FusionGrid:
+    nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
+    n = int(np.prod(nvox))
+    return FusionGrid(
+        tsdf_sum=jnp.zeros((n,), jnp.float32),
+        tsdf_w=jnp.zeros((n,), jnp.int32),
+        rgb_sum=jnp.zeros((n, 3), jnp.float32),
+        feat_sum=jnp.zeros((n, feature_dim), feat_dtype),
+        w=jnp.zeros((n,), jnp.int32),
+        label_hist=jnp.zeros((n, num_classes), jnp.int32) if with_labels else None,
+        origin=jnp.asarray(origin, jnp.float32),
+        nvox=nvox,
+        voxel_size=float(voxel_size),
+        trunc=float(trunc),
+    )
+
+
+@flax.struct.dataclass
+class FrameBatch:
+    """A fixed-size batch of preprocessed frames ready for integration.
+
+    All leaves have a leading frame axis F. `frame_valid` masks padding
+    frames so the last partial chunk of a scan can reuse the same compiled
+    executable (static shapes, no per-scan recompiles).
+    """
+
+    depth: jnp.ndarray  # [F, H, W] f32, meters
+    rgb: jnp.ndarray  # [F, H, W, 3] f32 in [0, 1]
+    pose: jnp.ndarray  # [F, 4, 4] f32 camera-to-world (right-down-forward)
+    K: jnp.ndarray  # [F, 3, 3] f32
+    feat_img: jnp.ndarray  # [F, Py, Px, C] f32 CLIP patch-feature image
+    labels: Optional[jnp.ndarray]  # [F, H, W] i32 panoptic class ids, or None
+    frame_valid: jnp.ndarray  # [F] bool
+
+    @property
+    def num_frames(self) -> int:
+        return self.depth.shape[0]
+
+
+def finalize_grid(grid: FusionGrid):
+    """Convert sum-form accumulators to the reference's read-side quantities.
+
+    Returns a dict with:
+      tsdf [N]           tsdf_sum / tsdf_w (0 where never observed)
+      rgb [N, 3]         rgb_sum / w
+      feat [N, C]        feat_sum / w
+      weight [N] i32     feature observation count
+      tsdf_weight [N]    tsdf observation count
+      class_id [N] i32   argmax of label_hist, -1 for all-zero rows
+                         (reference argmax_with_check, clip_seem_fusion.py:315-328)
+    """
+    tsdf_w = jnp.maximum(grid.tsdf_w, 1)
+    w = jnp.maximum(grid.w, 1)
+    out = {
+        "tsdf": grid.tsdf_sum / tsdf_w.astype(jnp.float32),
+        "rgb": grid.rgb_sum / w[:, None].astype(jnp.float32),
+        "feat": grid.feat_sum.astype(jnp.float32) / w[:, None].astype(jnp.float32),
+        "weight": grid.w,
+        "tsdf_weight": grid.tsdf_w,
+    }
+    if grid.label_hist is not None:
+        any_nonzero = jnp.any(grid.label_hist != 0, axis=1)
+        class_id = jnp.argmax(grid.label_hist, axis=1).astype(jnp.int32)
+        out["class_id"] = jnp.where(any_nonzero, class_id, -1)
+    return out
