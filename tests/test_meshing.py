@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.meshing import (
+    marching_tetrahedra,
+    write_ply,
+    read_ply,
+    extract_mesh,
+    extract_mesh_by_object,
+)
+
+
+def sphere_sdf(shape=(24, 24, 24), radius=8.0):
+    c = (np.array(shape) - 1) / 2.0
+    idx = np.stack(
+        np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), axis=-1
+    ).astype(np.float64)
+    return (np.linalg.norm(idx - c, axis=-1) - radius).astype(np.float32)
+
+
+def test_sphere_surface_accuracy():
+    vol = sphere_sdf()
+    verts, faces = marching_tetrahedra(vol, level=0.0)
+    assert len(verts) > 200
+    assert len(faces) > 200
+    c = (np.array(vol.shape) - 1) / 2.0
+    r = np.linalg.norm(verts - c, axis=-1)
+    # all vertices within half a voxel of the true sphere
+    assert np.abs(r - 8.0).max() < 0.5
+    assert np.abs(r - 8.0).mean() < 0.1
+
+
+def test_sphere_watertight_and_oriented():
+    vol = sphere_sdf()
+    verts, faces = marching_tetrahedra(vol, level=0.0)
+    # watertight: every edge shared by exactly 2 faces
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0
+    )
+    edges = np.sort(edges, axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    # normals point outward (toward increasing sdf)
+    c = (np.array(vol.shape) - 1) / 2.0
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    n = np.cross(v1 - v0, v2 - v0)
+    outward = ((v0 + v1 + v2) / 3 - c)
+    assert ((n * outward).sum(axis=1) > 0).mean() > 0.99
+
+
+def test_nan_masking_drops_geometry():
+    vol = sphere_sdf()
+    # mask one octant as unobserved
+    masked = vol.copy()
+    masked[12:, 12:, 12:] = np.nan
+    verts_full, _ = marching_tetrahedra(vol)
+    verts_masked, faces_masked = marching_tetrahedra(masked)
+    assert len(verts_masked) < len(verts_full)
+    assert np.isfinite(verts_masked).all()
+    assert len(faces_masked) > 0
+    # no vertex deep inside the masked octant
+    inside_masked = (verts_masked > 12.5).all(axis=1)
+    assert not inside_masked.any()
+
+
+def test_empty_and_degenerate_volumes():
+    verts, faces = marching_tetrahedra(np.ones((5, 5, 5), np.float32))
+    assert len(verts) == 0 and len(faces) == 0
+    verts, faces = marching_tetrahedra(np.full((5, 5, 5), np.nan, np.float32))
+    assert len(verts) == 0 and len(faces) == 0
+    verts, faces = marching_tetrahedra(np.zeros((1, 5, 5), np.float32))
+    assert len(verts) == 0
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_ply_roundtrip(tmp_path, binary):
+    rng = np.random.default_rng(0)
+    verts = rng.normal(size=(10, 3)).astype(np.float32)
+    faces = rng.integers(0, 10, size=(7, 3)).astype(np.int64)
+    colors = rng.uniform(size=(10, 4)).astype(np.float32)
+    p = str(tmp_path / ("m.ply" if binary else "m_ascii.ply"))
+    write_ply(p, verts, faces, colors, binary=binary)
+    v2, f2, c2 = read_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    np.testing.assert_array_equal(f2, faces)
+    assert c2.shape == (10, 4)
+    np.testing.assert_allclose(c2, np.round(colors * 255) / 255, atol=1 / 255)
+
+
+def test_ply_pointcloud(tmp_path):
+    verts = np.zeros((5, 3), np.float32)
+    p = str(tmp_path / "pc.ply")
+    write_ply(p, verts)
+    v2, f2, c2 = read_ply(p)
+    assert len(v2) == 5 and len(f2) == 0 and c2 is None
+
+
+def test_extract_mesh_from_grid_values():
+    nvox = (16, 16, 16)
+    n = int(np.prod(nvox))
+    tsdf = sphere_sdf(nvox, radius=5.0) / 3.0  # trunc-ish scaling
+    gv = {
+        "tsdf": np.clip(tsdf.reshape(-1), -1, 1),
+        "weight": np.ones(n, np.int32),
+        "rgb": np.tile(np.array([[0.2, 0.5, 0.8]], np.float32), (n, 1)),
+        "feat": np.ones((n, 8), np.float32),
+    }
+    out = extract_mesh(gv, nvox, origin=np.array([1.0, 2.0, 3.0]), voxel_size=0.1)
+    assert len(out["verts_world"]) > 50
+    # world transform applied
+    np.testing.assert_allclose(
+        out["verts_world"], out["verts_voxel"] * 0.1 + np.array([1.0, 2.0, 3.0]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(out["colors"], [[0.2, 0.5, 0.8]] * len(out["colors"]),
+                               atol=1e-4)
+    assert out["clip_feats"].shape == (len(out["verts_world"]), 8)
+
+
+def test_extract_mesh_by_object():
+    verts = np.arange(18, dtype=np.float32).reshape(6, 3)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [3, 4, 5]])
+    colors = np.ones((6, 3), np.float32)
+    obj = np.array([7, 7, 7, 9, 9, 9])
+    ov, of, oc = extract_mesh_by_object(verts, faces, colors, obj, 9)
+    assert len(ov) == 3
+    np.testing.assert_array_equal(of, [[0, 1, 2]])
+    np.testing.assert_allclose(ov, verts[3:])
