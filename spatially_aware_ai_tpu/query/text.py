@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# 62 hand-picked contrast labels (reference clipfusion.py:19-83).
+# 63 hand-picked contrast labels (reference clipfusion.py:19-83).
 CONTROL_OBJECTS = [
     "airplane", "bag", "bed", "bedclothes", "bench", "bicycle", "bird",
     "boat", "book", "bottle", "building", "bus", "cabinet", "car", "cat",

@@ -17,7 +17,7 @@ RNG = np.random.default_rng(3)
 
 def test_constants():
     assert len(PROMPT_TEMPLATES_85) == 85
-    assert len(CONTROL_OBJECTS) == 62
+    assert len(CONTROL_OBJECTS) == 63
 
 
 def test_run_query_matches_torch():
