@@ -1,0 +1,56 @@
+"""The frame contract shared by all ingest datasets.
+
+Every dataset yields frames with:
+  rgb   [H, W, 3] float32 in [0, 1]
+  depth [H, W]    float32 meters (0 / NaN = invalid)
+  pose  [4, 4]    float32 camera-to-world, right-down-forward camera frame
+  K     [3, 3]    float32 intrinsics for the (H, W) resolution
+  index int       frame index within the scan
+
+matching the reference's per-frame tuple (clipfusion.py:190, 256, 374, 465).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Frame:
+    rgb: np.ndarray
+    depth: np.ndarray
+    pose: np.ndarray
+    K: np.ndarray
+    index: int
+
+
+class FrameDataset:
+    """Minimal sequence protocol: len() + [i] -> Frame."""
+
+    imwidth: int
+    imheight: int
+
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, i: int) -> Frame:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[Frame]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def stacked(self, indices=None):
+        """Load frames [F] -> dict of stacked numpy arrays."""
+        if indices is None:
+            indices = range(len(self))
+        frames = [self[i] for i in indices]
+        return {
+            "rgb": np.stack([f.rgb for f in frames]),
+            "depth": np.stack([f.depth for f in frames]),
+            "pose": np.stack([f.pose for f in frames]),
+            "K": np.stack([f.K for f in frames]),
+            "index": np.array([f.index for f in frames]),
+        }

@@ -1,0 +1,184 @@
+"""Synthetic RGB-D scene renderer: the test/bench oracle dataset.
+
+The reference has no test fixtures at all (SURVEY.md §4); this renderer gives
+the new framework ground truth: axis-aligned-box scenes rendered to RGB-D
+frames with exact poses, intrinsics, per-pixel class labels, and known
+geometry — so fusion, meshing, object segmentation, and inventory diffing are
+all testable hermetically (and benchmarkable at any frame count/resolution).
+
+Pure numpy ray-AABB casting, vectorized over pixels x boxes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .base import Frame, FrameDataset
+
+
+@dataclasses.dataclass
+class Box:
+    lo: np.ndarray  # [3]
+    hi: np.ndarray  # [3]
+    color: np.ndarray  # [3] in [0, 1]
+    class_id: int = 0
+    name: str = ""
+
+    def __post_init__(self):
+        self.lo = np.asarray(self.lo, np.float32)
+        self.hi = np.asarray(self.hi, np.float32)
+        self.color = np.asarray(self.color, np.float32)
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    boxes: List[Box]
+
+    @staticmethod
+    def demo_room(extra_boxes: Optional[Sequence[Box]] = None):
+        """A 2x2x2 m room corner with a floor and a few labeled objects.
+
+        Class ids follow the COCO-panoptic contiguous indexing the framework
+        uses everywhere: floor-wood=87, table(-merged)=121, chair=56,
+        suitcase=28 (see scene/colors.py).
+        """
+        boxes = [
+            Box([-1.0, 0.95, -1.0], [1.0, 1.05, 1.0], [0.55, 0.40, 0.25],
+                class_id=87, name="floor"),
+            Box([-0.45, 0.55, -0.05], [0.15, 0.95, 0.45], [0.65, 0.35, 0.2],
+                class_id=121, name="table"),
+            Box([-0.30, 0.30, 0.05], [-0.05, 0.55, 0.30], [0.85, 0.1, 0.1],
+                class_id=28, name="red_box"),
+            Box([0.35, 0.65, -0.25], [0.75, 0.95, 0.15], [0.1, 0.2, 0.8],
+                class_id=56, name="blue_chair"),
+        ]
+        if extra_boxes:
+            boxes = boxes + list(extra_boxes)
+        return SyntheticScene(boxes)
+
+    def without(self, name: str) -> "SyntheticScene":
+        return SyntheticScene([b for b in self.boxes if b.name != name])
+
+    def render(self, pose, K, width: int, height: int, background_depth=0.0):
+        """Render one frame. Returns (rgb [H,W,3], depth [H,W], labels [H,W]).
+
+        depth is planar z-depth in the camera frame; pixels hitting nothing
+        get `background_depth` (0 = invalid, matching real sensor output) and
+        label -1 (callers map it to the null class, 133).
+        """
+        pose = np.asarray(pose, np.float32)
+        K = np.asarray(K, np.float32)
+        u, v = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+        uv1 = np.stack([u, v, np.ones_like(u)], axis=-1).reshape(-1, 3)
+        dirs_cam = (np.linalg.inv(K) @ uv1.T).T  # z = 1
+        R, t = pose[:3, :3], pose[:3, 3]
+        dirs = dirs_cam @ R.T  # world
+        origin = t[None, :]
+
+        P = dirs.shape[0]
+        best_t = np.full(P, np.inf, np.float32)
+        best_box = np.full(P, -1, np.int32)
+        inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+        for bi, box in enumerate(self.boxes):
+            t0 = (box.lo[None] - origin) * inv
+            t1 = (box.hi[None] - origin) * inv
+            tmin = np.minimum(t0, t1).max(axis=1)
+            tmax = np.maximum(t0, t1).min(axis=1)
+            hit_t = np.where(tmin > 1e-4, tmin, tmax)  # allow camera inside
+            hit = (tmax >= np.maximum(tmin, 1e-4)) & (hit_t > 1e-4)
+            closer = hit & (hit_t < best_t)
+            best_t = np.where(closer, hit_t, best_t)
+            best_box = np.where(closer, bi, best_box)
+
+        depth = np.where(np.isinf(best_t), background_depth, best_t)
+        colors = np.array([b.color for b in self.boxes], np.float32)
+        labels = np.array([b.class_id for b in self.boxes], np.int32)
+        rgb = np.where(
+            (best_box >= 0)[:, None], colors[np.clip(best_box, 0, None)], 0.0
+        )
+        lab = np.where(best_box >= 0, labels[np.clip(best_box, 0, None)], -1)
+        # cheap shading so RGB varies with geometry (depth-attenuated)
+        shade = np.clip(1.0 - 0.15 * np.clip(best_t, 0, 4) / 4.0, 0.0, 1.0)
+        rgb = rgb * np.where(np.isinf(best_t), 1.0, shade)[:, None]
+        return (
+            rgb.reshape(height, width, 3).astype(np.float32),
+            depth.reshape(height, width).astype(np.float32),
+            lab.reshape(height, width).astype(np.int32),
+        )
+
+
+def look_at_pose(position, target, up=(0.0, -1.0, 0.0)):
+    """Camera-to-world pose, right-down-forward camera frame."""
+    position = np.asarray(position, np.float64)
+    target = np.asarray(target, np.float64)
+    fwd = target - position
+    fwd = fwd / np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(-upv, fwd)  # -up = world "down"
+    nrm = np.linalg.norm(right)
+    if nrm < 1e-8:
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right = right / nrm
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = position
+    return pose
+
+
+class SyntheticSceneDataset(FrameDataset):
+    """Orbit of cameras around the demo room, FrameDataset protocol."""
+
+    def __init__(
+        self,
+        scene: Optional[SyntheticScene] = None,
+        num_frames: int = 24,
+        width: int = 128,
+        height: int = 96,
+        radius: float = 1.6,
+        center=(0.0, 0.5, 0.1),
+        fov_deg: float = 60.0,
+        seed: int = 0,
+    ):
+        self.scene = scene or SyntheticScene.demo_room()
+        self.imwidth = width
+        self.imheight = height
+        f = 0.5 * width / np.tan(np.radians(fov_deg) / 2)
+        self.K = np.array(
+            [[f, 0, (width - 1) / 2], [0, f, (height - 1) / 2], [0, 0, 1]],
+            np.float32,
+        )
+        center = np.asarray(center, np.float64)
+        rng = np.random.default_rng(seed)
+        self.poses = []
+        for i in range(num_frames):
+            ang = 2 * np.pi * i / num_frames
+            pos = center + np.array(
+                [radius * np.sin(ang), -0.6 + 0.1 * np.sin(3 * ang),
+                 radius * np.cos(ang)]
+            )
+            jitter = rng.normal(scale=0.01, size=3)
+            self.poses.append(look_at_pose(pos + jitter, center))
+        self._cache = {}
+
+    def __len__(self):
+        return len(self.poses)
+
+    def render_labels(self, i: int) -> np.ndarray:
+        return self._render(i)[2]
+
+    def _render(self, i: int):
+        if i not in self._cache:
+            self._cache[i] = self.scene.render(
+                self.poses[i], self.K, self.imwidth, self.imheight
+            )
+        return self._cache[i]
+
+    def __getitem__(self, i: int) -> Frame:
+        rgb, depth, _ = self._render(i)
+        return Frame(rgb=rgb, depth=depth, pose=self.poses[i], K=self.K, index=i)

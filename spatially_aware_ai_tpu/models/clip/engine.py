@@ -1,0 +1,131 @@
+"""High-level CLIP engine: bundles model + params + tokenizer behind the same
+API surface the reference's `Clip` wrapper exposes (clipfusion.py:766-1039):
+tiled image inference, text inference, run_query, clip_feature_surgery,
+prompt-ensemble text encoding.
+
+TPU-native details: encode functions are jitted once per shape; the whole
+patch set of a frame is encoded in one batch; weights can be bf16.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...query import text as query_text
+from .model import CLIP, CLIPConfig, VIT_B_32_QUICKGELU
+from .tiling import tiled_image_features, OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+from .tokenizer import ClipTokenizer
+
+
+class ClipEngine:
+    def __init__(self, cfg: CLIPConfig, params, bpe_path: Optional[str] = None):
+        self.cfg = cfg
+        self.model = CLIP(cfg)
+        self.params = params
+        self.tokenizer = ClipTokenizer(bpe_path)
+        self.feature_dim = cfg.embed_dim
+
+        @jax.jit
+        def _encode_image(p, images):
+            return self.model.apply(p, images, method=CLIP.encode_image)
+
+        @jax.jit
+        def _encode_text(p, token_ids):
+            return self.model.apply(p, token_ids, method=CLIP.encode_text)
+
+        self._encode_image = _encode_image
+        self._encode_text = _encode_text
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def random(cls, cfg: CLIPConfig = None, seed: int = 0,
+               bpe_path: Optional[str] = None) -> "ClipEngine":
+        """Randomly initialized engine (tests / environments w/o weights)."""
+        cfg = cfg or VIT_B_32_QUICKGELU
+        model = CLIP(cfg)
+        key = jax.random.PRNGKey(seed)
+        imgs = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        ids = jnp.zeros((1, cfg.context_length), jnp.int32)
+        params = model.init(key, imgs, ids)
+        return cls(cfg, params, bpe_path)
+
+    @classmethod
+    def tiny(cls, seed: int = 0) -> "ClipEngine":
+        """A small-config engine for tests (feature_dim 32)."""
+        cfg = CLIPConfig(
+            embed_dim=32, image_size=224, patch_size=56, vision_width=64,
+            vision_layers=2, vision_heads=4, vocab_size=49408,
+            context_length=77, text_width=64, text_heads=4, text_layers=2,
+        )
+        return cls.random(cfg, seed)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: CLIPConfig = None,
+                        bpe_path: Optional[str] = None) -> "ClipEngine":
+        """Load converted params (npz produced by cli/convert or torch state
+        dict converted via models.clip.convert)."""
+        import pickle
+
+        cfg = cfg or VIT_B_32_QUICKGELU
+        with open(path, "rb") as f:
+            params = pickle.load(f)
+        return cls(cfg, params, bpe_path)
+
+    # -- image side ----------------------------------------------------------
+
+    def encode_image(self, images) -> jnp.ndarray:
+        """images [B, 224, 224, 3], channel-normalized -> [B, C]."""
+        return self._encode_image(self.params, images)
+
+    def img_inference_tiled(self, img, patch_size: int, patch_stride: int):
+        """One frame [H, W, 3] in [0, 1] -> [ny, nx, C] feature image
+        (reference clipfusion.py:808-839, one fused batch instead of
+        micro-batches of 8)."""
+        # NOTE: pass the stable jitted function object as the static
+        # encode_fn so the tiling jit caches per (shape, stride) only.
+        return tiled_image_features(
+            self.params,
+            jnp.asarray(img),
+            patch_size=patch_size,
+            patch_stride=patch_stride,
+            encode_fn=self._encode_image,
+        )
+
+    # -- text side -----------------------------------------------------------
+
+    def text_inference(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenize + encode + L2 normalize (reference clipfusion.py:892-897)."""
+        tokens = jnp.asarray(self.tokenizer(list(texts)))
+        feats = self._encode_text(self.params, tokens)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return np.asarray(feats)
+
+    def encode_text_with_prompt_ensemble(self, texts, prompt_templates=None):
+        return query_text.encode_text_with_prompt_ensemble(
+            lambda ids: self._encode_text(self.params, ids),
+            self.tokenizer,
+            texts,
+            prompt_templates,
+        )
+
+    def run_query(self, img_feats, labels: Sequence[str]) -> np.ndarray:
+        """softmax(100 * img @ text^T) relevance (clipfusion.py:899-904)."""
+        text_feats = self.text_inference(labels)
+        return np.asarray(
+            query_text.run_query(jnp.asarray(img_feats), jnp.asarray(text_feats))
+        )
+
+    @staticmethod
+    def clip_feature_surgery(image_features, text_features, redundant_feats=None):
+        return np.asarray(
+            query_text.clip_feature_surgery(
+                jnp.asarray(image_features),
+                jnp.asarray(text_features),
+                None if redundant_feats is None else jnp.asarray(redundant_feats),
+            )
+        )

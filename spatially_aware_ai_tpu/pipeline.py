@@ -1,0 +1,187 @@
+"""End-to-end scan fusion pipeline: frames -> bounds -> CLIP/panoptic
+inference -> grid integration -> finalized voxel values (+ mesh on demand).
+
+This is the TPU-native replacement for the reference's two fusion drivers
+(`run_clipfusion` in clipfusion.py:1042-1179 and
+`InSituManager.run_clipfusion` in clip_seem_fusion.py:247-437): frames are
+processed in fixed-size chunks through one compiled integration executable,
+model inference is batched, and the last partial chunk is masked instead of
+recompiling.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core.bounds import (
+    backproject_sparse_cloud,
+    compute_grid_dims,
+    percentile_bounds,
+)
+from .grid.fusion import integrate_frames
+from .grid.voxel_grid import FrameBatch, FusionGrid, create_grid, finalize_grid
+from .meshing.extract import extract_mesh
+from .scene.colors import NULL_CLASS_ID, NUM_CLASSES_WITH_SPARE
+
+
+@dataclasses.dataclass
+class FusionConfig:
+    voxel_size: float = 0.04
+    trunc_vox: float = 3.0
+    clip_patch_size: int = 256
+    clip_patch_stride: int = 128
+    max_depth: float = 4.0
+    frame_chunk: int = 8
+    rgb_mode: str = "bilinear"  # ClipFusion used nearest; ClipSeemFusion bilinear
+    with_labels: bool = False
+    num_classes: int = NUM_CLASSES_WITH_SPARE
+
+    @property
+    def trunc_m(self) -> float:
+        return self.trunc_vox * self.voxel_size
+
+
+@dataclasses.dataclass
+class FusionResult:
+    grid: FusionGrid
+    values: Dict[str, np.ndarray]  # finalized numpy grid values
+    nvox: tuple
+    origin: np.ndarray
+    config: FusionConfig
+    timings: Dict[str, float]
+
+    def extract_mesh(self, voxel_obj_idx=None, segmentation_color=None):
+        return extract_mesh(
+            self.values,
+            self.nvox,
+            self.origin,
+            self.config.voxel_size,
+            voxel_obj_idx=voxel_obj_idx,
+            segmentation_color=segmentation_color,
+        )
+
+
+def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):
+    """Pass 1: sparse backprojection of every frame -> percentile bounds
+    (reference clipfusion.py:1063, 1100-1106)."""
+    clouds = []
+    n = len(dataset)
+    for start in range(0, n, chunk):
+        idx = range(start, min(n, start + chunk))
+        stack = dataset.stacked(idx)
+        clouds.append(
+            backproject_sparse_cloud(
+                stack["depth"], stack["pose"], stack["K"],
+                max_depth=config.max_depth,
+            )
+        )
+    xyz = np.concatenate(clouds, axis=0)
+    minbound, maxbound = percentile_bounds(xyz, config.trunc_m)
+    nvox = compute_grid_dims(minbound, maxbound, config.voxel_size)
+    return minbound, maxbound, nvox
+
+
+def fuse_scan(
+    dataset,
+    clip_engine,
+    config: Optional[FusionConfig] = None,
+    segmenter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    progress: Optional[Callable[[str], None]] = None,
+) -> FusionResult:
+    """Run the full fusion over a FrameDataset.
+
+    segmenter: rgb [H, W, 3] in [0,1] -> per-pixel class-id mask [H, W] i32
+    (null = 133). Required when config.with_labels.
+    """
+    config = config or FusionConfig()
+    if config.with_labels and segmenter is None:
+        raise ValueError("with_labels=True requires a segmenter")
+    say = progress or (lambda s: None)
+    timings: Dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    minbound, maxbound, nvox = compute_scene_bounds(dataset, config)
+    timings["bounds_s"] = time.perf_counter() - t0
+    say(f"bounds: nvox={tuple(nvox)}")
+
+    grid = create_grid(
+        minbound,
+        config.voxel_size,
+        nvox,
+        config.trunc_m,
+        feature_dim=clip_engine.feature_dim,
+        with_labels=config.with_labels,
+        num_classes=config.num_classes,
+    )
+
+    n = len(dataset)
+    F = config.frame_chunk
+    t_inference = 0.0
+    t_integrate = 0.0
+    for start in range(0, n, F):
+        idx = list(range(start, min(n, start + F)))
+        stack = dataset.stacked(idx)
+        n_real = len(idx)
+        pad = F - n_real
+
+        t1 = time.perf_counter()
+        feat_imgs = np.stack(
+            [
+                np.asarray(
+                    clip_engine.img_inference_tiled(
+                        stack["rgb"][i],
+                        patch_size=config.clip_patch_size,
+                        patch_stride=config.clip_patch_stride,
+                    )
+                )
+                for i in range(n_real)
+            ]
+        )
+        labels = None
+        if config.with_labels:
+            labels = np.stack(
+                [segmenter(stack["rgb"][i]) for i in range(n_real)]
+            ).astype(np.int32)
+        t_inference += time.perf_counter() - t1
+
+        def pad_tail(x):
+            if pad == 0:
+                return x
+            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+        batch = FrameBatch(
+            depth=jnp.asarray(pad_tail(stack["depth"])),
+            rgb=jnp.asarray(pad_tail(stack["rgb"])),
+            pose=jnp.asarray(pad_tail(stack["pose"])),
+            K=jnp.asarray(pad_tail(stack["K"])),
+            feat_img=jnp.asarray(pad_tail(feat_imgs)),
+            labels=jnp.asarray(pad_tail(labels)) if labels is not None else None,
+            frame_valid=jnp.asarray(
+                np.array([True] * n_real + [False] * pad)
+            ),
+        )
+        t1 = time.perf_counter()
+        grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
+        grid.tsdf_sum.block_until_ready()
+        t_integrate += time.perf_counter() - t1
+        say(f"integrated frames {idx[0]}..{idx[-1]}")
+
+    timings["inference_s"] = t_inference
+    timings["integrate_s"] = t_integrate
+
+    t1 = time.perf_counter()
+    values = {k: np.asarray(v) for k, v in finalize_grid(grid).items()}
+    timings["finalize_s"] = time.perf_counter() - t1
+
+    return FusionResult(
+        grid=grid,
+        values=values,
+        nvox=tuple(int(v) for v in nvox),
+        origin=np.asarray(minbound, np.float32),
+        config=config,
+        timings=timings,
+    )

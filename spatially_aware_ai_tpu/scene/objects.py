@@ -1,0 +1,256 @@
+"""Scene semantics: 3D object instances from the fused class-id grid, the
+scene-knowledge registry, and user labeling ops (merge / rename / memorize).
+
+The reference implements instance discovery as a pure-Python 26-connected
+flood fill with a triple voxel loop (handy_utils.py:295-480) — the slowest
+non-model component. Here the same semantics run as vectorized connected
+components (scipy.ndimage C kernels, one labeling per present class), with
+components enumerated in the reference's scan order so object ids
+("<class>:<n>") come out identically.
+
+Semantics preserved:
+- null class (133) and empty (-1) voxels are skipped
+- components with < 3 voxels rejected (handy_utils.py:387-388)
+- in-situ model re-identification can rename objects and marks them
+  "unchanged"; labels trained earlier but absent now become "missing"
+- voxel_obj_ids grid: -1 empty, re-identified objects use their positive
+  in-situ label index, new objects take negative ids from -2 downward
+- get_obj_counts "<class>:<n>" naming (the reference leaves class_label
+  unbound for ids like "foo:bar" with a non-digit suffix; we fix that by
+  falling back to the full id)
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import scipy.ndimage
+
+from .colors import NULL_CLASS_ID, PREDEFINED_CLASSES, PREDEFINED_COLORS
+
+_STRUCT_26 = np.ones((3, 3, 3), dtype=bool)
+
+
+def connected_components_3d(class_grid: np.ndarray):
+    """26-connected per-class components of a [X, Y, Z] int class-id grid.
+
+    Returns a list of (class_id, voxel_index_tuple) ordered by first voxel in
+    C-scan order (matching the reference's discovery order), where
+    voxel_index_tuple is the (xs, ys, zs) arrays of the component.
+    """
+    class_grid = np.asarray(class_grid)
+    comps = []
+    present = np.unique(class_grid)
+    for cid in present:
+        cid = int(cid)
+        if cid == NULL_CLASS_ID or cid == -1:
+            continue
+        mask = class_grid == cid
+        labeled, n = scipy.ndimage.label(mask, structure=_STRUCT_26)
+        if n == 0:
+            continue
+        # first-voxel scan order per component
+        flat = labeled.reshape(-1)
+        first = np.full(n + 1, flat.size, np.int64)
+        nz = np.nonzero(flat)[0]
+        # reversed so earlier positions overwrite later ones
+        first[flat[nz[::-1]]] = nz[::-1]
+        for comp_label in range(1, n + 1):
+            vox = np.nonzero(labeled == comp_label)
+            comps.append((cid, vox, int(first[comp_label])))
+    comps.sort(key=lambda c: c[2])
+    return [(cid, vox) for cid, vox, _ in comps]
+
+
+def get_obj_counts(object_counts: Dict[str, int], obj_id: str):
+    """Reference handy_utils.py:483-498: '<class>:<n>' naming."""
+    class_label = obj_id
+    if ":" in obj_id:
+        possible_label, possible_int = obj_id.split(":")[0], obj_id.split(":")[-1]
+        if possible_int.isdigit():
+            class_label = possible_label
+    object_counts[class_label] = object_counts.get(class_label, 0) + 1
+    id_with_idx = f"{class_label}:{object_counts[class_label]}"
+    return id_with_idx, class_label
+
+
+def add_object(
+    unique_objects: dict,
+    object_counts: dict,
+    gt_labels: list,
+    object_index: int,
+    class_id: int,
+    class_label: str,
+    curr_voxels: list,
+    user_modified: bool = False,
+    merged: bool = False,
+):
+    """Register one object instance (reference handy_utils.py:244-292)."""
+    obj_id, class_label = get_obj_counts(object_counts, class_label)
+
+    if user_modified and obj_id not in gt_labels:
+        gt_labels.append(obj_id)
+
+    color = PREDEFINED_COLORS[class_id].tolist()
+    unique_objects[obj_id] = {
+        "class_id": class_id,
+        "class_label": class_label,
+        "voxels": curr_voxels,
+        "object_index": object_index,
+        "gt_label": obj_id,
+        "user_modified": user_modified,
+        "merged": merged,
+        "removed": False,
+        "color": color,
+    }
+    return obj_id
+
+
+def flood_fill_3d(
+    class_grid: np.ndarray,
+    scene_knowledge: Optional[dict],
+    voxel_clip_feats: np.ndarray,
+    voxel_rgb: np.ndarray,
+    insitu_model=None,
+    scene_knowledge_prev: Optional[dict] = None,
+    min_voxels: int = 3,
+) -> Tuple[dict, np.ndarray]:
+    """Build the scene-knowledge dict + voxel object-id grid.
+
+    Drop-in behavioral equivalent of reference handy_utils.py:295-480 with
+    the flood fill replaced by vectorized connected components.
+
+    insitu_model protocol (see models/dgcnn/insitu.py): `.labels` list with
+    index 0 = null, `.model_trained` bool, and
+    `.predict_object(clip_feats, rgb, voxels) -> int` label index.
+    """
+    class_grid = np.asarray(class_grid)
+    voxel_obj_ids = np.full(class_grid.shape, -1, np.int32)
+
+    unique_objects: dict = {}
+    object_counts: dict = {}
+    unchanged_objects: dict = {}
+    new_objects: dict = {}
+    missing_objects: dict = {}
+    negative_object_index = -2
+
+    labels_list = insitu_model.labels if insitu_model is not None else [None]
+    model_trained = bool(insitu_model.model_trained) if insitu_model else False
+    labels_freezed = list(labels_list[1:])
+
+    for class_id, vox_indices in connected_components_3d(class_grid):
+        if len(vox_indices[0]) < min_voxels:
+            continue
+        class_label = PREDEFINED_CLASSES[class_id]
+        user_modified = False
+        object_index = negative_object_index
+        pred_label_index = 0
+
+        if model_trained:
+            pred_label_index = int(
+                insitu_model.predict_object(
+                    clip_feats=voxel_clip_feats[vox_indices],
+                    rgb=voxel_rgb[vox_indices],
+                    voxels=np.stack(vox_indices, axis=-1),
+                )
+            )
+            if pred_label_index > 0:
+                class_label = labels_list[pred_label_index]
+                user_modified = True
+                object_index = pred_label_index
+
+        curr_voxels = [list(map(int, v)) for v in zip(*vox_indices)]
+        obj_id = add_object(
+            unique_objects,
+            object_counts,
+            labels_list,
+            object_index,
+            class_id,
+            class_label,
+            curr_voxels,
+            user_modified=user_modified,
+            merged="merged" in class_label,
+        )
+
+        if model_trained and pred_label_index > 0:
+            unchanged_objects[obj_id] = unique_objects[obj_id]
+
+        voxel_obj_ids[vox_indices] = object_index
+        if object_index < 0:
+            negative_object_index -= 1
+
+    if scene_knowledge_prev:
+        for gt_label in labels_freezed:
+            if gt_label not in unique_objects:
+                prev = scene_knowledge_prev.get("unique_objects", {})
+                if gt_label in prev:
+                    missing_objects[gt_label] = prev[gt_label]
+
+    if scene_knowledge is None:
+        scene_knowledge = {}
+    scene_knowledge["unique_objects"] = unique_objects
+    scene_knowledge["object_counts"] = object_counts
+    scene_knowledge["unchanged_objects"] = unchanged_objects
+    scene_knowledge["new_objects"] = new_objects
+    scene_knowledge["missing_objects"] = missing_objects
+    return scene_knowledge, voxel_obj_ids
+
+
+def mark_object_of_interest(scene_knowledge, insitu_model, object_list):
+    """Mark objects as in-situ training ground truth
+    (reference handy_utils.py:501-523)."""
+    if len(object_list) < 1:
+        return scene_knowledge
+    unique_objects = scene_knowledge["unique_objects"]
+    for obj_id in object_list:
+        if obj_id in unique_objects:
+            unique_objects[obj_id]["user_modified"] = True
+            if insitu_model is not None and obj_id not in insitu_model.labels:
+                insitu_model.labels.append(obj_id)
+            unique_objects[obj_id]["gt_label"] = obj_id
+    return scene_knowledge
+
+
+def merge_objects(scene_knowledge, vertex_obj_idx, insitu_model, merge_list,
+                  new_label):
+    """Merge/rename objects (reference handy_utils.py:526-582). Rename is a
+    merge of one. Multi-merges get a '-merged' suffix so model predictions
+    can be merged too."""
+    if len(merge_list) < 1:
+        return new_label, scene_knowledge
+
+    if len(merge_list) > 1 and "merged" not in new_label:
+        new_label = f"{new_label}-merged"
+
+    unique_objects = scene_knowledge["unique_objects"]
+    object_counts = scene_knowledge["object_counts"]
+
+    new_label, class_label = get_obj_counts(object_counts, new_label)
+
+    if insitu_model is not None:
+        if new_label not in insitu_model.labels:
+            insitu_model.labels.append(new_label)
+        obj_index = insitu_model.labels.index(new_label)
+    else:
+        obj_index = -1
+
+    target_object = dict(unique_objects[merge_list[0]])
+    target_object["merged"] = len(merge_list) > 1
+    target_object["user_modified"] = True
+    target_object["gt_label"] = new_label
+    target_object["class_label"] = class_label
+    target_object["object_index"] = obj_index
+    target_object["voxels"] = list(target_object["voxels"])
+
+    for i, obj_id in enumerate(merge_list):
+        if i == 0:
+            del unique_objects[obj_id]
+            continue
+        target_object["voxels"] = target_object["voxels"] + list(
+            unique_objects[obj_id]["voxels"]
+        )
+        del unique_objects[obj_id]
+
+    unique_objects[new_label] = target_object
+    scene_knowledge["unique_objects"] = unique_objects
+    return new_label, scene_knowledge

@@ -1,0 +1,126 @@
+"""End-to-end integration test: synthetic RGB-D scan -> fused grid -> mesh ->
+object instances -> text query, all on a known ground-truth scene."""
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
+from spatially_aware_ai_tpu.scene import NULL_CLASS_ID, flood_fill_3d
+from spatially_aware_ai_tpu.query import run_query
+
+import jax.numpy as jnp
+
+
+def box_sdf(points, lo, hi):
+    """Signed distance from points to an AABB (outside positive)."""
+    center = (lo + hi) / 2
+    half = (hi - lo) / 2
+    q = np.abs(points - center) - half
+    outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+    inside = np.minimum(q.max(axis=-1), 0)
+    return outside + inside
+
+
+@pytest.fixture(scope="module")
+def fused():
+    ds = SyntheticSceneDataset(num_frames=12, width=96, height=72)
+    engine = ClipEngine.tiny()
+    cfg = FusionConfig(
+        voxel_size=0.06,
+        trunc_vox=2.0,
+        clip_patch_size=48,
+        clip_patch_stride=24,
+        frame_chunk=5,
+        with_labels=True,
+    )
+
+    def segmenter(rgb):
+        # ground-truth labels from the renderer, by matching the frame
+        for i in range(len(ds)):
+            f = ds[i]
+            if f.rgb.shape == rgb.shape and np.allclose(f.rgb, rgb):
+                lab = ds.render_labels(i).copy()
+                lab[lab < 0] = NULL_CLASS_ID
+                return lab
+        raise AssertionError("frame not found")
+
+    result = fuse_scan(ds, engine, cfg, segmenter=segmenter)
+    return ds, result
+
+
+def test_grid_dimensions_sane(fused):
+    ds, result = fused
+    assert all(8 < n < 80 for n in result.nvox)
+    assert result.values["weight"].sum() > 500
+
+
+def test_mesh_on_true_surfaces(fused):
+    ds, result = fused
+    mesh = result.extract_mesh()
+    verts = mesh["verts_world"]
+    assert len(verts) > 300
+    sdf = np.full(len(verts), np.inf)
+    for box in ds.scene.boxes:
+        sdf = np.minimum(sdf, np.abs(box_sdf(verts, box.lo, box.hi)))
+    # 95% of vertices within one voxel of a true surface
+    assert np.quantile(sdf, 0.95) < result.config.voxel_size
+    assert np.isfinite(mesh["clip_feats"]).all()
+
+
+def test_fused_colors_match_objects(fused):
+    ds, result = fused
+    nvox = result.nvox
+    rgb = result.values["rgb"].reshape(*nvox, 3)
+    weight = result.values["weight"].reshape(nvox)
+    origin = result.origin
+    vs = result.config.voxel_size
+
+    red = ds.scene.boxes[2]  # red_box
+    center_w = (red.lo + red.hi) / 2
+    # sample voxels on the box's top face (observed from above)
+    top = center_w.copy()
+    top[1] = red.lo[1]  # smaller y = top (y points down-ish in this scene)
+    idx = np.round((top - origin) / vs).astype(int)
+    region = rgb[idx[0] - 1 : idx[0] + 2, idx[1] - 1 : idx[1] + 2,
+                 idx[2] - 1 : idx[2] + 2]
+    wregion = weight[idx[0] - 1 : idx[0] + 2, idx[1] - 1 : idx[1] + 2,
+                     idx[2] - 1 : idx[2] + 2]
+    observed = region[wregion > 0]
+    assert len(observed) > 0
+    mean_color = observed.mean(axis=0)
+    # red channel dominates on the red box's surface
+    assert mean_color[0] > 2 * mean_color[1]
+    assert mean_color[0] > 2 * mean_color[2]
+
+
+def test_object_instances_found(fused):
+    ds, result = fused
+    nvox = result.nvox
+    class_grid = result.values["class_id"].reshape(nvox)
+    feats = result.values["feat"].reshape(*nvox, -1)
+    rgb = result.values["rgb"].reshape(*nvox, 3)
+    sk, obj_ids = flood_fill_3d(class_grid, None, feats, rgb, None)
+    labels = {o["class_label"] for o in sk["unique_objects"].values()}
+    # the four demo-room objects: floor(-wood), table, chair, suitcase
+    assert "chair" in labels
+    assert "suitcase" in labels
+    assert "table" in labels
+    assert "floor-wood" in labels
+    # object ids are negative (no in-situ model) and present in the grid
+    assert obj_ids.min() <= -2
+
+
+def test_text_query_shapes(fused):
+    ds, result = fused
+    mesh = result.extract_mesh()
+    engine = ClipEngine.tiny()
+    feats = mesh["clip_feats"]
+    norm = np.linalg.norm(feats, axis=-1, keepdims=True)
+    feats = np.nan_to_num(feats / np.maximum(norm, 1e-8))
+    rel = engine.run_query(
+        jnp.asarray(feats), ["an object", "things", "stuff", "texture", "a red box"]
+    )
+    assert rel.shape == (len(feats), 5)
+    assert np.isfinite(rel).all()
+    np.testing.assert_allclose(rel.sum(axis=-1), 1.0, atol=1e-4)
