@@ -43,6 +43,28 @@ def voxel_world_coords(nvox, origin, voxel_size):
     return idx * voxel_size + jnp.asarray(origin, jnp.float32)
 
 
+def voxel_world_coords_flat(nvox, origin, voxel_size, start, count: int):
+    """World coords for the flat-index range [start, start+count).
+
+    Used by the sharded integrator: each device shard owns a contiguous flat
+    slice of the (possibly padded) voxel buffer. `start` may be traced
+    (computed from jax.lax.axis_index). Returns (xyz [count, 3],
+    in_grid [count] bool) where in_grid masks padding voxels past
+    prod(nvox).
+    """
+    nx, ny, nz = nvox
+    n = nx * ny * nz
+    flat = start + jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0]
+    in_grid = flat < n
+    safe = jnp.minimum(flat, n - 1)
+    i0 = safe // (ny * nz)
+    rem = safe % (ny * nz)
+    i1 = rem // nz
+    i2 = rem % nz
+    idx = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
+    return idx * voxel_size + jnp.asarray(origin, jnp.float32), in_grid
+
+
 def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K):
     """Per-frame projection + sdf. Returns (uv, masks, tsdf_contrib)."""
     H, W = depth.shape
@@ -81,6 +103,7 @@ def integrate_one_frame(
     labels=None,
     frame_valid=True,
     rgb_mode: str = "bilinear",
+    vox_valid=None,
 ) -> FusionGrid:
     """Accumulate a single frame. Pure function; used inside lax.scan."""
     H, W = depth.shape
@@ -88,6 +111,9 @@ def integrate_one_frame(
     fv = jnp.asarray(frame_valid)
     tsdf_valid = tsdf_valid & fv
     feat_valid = feat_valid & fv
+    if vox_valid is not None:
+        tsdf_valid = tsdf_valid & vox_valid
+        feat_valid = feat_valid & vox_valid
 
     tsdf_w = tsdf_valid.astype(jnp.float32)
     feat_w = feat_valid.astype(jnp.float32)
@@ -116,22 +142,28 @@ def integrate_one_frame(
     return grid.replace(**new)
 
 
-@functools.partial(jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,))
-def integrate_frames(
-    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+def integrate_frames_impl(
+    grid: FusionGrid,
+    frames: FrameBatch,
+    rgb_mode: str = "bilinear",
+    voxel_start=0,
 ) -> FusionGrid:
     """Integrate a FrameBatch with a lax.scan over frames.
 
-    The grid is donated: the update is in-place in HBM. One compiled
-    executable per (grid shape, frame shape) bucket.
+    `voxel_start` is the global flat index of this grid buffer's first voxel
+    (nonzero inside a voxel-sharded shard_map body; may be traced). Padding
+    voxels past prod(nvox) never accumulate.
     """
-    xyz_world = voxel_world_coords(grid.nvox, grid.origin, grid.voxel_size)
+    count = grid.tsdf_sum.shape[0]
+    xyz_world, vox_valid = voxel_world_coords_flat(
+        grid.nvox, grid.origin, grid.voxel_size, voxel_start, count
+    )
 
     def step(g, frame):
         depth, rgb, pose, K, feat_img, labels, fv = frame
         g = integrate_one_frame(
             g, xyz_world, depth, rgb, pose, K, feat_img, labels, fv,
-            rgb_mode=rgb_mode,
+            rgb_mode=rgb_mode, vox_valid=vox_valid,
         )
         return g, None
 
@@ -152,3 +184,11 @@ def integrate_frames(
     )
     grid, _ = jax.lax.scan(step, grid, xs)
     return grid
+
+
+@functools.partial(jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,))
+def integrate_frames(
+    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+) -> FusionGrid:
+    """Jitted single-process entry point; grid donated (in-place in HBM)."""
+    return integrate_frames_impl(grid, frames, rgb_mode=rgb_mode, voxel_start=0)

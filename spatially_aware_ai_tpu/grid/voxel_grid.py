@@ -72,9 +72,14 @@ def create_grid(
     with_labels: bool = False,
     num_classes: int = NUM_LABEL_CLASSES,
     feat_dtype=jnp.float32,
+    pad_to: int = 1,
 ) -> FusionGrid:
+    """pad_to: round the flat voxel buffer up to a multiple (e.g. the device
+    count for voxel-sharding, or 1024 for tile alignment). Padding voxels
+    never accumulate and are sliced off at read time."""
     nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
     n = int(np.prod(nvox))
+    n = ((n + pad_to - 1) // pad_to) * pad_to
     return FusionGrid(
         tsdf_sum=jnp.zeros((n,), jnp.float32),
         tsdf_w=jnp.zeros((n,), jnp.int32),

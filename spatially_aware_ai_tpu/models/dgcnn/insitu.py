@@ -1,0 +1,279 @@
+"""In-situ learning: on-the-fly DGCNN fine-tuning on user-labeled objects.
+
+API contract recovered from the reference's call sites (SURVEY.md §2.5,
+clip_seem_fusion.py:142-158, handy_utils.py:396-425, app_unity.py:169-194):
+
+- `.labels`: list, index 0 = null class, user labels appended
+- `.model_trained`: bool
+- `.predict_object(clip_feats, rgb, voxels) -> int` label index (0 = no match)
+- `.prepare_data(scene_knowledges, voxel_data)` + `.train_model()`
+- `.reset_model(delete_weights=True)`
+- persistence: weights + labels json shared across scan versions
+
+Featurization (the reference's InSituVoxelData is absent; ours): each object
+is `num_points` voxels sampled with replacement, each point carrying
+[centered+scale-normalized xyz (3), rgb (3), CLIP (512)].
+
+Training runs fully on device with optax (SGD+momentum or Adam, cosine decay,
+label smoothing), static shapes (label space padded to output_channels=50),
+so adding labels or objects never triggers recompilation.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .model import DGCNN, DGCNNConfig
+
+
+def featurize_object(clip_feats, rgb, voxels, num_points: int, rng=None):
+    """One object -> [num_points, 3 + 3 + C] float32 point features."""
+    voxels = np.asarray(voxels, np.float32)
+    rgb = np.nan_to_num(np.asarray(rgb, np.float32))
+    clip_feats = np.nan_to_num(np.asarray(clip_feats, np.float32))
+    m = len(voxels)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    idx = rng.integers(0, m, size=num_points) if m > 0 else np.zeros(
+        num_points, np.int64
+    )
+    pts = voxels[idx]
+    center = pts.mean(axis=0, keepdims=True)
+    pts = pts - center
+    scale = max(float(np.abs(pts).max()), 1e-6)
+    pts = pts / scale
+    return np.concatenate([pts, rgb[idx], clip_feats[idx]], axis=-1).astype(
+        np.float32
+    )
+
+
+class InSituLearning:
+    def __init__(
+        self,
+        model: str = "dgcnn",
+        device=None,  # accepted for API parity; jax manages devices
+        emb_dims: int = 1024,
+        k_neighbors: int = 20,
+        dropout: float = 0.5,
+        output_channels: int = 50,
+        num_points: int = 30,
+        cool_down_epochs: int = 10,
+        batch_size: int = 128,
+        use_sgd: bool = False,
+        lr: float = 0.001,
+        momentum: float = 0.9,
+        epochs: int = 200,
+        model_path: Optional[str] = None,
+        label_path: Optional[str] = None,
+        feature_dim: int = 512,
+        seed: int = 1,
+        confidence_threshold: float = 0.5,
+    ):
+        self.cfg = DGCNNConfig(
+            in_channels=6 + feature_dim,
+            k_neighbors=k_neighbors,
+            emb_dims=emb_dims,
+            dropout=dropout,
+            output_channels=output_channels,
+            num_points=num_points,
+        )
+        self.model = DGCNN(self.cfg)
+        self.num_points = num_points
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.cool_down_epochs = cool_down_epochs
+        self.use_sgd = use_sgd
+        self.lr = lr
+        self.momentum = momentum
+        self.model_path = model_path
+        self.label_path = label_path
+        self.seed = seed
+        self.confidence_threshold = confidence_threshold
+
+        self.labels: List = [None]  # index 0 = null class
+        self.model_trained = False
+        self._train_examples = None  # (points [M, N, C], labels [M])
+        self.variables = None
+        self._rng = np.random.default_rng(seed)
+
+        self._load_if_exists()
+
+    # -- persistence ---------------------------------------------------------
+
+    def _load_if_exists(self):
+        if self.label_path and os.path.exists(self.label_path):
+            with open(self.label_path) as f:
+                self.labels = json.load(f)
+        if self.model_path and os.path.exists(self.model_path):
+            with open(self.model_path, "rb") as f:
+                self.variables = pickle.load(f)
+            self.model_trained = True
+
+    def save(self):
+        if self.model_path and self.variables is not None:
+            os.makedirs(os.path.dirname(os.path.abspath(self.model_path)),
+                        exist_ok=True)
+            with open(self.model_path, "wb") as f:
+                pickle.dump(jax.device_get(self.variables), f)
+        if self.label_path:
+            os.makedirs(os.path.dirname(os.path.abspath(self.label_path)),
+                        exist_ok=True)
+            with open(self.label_path, "w") as f:
+                json.dump(self.labels, f, default=str)
+
+    def reset_model(self, delete_weights: bool = True):
+        """app_unity.py:191-194 contract."""
+        self.variables = None
+        self.model_trained = False
+        self.labels = [None]
+        self._train_examples = None
+        if delete_weights and self.model_path and os.path.exists(self.model_path):
+            os.remove(self.model_path)
+        if delete_weights and self.label_path and os.path.exists(self.label_path):
+            os.remove(self.label_path)
+
+    # -- data ----------------------------------------------------------------
+
+    def prepare_data(self, scene_knowledge, voxel_clip_feats, voxel_rgb):
+        """Collect training examples from user-labeled objects.
+
+        user_modified objects train as their gt_label's index; other objects
+        train as the null class (0) to give the classifier contrast.
+        """
+        pts_list, y_list = [], []
+        uo = scene_knowledge["unique_objects"]
+        for obj_id, info in uo.items():
+            vox = np.asarray(info["voxels"], np.int64)
+            if len(vox) == 0:
+                continue
+            vidx = tuple(vox.T)
+            label_idx = 0
+            if info.get("user_modified") and info.get("gt_label") in self.labels:
+                label_idx = self.labels.index(info["gt_label"])
+            # several resamples per object for augmentation coverage
+            for _ in range(8):
+                pts_list.append(
+                    featurize_object(
+                        voxel_clip_feats[vidx], voxel_rgb[vidx], vox,
+                        self.num_points, self._rng,
+                    )
+                )
+                y_list.append(label_idx)
+        if not pts_list:
+            self._train_examples = None
+            return 0
+        self._train_examples = (
+            np.stack(pts_list).astype(np.float32),
+            np.array(y_list, np.int32),
+        )
+        return len(y_list)
+
+    # -- training ------------------------------------------------------------
+
+    def _make_optimizer(self):
+        sched = optax.cosine_decay_schedule(
+            self.lr * (100.0 if self.use_sgd else 1.0), self.epochs, alpha=0.01
+        )
+        if self.use_sgd:
+            return optax.sgd(sched, momentum=self.momentum)
+        return optax.adamw(sched, weight_decay=1e-4)
+
+    def train_model(self, epochs: Optional[int] = None):
+        if self._train_examples is None:
+            return {"trained": False, "reason": "no training data"}
+        epochs = epochs or self.epochs
+        pts, ys = self._train_examples
+        M = len(ys)
+        key = jax.random.PRNGKey(self.seed)
+
+        if self.variables is None:
+            self.variables = self.model.init(
+                key, jnp.zeros((2, self.num_points, self.cfg.in_channels)),
+                train=False,
+            )
+        tx = self._make_optimizer()
+        params = self.variables["params"]
+        batch_stats = self.variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def train_step(params, batch_stats, opt_state, batch_pts, batch_ys,
+                       dropout_key):
+            def loss_fn(p):
+                logits, updates = self.model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch_pts,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_key},
+                )
+                onehot = jax.nn.one_hot(batch_ys, self.cfg.output_channels)
+                onehot = optax.smooth_labels(onehot, 0.1)
+                loss = optax.softmax_cross_entropy(logits, onehot).mean()
+                acc = (logits.argmax(-1) == batch_ys).mean()
+                return loss, (updates["batch_stats"], acc)
+
+            (loss, (new_bs, acc)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, loss, acc
+
+        B = self.batch_size
+        last_loss, last_acc = np.inf, 0.0
+        for epoch in range(epochs):
+            key, ek, dk = jax.random.split(key, 3)
+            # sample a full batch with replacement + point jitter
+            sel = np.asarray(
+                jax.random.randint(ek, (B,), 0, M)
+            )
+            batch_pts = pts[sel]
+            jitter = self._rng.normal(scale=0.02,
+                                      size=(B, self.num_points, 3))
+            batch_pts = batch_pts.copy()
+            batch_pts[..., :3] += jitter.astype(np.float32)
+            params, batch_stats, opt_state, loss, acc = train_step(
+                params, batch_stats, opt_state, jnp.asarray(batch_pts),
+                jnp.asarray(ys[sel]), dk,
+            )
+            last_loss, last_acc = float(loss), float(acc)
+
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.model_trained = True
+        self.save()
+        return {"trained": True, "loss": last_loss, "acc": last_acc,
+                "examples": int(M)}
+
+    # -- inference -----------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=0)
+    def _forward(self, variables, pts):
+        return self.model.apply(variables, pts, train=False)
+
+    def predict_object(self, clip_feats, rgb, voxels) -> int:
+        """Classify one object; returns its label index, or 0 when unknown /
+        below the confidence threshold (handy_utils.py:396-425 contract)."""
+        if not self.model_trained or self.variables is None:
+            return 0
+        pts = featurize_object(clip_feats, rgb, voxels, self.num_points,
+                               self._rng)
+        logits = np.asarray(
+            self._forward(self.variables, jnp.asarray(pts[None]))
+        )[0]
+        n_valid = len(self.labels)
+        logits = logits[:n_valid]
+        probs = np.exp(logits - logits.max())
+        probs /= probs.sum()
+        pred = int(probs.argmax())
+        if pred == 0 or probs[pred] < self.confidence_threshold:
+            return 0
+        return pred

@@ -174,7 +174,10 @@ def fuse_scan(
     timings["integrate_s"] = t_integrate
 
     t1 = time.perf_counter()
-    values = {k: np.asarray(v) for k, v in finalize_grid(grid).items()}
+    n_logical = int(np.prod(nvox))
+    values = {
+        k: np.asarray(v)[:n_logical] for k, v in finalize_grid(grid).items()
+    }
     timings["finalize_s"] = time.perf_counter() - t1
 
     return FusionResult(
