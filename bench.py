@@ -1,0 +1,134 @@
+"""Benchmark: CLIP-feature TSDF fusion throughput on one TPU chip.
+
+Workload matches the reference's default iPhone operating point
+(BASELINE.md): 1024x768 RGB-D frames, CLIP ViT-B/32 patch 256 / stride 128
+(7x5 = 35 patches/frame), voxel 0.04 m grid (~0.5M voxels), TSDF + RGB +
+512-dim CLIP feature + 143-class label fusion.
+
+Metric: end-to-end fused frames/sec/chip (tiled CLIP encode + grid
+integration, steady state). Baseline: the driver's north star is a 500-frame
+scan queryable in < 30 s on v5e-8 => 16.7 fps on 8 chips => 2.083 fps/chip.
+vs_baseline = fps / 2.083 (>1 beats the target pro-rated per chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames
+    from spatially_aware_ai_tpu.grid.voxel_grid import FrameBatch, create_grid
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+
+    W, H = 1024, 768
+    PATCH, STRIDE = 256, 128
+    F = 8  # frames per integration chunk
+    REPEATS = 6  # timed chunks (after warmup)
+
+    # --- build a realistic frame chunk (render small, upsample like the
+    # iPhone ingest path does for depth) ---
+    ds = SyntheticSceneDataset(num_frames=F, width=W // 4, height=H // 4)
+    rgbs, depths, poses, Ks = [], [], [], []
+    for i in range(F):
+        f = ds[i]
+        rgbs.append(np.kron(f.rgb, np.ones((4, 4, 1), np.float32)))
+        depths.append(np.kron(f.depth, np.ones((4, 4), np.float32)))
+        poses.append(f.pose)
+        K = f.K.copy()
+        K[0] *= 4
+        K[1] *= 4
+        Ks.append(K)
+    rgbs = np.stack(rgbs).astype(np.float32)
+    depths = np.stack(depths).astype(np.float32)
+    poses = np.stack(poses).astype(np.float32)
+    Ks = np.stack(Ks).astype(np.float32)
+
+    # --- grid at the reference's default scale: ~57x56x55 voxels ---
+    nvox = (57, 56, 55)
+    origin = np.array([-1.2, -0.7, -1.2], np.float32)
+
+    engine = ClipEngine.random(seed=0)
+
+    grid = create_grid(
+        origin, 0.04, nvox, trunc=3 * 0.04,
+        feature_dim=engine.feature_dim, with_labels=True, pad_to=1024,
+    )
+
+    labels = np.stack(
+        [np.kron(ds.render_labels(i), np.ones((4, 4), np.int32)) for i in range(F)]
+    )
+    labels[labels < 0] = 133
+
+    rgbs_d = jnp.asarray(rgbs)
+    depths_d = jnp.asarray(depths)
+    poses_d = jnp.asarray(poses)
+    Ks_d = jnp.asarray(Ks)
+    labels_d = jnp.asarray(labels)
+
+    def run_chunk(grid):
+        feat_imgs = jnp.stack(
+            [
+                engine.img_inference_tiled(rgbs_d[i], PATCH, STRIDE)
+                for i in range(F)
+            ]
+        )
+        batch = FrameBatch(
+            depth=depths_d, rgb=rgbs_d, pose=poses_d, K=Ks_d,
+            feat_img=feat_imgs, labels=labels_d,
+            frame_valid=jnp.ones((F,), bool),
+        )
+        grid = integrate_frames(grid, batch)
+        # NOTE: block_until_ready is not a reliable sync on the axon tunnel
+        # backend; a scalar readback forces full execution.
+        float(grid.tsdf_sum[0])
+        return grid
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    grid = run_chunk(grid)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        grid = run_chunk(grid)
+    elapsed = time.perf_counter() - t0
+    fps = (REPEATS * F) / elapsed
+
+    baseline_fps_per_chip = 500.0 / 30.0 / 8.0  # north star pro-rated per chip
+    result = {
+        "metric": "fusion_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps_per_chip, 3),
+    }
+    print(json.dumps(result))
+    # extra diagnostics on stderr (driver reads stdout's single line)
+    print(
+        json.dumps(
+            {
+                "compile_s": round(compile_s, 2),
+                "chunk_frames": F,
+                "timed_chunks": REPEATS,
+                "grid_nvox": list(nvox),
+                "patches_per_frame": 35,
+                "device": str(jax.devices()[0]),
+                "est_500frame_scan_s_on_8chips": round(500.0 / (fps * 8), 2),
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
