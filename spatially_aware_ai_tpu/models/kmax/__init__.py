@@ -1,0 +1,7 @@
+from .convnext import ConvNeXt, ConvNeXtConfig, CONVNEXT_LARGE
+from .model import (
+    KMaxDeepLab,
+    KMaxConfig,
+    KmaxSegmenter,
+    panoptic_class_map,
+)

@@ -1,0 +1,107 @@
+"""Parity of the Flax ConvNeXt vs an independent torch implementation of the
+standard ConvNeXt layout (facebookresearch/ConvNeXt state-dict naming),
+through the converter — validates kernel transposes, depthwise conv, LN
+placement, and layer scale."""
+import numpy as np
+import torch
+import torch.nn as tnn
+import jax
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.models.kmax import ConvNeXt
+from spatially_aware_ai_tpu.models.kmax.convnext import ConvNeXtConfig
+from spatially_aware_ai_tpu.models.kmax.convert import convert_convnext_state_dict
+
+DEPTHS = (1, 1, 2, 1)
+DIMS = (8, 16, 24, 32)
+
+
+class TorchBlock(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = tnn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+        self.pwconv1 = tnn.Linear(dim, 4 * dim)
+        self.act = tnn.GELU()
+        self.pwconv2 = tnn.Linear(4 * dim, dim)
+        self.gamma = tnn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):  # x [B, C, H, W]
+        inp = x
+        x = self.dwconv(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.norm(x)
+        x = self.pwconv2(self.act(self.pwconv1(x)))
+        x = self.gamma * x
+        return inp + x.permute(0, 3, 1, 2)
+
+
+class TorchConvNeXt(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.downsample_layers = tnn.ModuleList()
+        stem = tnn.Sequential(
+            tnn.Conv2d(3, DIMS[0], 4, stride=4),
+            ChannelLN(DIMS[0]),
+        )
+        self.downsample_layers.append(stem)
+        for i in range(3):
+            self.downsample_layers.append(
+                tnn.Sequential(
+                    ChannelLN(DIMS[i]),
+                    tnn.Conv2d(DIMS[i], DIMS[i + 1], 2, stride=2),
+                )
+            )
+        self.stages = tnn.ModuleList(
+            tnn.Sequential(*[TorchBlock(DIMS[i]) for _ in range(DEPTHS[i])])
+            for i in range(4)
+        )
+
+    def forward(self, x):
+        outs = []
+        for i in range(4):
+            x = self.downsample_layers[i](x)
+            x = self.stages[i](x)
+            outs.append(x)
+        return outs
+
+
+class ChannelLN(tnn.Module):
+    """LayerNorm over channels of an NCHW tensor (channels_first variant)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(dim))
+        self.bias = tnn.Parameter(torch.zeros(dim))
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + 1e-6)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+def test_convnext_matches_torch():
+    torch.manual_seed(0)
+    tmodel = TorchConvNeXt().eval()
+    # randomize gamma so layer scale is exercised
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, TorchBlock):
+                m.gamma.copy_(torch.randn_like(m.gamma) * 0.1)
+
+    params = convert_convnext_state_dict(tmodel.state_dict(), depths=DEPTHS)
+    fmodel = ConvNeXt(ConvNeXtConfig(depths=DEPTHS, dims=DIMS))
+
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ours = fmodel.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+
+    for level, t in zip(["os4", "os8", "os16", "os32"], theirs):
+        np.testing.assert_allclose(
+            np.asarray(ours[level]),
+            t.permute(0, 2, 3, 1).numpy(),
+            atol=3e-5,
+            err_msg=level,
+        )
