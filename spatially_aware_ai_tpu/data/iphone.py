@@ -1,0 +1,88 @@
+"""3D Scanner App (iPhone LiDAR) scan loader.
+
+Frame contract from the reference (clipfusion.py:259-374):
+- files: frame_XXXXX.jpg (RGB 1920x1440), depth_XXXXX.png (16-bit mm,
+  256x192), frame_XXXXX.json (intrinsics 3x3, cameraPoseARFrame 4x4,
+  projectionMatrix, motionQuality, averageAngularVelocity)
+- pose is ARKit right-up-back -> flipped to right-down-forward
+- depth upscaled 4x (cubic), RGB downscaled (area) to 1024x768
+- per-frame K scaled from the native RGB resolution
+- frames with non-finite poses dropped
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import cv2
+import numpy as np
+
+from ..core.geometry import flip_ruB_to_rdf
+from .base import Frame, FrameDataset
+
+
+class IPhone3DScannerDataset(FrameDataset):
+    def __init__(self, scan_dir: str, views_limit: int = 0):
+        self.dataset_name = "iphone3dscanner"
+        self.scan_dir = scan_dir
+
+        rgb_files = sorted(glob.glob(os.path.join(scan_dir, "frame_*.jpg")))
+        if views_limit > 0:
+            rgb_files = rgb_files[:views_limit]
+
+        entries = []
+        for img_file in rgb_files:
+            depth_file = img_file.replace(".jpg", ".png").replace(
+                "frame_", "depth_"
+            )
+            pose_file = img_file.replace(".jpg", ".json")
+            if os.path.exists(depth_file) and os.path.exists(pose_file):
+                entries.append((img_file, depth_file, pose_file))
+        if not entries:
+            raise FileNotFoundError(f"no frames found in {scan_dir}")
+
+        metas = []
+        for _, _, pose_file in entries:
+            with open(pose_file) as f:
+                meta = json.load(f)
+            K = np.array(meta["intrinsics"], np.float64).reshape(3, 3)
+            pose = np.array(meta["cameraPoseARFrame"], np.float64).reshape(4, 4)
+            pose = flip_ruB_to_rdf(pose.astype(np.float32))
+            metas.append((K.astype(np.float32), pose))
+
+        good = [i for i, (_, p) in enumerate(metas) if np.isfinite(p).all()]
+        self.entries = [entries[i] for i in good]
+        self.metas = [metas[i] for i in good]
+
+        dep0 = cv2.imread(self.entries[0][1], cv2.IMREAD_ANYDEPTH)
+        self.dep_h, self.dep_w = dep0.shape
+        rgb0 = cv2.imread(self.entries[0][0])
+        self.rgb_h, self.rgb_w = rgb0.shape[:2]
+        # upsample depth 4x: 256x192 -> 1024x768
+        self.imwidth = self.dep_w * 4
+        self.imheight = self.dep_h * 4
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Frame:
+        img_file, depth_file, _ = self.entries[i]
+        K, pose = self.metas[i]
+
+        rgb = cv2.cvtColor(cv2.imread(img_file), cv2.COLOR_BGR2RGB)
+        rgb = cv2.resize(
+            rgb, (self.imwidth, self.imheight), None, 0, 0, cv2.INTER_AREA
+        )
+        rgb = rgb.astype(np.float32) / 255.0
+
+        depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
+        depth = cv2.resize(
+            depth, (self.imwidth, self.imheight), None, 0, 0, cv2.INTER_CUBIC
+        )
+        depth = depth.astype(np.float32) / 1000.0
+
+        Ki = K.copy()
+        Ki[0] *= self.imwidth / self.rgb_w
+        Ki[1] *= self.imheight / self.rgb_h
+        return Frame(rgb=rgb, depth=depth, pose=pose, K=Ki, index=i)

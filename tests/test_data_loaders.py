@@ -1,0 +1,184 @@
+"""Dataset loader tests against generated on-disk scans in each format."""
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.data import (
+    IPhone3DScannerDataset,
+    LERFDataset,
+    ScanNetDataset,
+    SyntheticSceneDataset,
+    make_dataset,
+)
+
+RNG = np.random.default_rng(21)
+
+
+def write_iphone_scan(d, num_frames=3):
+    """3D Scanner App format: frame_*.jpg (1920x1440), depth_*.png
+    (256x192, mm), frame_*.json with ARKit (right-up-back) pose."""
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    poses = []
+    for i in range(num_frames):
+        rgb = (RNG.uniform(0, 255, (1440, 1920, 3))).astype(np.uint8)
+        cv2.imwrite(str(d / f"frame_{i:05d}.jpg"), rgb)
+        depth_m = RNG.uniform(0.3, 3.0, (192, 256)).astype(np.float32)
+        cv2.imwrite(
+            str(d / f"depth_{i:05d}.png"),
+            (depth_m * 1000).astype(np.uint16),
+        )
+        pose_rdf = np.eye(4)
+        pose_rdf[:3, 3] = [i * 0.1, 0, 0]
+        pose_arkit = pose_rdf.copy()
+        pose_arkit[:3, 1] *= -1
+        pose_arkit[:3, 2] *= -1
+        poses.append(pose_rdf)
+        meta = {
+            "intrinsics": [1400.0, 0, 960.0, 0, 1400.0, 720.0, 0, 0, 1.0],
+            "cameraPoseARFrame": pose_arkit.reshape(-1).tolist(),
+            "projectionMatrix": np.eye(4).reshape(-1).tolist(),
+            "motionQuality": 1.0,
+            "averageAngularVelocity": 0.01,
+        }
+        with open(d / f"frame_{i:05d}.json", "w") as f:
+            json.dump(meta, f)
+    return poses
+
+
+def test_iphone_loader(tmp_path):
+    poses = write_iphone_scan(tmp_path)
+    ds = IPhone3DScannerDataset(str(tmp_path))
+    assert len(ds) == 3
+    assert (ds.imwidth, ds.imheight) == (1024, 768)
+    f = ds[1]
+    assert f.rgb.shape == (768, 1024, 3)
+    assert f.depth.shape == (768, 1024)
+    assert 0.29 < f.depth.mean() < 3.01
+    # ARKit flip undone -> right-down-forward pose round-trips
+    np.testing.assert_allclose(f.pose, poses[1], atol=1e-6)
+    # K scaled from 1920x1440 to 1024x768
+    np.testing.assert_allclose(f.K[0, 0], 1400 * 1024 / 1920, rtol=1e-6)
+    np.testing.assert_allclose(f.K[1, 2], 720 * 768 / 1440, rtol=1e-6)
+
+
+def test_scannet_loader(tmp_path):
+    os.makedirs(tmp_path / "color")
+    os.makedirs(tmp_path / "depth")
+    os.makedirs(tmp_path / "pose")
+    os.makedirs(tmp_path / "intrinsic")
+    K = np.array([[580.0, 0, 320, 0], [0, 580, 240, 0], [0, 0, 1, 0],
+                  [0, 0, 0, 1]])
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_depth.txt", K)
+    # 5 frames: 0 and 3 far apart, 1/2 close to 0 (filtered), 4 has inf pose
+    positions = [0.0, 0.02, 0.05, 0.5, 1.0]
+    for i, x in enumerate(positions):
+        rgb = RNG.uniform(0, 255, (480, 640, 3)).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "color" / f"{i}.jpg"), rgb)
+        cv2.imwrite(
+            str(tmp_path / "depth" / f"{i}.png"),
+            (RNG.uniform(500, 3000, (480, 640))).astype(np.uint16),
+        )
+        pose = np.eye(4)
+        pose[0, 3] = x
+        if i == 4:
+            pose[1, 3] = np.inf
+        np.savetxt(tmp_path / "pose" / f"{i}.txt", pose)
+    ds = ScanNetDataset(str(tmp_path))
+    # frame 4 dropped (inf), keyframes = 0 and 3
+    assert len(ds) == 2
+    f = ds[1]
+    assert f.pose[0, 3] == pytest.approx(0.5)
+    assert f.rgb.shape == (480, 640, 3)
+    np.testing.assert_allclose(f.K, K[:3, :3])
+
+
+def test_lerf_loader(tmp_path):
+    os.makedirs(tmp_path / "images")
+    os.makedirs(tmp_path / "depth_simplerecon")
+    frames = []
+    for i in range(2):
+        cv2.imwrite(
+            str(tmp_path / "images" / f"frame_{i:03d}.jpg"),
+            RNG.uniform(0, 255, (480, 640, 3)).astype(np.uint8),
+        )
+        cv2.imwrite(
+            str(tmp_path / "depth_simplerecon" / f"frame_{i:03d}.png"),
+            RNG.uniform(500, 2000, (192, 256)).astype(np.uint16),
+        )
+        pose = np.eye(4)
+        pose[2, 3] = i
+        frames.append(
+            {
+                "file_path": f"images/frame_{i:03d}.jpg",
+                "transform_matrix": pose.tolist(),
+            }
+        )
+    transforms = {
+        "fl_x": 500.0, "fl_y": 500.0, "cx": 320.0, "cy": 240.0,
+        "frames": frames,
+    }
+    with open(tmp_path / "transforms.json", "w") as f:
+        json.dump(transforms, f)
+    ds = LERFDataset(str(tmp_path))
+    assert len(ds) == 2
+    f = ds[0]
+    assert f.depth.shape == (192, 256)
+    assert f.rgb.shape == (192, 256, 3)
+    # OpenGL flip applied to rotation columns 1, 2
+    np.testing.assert_allclose(f.pose[:3, 1], [0, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(f.pose[:3, 2], [0, 0, -1], atol=1e-6)
+    # intrinsics scaled to the depth resolution
+    np.testing.assert_allclose(f.K[0, 0], 500 * 256 / 640, rtol=1e-6)
+
+
+def test_make_dataset_dispatch(tmp_path):
+    write_iphone_scan(tmp_path)
+    ds = make_dataset("iphone", str(tmp_path))
+    assert len(ds) == 3
+    ds2 = make_dataset("synthetic", "")
+    assert isinstance(ds2, SyntheticSceneDataset)
+    with pytest.raises(NotImplementedError):
+        make_dataset("nope", "")
+
+
+def test_magicleap2_registration(tmp_path):
+    """register_scan produces a loadable registered scan."""
+    from spatially_aware_ai_tpu.data.magicleap2 import register_scan
+
+    for sub in ["rgb", "depth", "rgbpose", "depthpose"]:
+        os.makedirs(tmp_path / sub)
+    H, W = 96, 128
+    for i in range(2):
+        cv2.imwrite(
+            str(tmp_path / "rgb" / f"{i:03d}.png"),
+            RNG.uniform(0, 255, (H, W, 3)).astype(np.uint8),
+        )
+        depth = RNG.uniform(0.5, 2.0, (H, W)).astype(np.float32)
+        cv2.imwrite(str(tmp_path / "depth" / f"{i:03d}.tiff"), depth)
+        meta = {
+            "intrinsics": {
+                "Width": W, "Height": H,
+                "FocalLength": {"x": 100.0, "y": 100.0},
+                "PrincipalPoint": {"x": W / 2, "y": H / 2},
+                "Distortion": [0.0, 0.0, 0.0, 0.0, 0.0],
+            },
+            "pose": {
+                f"e{r}{c}": float(np.eye(4)[r, c])
+                for r in range(4)
+                for c in range(4)
+            },
+        }
+        for sub in ["rgbpose", "depthpose"]:
+            with open(tmp_path / sub / f"{i:03d}.json", "w") as f:
+                json.dump(meta, f)
+
+    out = register_scan(str(tmp_path))
+    ds = make_dataset("magicleap2", str(tmp_path))
+    assert len(ds) == 2
+    f = ds[0]
+    assert f.depth.shape[0] == H * 4
+    assert np.isfinite(f.pose).all()
+    assert 0.4 < np.median(f.depth[f.depth > 0]) < 2.1
