@@ -28,5 +28,5 @@ def make_dataset(name: str, scan_dir: str, views_limit: int = 0):
     if name == "lerf":
         return LERFDataset(scan_dir)
     if name == "synthetic":
-        return SyntheticSceneDataset()
+        return SyntheticSceneDataset.from_dir(scan_dir)
     raise NotImplementedError(f"unknown dataset: {name}")

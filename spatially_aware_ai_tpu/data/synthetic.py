@@ -131,8 +131,49 @@ def look_at_pose(position, target, up=(0.0, -1.0, 0.0)):
     return pose
 
 
+class ColorSegmenter:
+    """Ground-truth-ish panoptic segmenter for synthetic scenes: classifies
+    each pixel by nearest box albedo direction (shading-invariant). Lets the
+    full server pipeline run hermetically without kMaX weights."""
+
+    def __init__(self, scene: SyntheticScene, null_id: int = 133):
+        self.colors = np.stack([b.color for b in scene.boxes])
+        self.colors /= np.linalg.norm(self.colors, axis=-1, keepdims=True)
+        self.class_ids = np.array([b.class_id for b in scene.boxes], np.int32)
+        self.null_id = null_id
+
+    def run_on_image(self, rgb) -> np.ndarray:
+        rgb = np.asarray(rgb, np.float32)
+        norm = np.linalg.norm(rgb, axis=-1, keepdims=True)
+        unit = rgb / np.maximum(norm, 1e-6)
+        sim = unit @ self.colors.T  # [H, W, nboxes]
+        label = self.class_ids[np.argmax(sim, axis=-1)]
+        return np.where(norm[..., 0] < 0.05, self.null_id, label).astype(
+            np.int32
+        )
+
+
 class SyntheticSceneDataset(FrameDataset):
     """Orbit of cameras around the demo room, FrameDataset protocol."""
+
+    @staticmethod
+    def from_dir(scan_dir: str) -> "SyntheticSceneDataset":
+        """Build from a version directory holding synthetic_scene.json:
+        {"num_frames", "width", "height", "remove": [box names], "seed"}.
+        Lets the manager's vNN input dirs define scene content (e.g. an
+        object missing in a later scan version)."""
+        import json
+        import os
+
+        params = {}
+        cfg_path = os.path.join(scan_dir, "synthetic_scene.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                params = json.load(f)
+        scene = SyntheticScene.demo_room()
+        for name in params.pop("remove", []):
+            scene = scene.without(name)
+        return SyntheticSceneDataset(scene=scene, **params)
 
     def __init__(
         self,

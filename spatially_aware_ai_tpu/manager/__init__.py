@@ -1,0 +1,2 @@
+from .paths import dotdict, get_path
+from .manager import InSituManager

@@ -1,0 +1,479 @@
+"""InSituManager: the scene orchestration layer (reference
+clip_seem_fusion.py:40-607).
+
+Wraps the fusion pipeline, scene semantics, language query, and in-situ
+learning behind the interface the HTTP server exposes to Unity clients:
+scan-version control (v00/v01/...), lazy reload of processed scenes,
+run_clipfusion, clip_text_query, request_mesh, artifact persistence.
+
+Differences from the reference, by design:
+- model engines are injected (ClipEngine / KmaxSegmenter / InSituLearning),
+  so tests and deployments choose configs and checkpoints freely
+- all scene mutation happens under an RLock — the reference shares a
+  mutable singleton across Flask threads unguarded (SURVEY.md §5.2)
+- `unity_copy_object` is implemented (the reference's /copy_object endpoint
+  calls a method that does not exist, app_unity.py:184-188)
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data import make_dataset
+from ..meshing.extract import extract_mesh_by_object
+from ..meshing.ply import read_ply, write_ply
+from ..pipeline import FusionConfig, fuse_scan
+from ..query import turbo_colormap
+from ..query.text import clip_feature_surgery
+from ..scene.objects import flood_fill_3d
+from .paths import dotdict, get_path
+
+import jax.numpy as jnp
+
+
+def _dump_yaml(data: dict, path: str):
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump({k: _yamlable(v) for k, v in data.items()}, f)
+
+
+def _yamlable(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v
+
+
+class InSituManager:
+    def __init__(
+        self,
+        scan_dir: str = "scenes/iphone_3dscanner",
+        scan_name: str = "demo_scene",
+        dataset: str = "iphone",
+        output_dir: str = "unity_output",
+        device=None,  # API parity; jax manages devices
+        clip_model: str = "ViT-B-32-quickgelu",
+        clip_pretraining: str = "laion400m_e32",
+        voxel_size: float = 0.04,
+        trunc_vox: float = 2,
+        clip_patch_size: int = 128,
+        clip_patch_stride: int = 64,
+        curr_ver: int = 0,
+        *,
+        clip_engine=None,
+        seg_model=None,
+        insitu_model=None,
+        frame_chunk: int = 8,
+        views_limit: int = 0,
+        auto_reconstruct: bool = True,
+    ):
+        self.lock = threading.RLock()
+        config = {
+            "scan_dir": scan_dir,
+            "scan_name": scan_name,
+            "device": str(device) if device else "tpu",
+            "output_dir": output_dir,
+            "clip_model": clip_model,
+            "clip_pretraining": clip_pretraining,
+            "clip_patch_size": clip_patch_size,
+            "clip_patch_stride": clip_patch_stride,
+            "trunc_vox": trunc_vox,
+            "voxel_size": voxel_size,
+            "dataset": dataset,
+            # in-situ learning config (reference clip_seem_fusion.py:81-92)
+            "instu_model": "dgcnn",
+            "use_sgd": False,
+            "lr": 0.001,
+            "scheduler": "cosine",
+            "batch_size": 128,
+            "epochs": 200,
+            "momentum": 0.9,
+            "dropout": 0.5,
+            "emb_dims": 1024,
+            "seed": 1,
+            "num_points": 30,
+            "k_neighbors": 20,
+        }
+        self.config = dotdict(config)
+        self.curr_ver = curr_ver
+        self.frame_chunk = frame_chunk
+        self.views_limit = views_limit
+
+        self.scene_knowledge = None
+        self.scene_knowledge_prev = None
+        self.scene_reconstructed = False
+
+        # engines (lazy defaults so tests can inject small ones)
+        if clip_engine is None:
+            from ..models.clip.engine import ClipEngine
+
+            ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+            clip_engine = (
+                ClipEngine.from_checkpoint(ckpt)
+                if ckpt
+                else ClipEngine.random()
+            )
+        self.clip_model = clip_engine
+
+        if seg_model is None:
+            from ..models.kmax import KmaxSegmenter
+
+            seg_model = KmaxSegmenter()
+        self.seg_model = seg_model
+
+        self.control_objects = None
+        self.control_text_features = None
+
+        self.update_config(target_version=curr_ver)
+
+        self.scan_versions = sorted(
+            os.path.basename(v)
+            for v in glob.glob(os.path.join(scan_dir, scan_name, "v*"))
+        )
+
+        if insitu_model is None:
+            from ..models.dgcnn import InSituLearning
+
+            insitu_model = InSituLearning(
+                model=self.config.instu_model,
+                emb_dims=self.config.emb_dims,
+                k_neighbors=self.config.k_neighbors,
+                dropout=self.config.dropout,
+                output_channels=50,
+                num_points=self.config.num_points,
+                cool_down_epochs=10,
+                batch_size=self.config.batch_size,
+                use_sgd=self.config.use_sgd,
+                lr=self.config.lr,
+                momentum=self.config.momentum,
+                epochs=self.config.epochs,
+                model_path=self.config.insitu_model_path,
+                label_path=self.config.insitu_labels,
+                feature_dim=self.clip_model.feature_dim,
+                seed=self.config.seed,
+            )
+        self.insitu_model = insitu_model
+
+        if auto_reconstruct and not self.scene_reconstructed:
+            self.run_clipfusion(curr_ver=curr_ver)
+
+    # -- version / config ---------------------------------------------------
+
+    def update_config(self, target_version: int):
+        with self.lock:
+            if target_version != self.curr_ver and self.scene_knowledge:
+                self.scene_knowledge_prev = dict(self.scene_knowledge)
+
+            config = get_path(self.config, target_version)
+            self.curr_ver = config.curr_ver = target_version
+            os.makedirs(config.scene_dir, exist_ok=True)
+            os.makedirs(config.scene_outputdir, exist_ok=True)
+            _dump_yaml(dict(config), os.path.join(config.scene_outputdir,
+                                                  "config.yml"))
+            self.config = config
+
+            sk_path = get_path(config, target_version, "scene_knowledge")
+            if os.path.exists(sk_path):
+                self._load_processed_scene(sk_path, target_version)
+            else:
+                self.scene_reconstructed = False
+
+    def _load_processed_scene(self, sk_path: str, ver: int):
+        config = self.config
+        with open(sk_path) as f:
+            self.scene_knowledge = json.load(f)
+        self.voxel_rgb = np.load(get_path(config, ver, "voxel_rgb"))
+        self.nvox = self.voxel_rgb.shape[:3]
+        self.voxel_clip_feats = np.load(
+            get_path(config, ver, "voxel_clip_feats")
+        )
+        self.vert_clip_feat = np.load(
+            get_path(config, ver, "vertex_clip_feats")
+        )
+        verts, faces, colors = read_ply(get_path(config, ver, "mesh_rgb"))
+        self.verts = verts.tolist()
+        self.faces = faces.tolist()
+        self.vertex_colors = (
+            colors[:, :3].astype(np.float32)
+            if colors is not None
+            else np.zeros((len(verts), 3), np.float32)
+        ).tolist()
+        _, _, seg_colors = read_ply(get_path(config, ver, "mesh_segmentation"))
+        self.vertex_seg_color = (
+            seg_colors[:, :3].astype(np.float32)
+            if seg_colors is not None
+            else np.zeros((len(verts), 3), np.float32)
+        )
+        self.segmentation_color = self.vertex_seg_color
+        self.vertex_obj_idx = np.load(
+            get_path(config, ver, "vertex_obj_idx")
+        ).astype(np.int32)
+        self.scene_reconstructed = True
+
+    # -- fusion ---------------------------------------------------------------
+
+    def run_clipfusion(
+        self,
+        scan_dir: Optional[str] = None,
+        config=None,
+        device=None,
+        views_limit: Optional[int] = None,
+        scale_patches_by_depth: bool = False,
+        curr_ver: int = 0,
+    ):
+        """Full reconstruction of the current scan version
+        (reference clip_seem_fusion.py:247-437)."""
+        with self.lock:
+            t0 = time.time()
+            cfg = self.config
+            scene_inputdir = get_path(cfg, curr_ver, "scene_inputdir")
+            dataset = make_dataset(
+                cfg.dataset,
+                scan_dir or scene_inputdir,
+                views_limit if views_limit is not None else self.views_limit,
+            )
+
+            fusion_cfg = FusionConfig(
+                voxel_size=cfg.voxel_size,
+                trunc_vox=cfg.trunc_vox,
+                clip_patch_size=cfg.clip_patch_size,
+                clip_patch_stride=cfg.clip_patch_stride,
+                frame_chunk=self.frame_chunk,
+                with_labels=True,
+                rgb_mode="bilinear",
+            )
+            result = fuse_scan(
+                dataset,
+                self.clip_model,
+                fusion_cfg,
+                segmenter=self.seg_model.run_on_image,
+            )
+            self.nvox = result.nvox
+            nvox = result.nvox
+
+            self.voxel_clip_feats = result.values["feat"].reshape(*nvox, -1)
+            self.voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
+            class_grid = result.values["class_id"].reshape(nvox)
+
+            scene_knowledge, voxel_obj_idx = flood_fill_3d(
+                class_grid,
+                self.scene_knowledge,
+                self.voxel_clip_feats,
+                self.voxel_rgb,
+                self.insitu_model,
+                self.scene_knowledge_prev,
+            )
+            scene_knowledge["scan_version"] = curr_ver
+            self.scene_knowledge = scene_knowledge
+
+            # colorize each object instance in a segmentation-color grid
+            seg_color = self.voxel_rgb.reshape(-1, 3).copy()
+            seg_color = seg_color.reshape(*nvox, 3)
+            for obj_key, info in scene_knowledge["unique_objects"].items():
+                vox = np.asarray(info["voxels"], np.int64)
+                seg_color[tuple(vox.T)] = (
+                    np.asarray(info["color"], np.float32) / 255.0
+                )
+
+            mesh = result.extract_mesh(
+                voxel_obj_idx=voxel_obj_idx.reshape(-1),
+                segmentation_color=seg_color.reshape(-1, 3),
+            )
+
+            verts = mesh["verts_world"]
+            faces = mesh["faces"]
+            vertex_colors = mesh["colors"]
+            vertex_obj_idx = mesh["obj_idx"]
+
+            # attach per-object meshes to the knowledge
+            for obj_key, info in scene_knowledge["unique_objects"].items():
+                ov, of, oc = extract_mesh_by_object(
+                    verts, faces, vertex_colors, vertex_obj_idx,
+                    info["object_index"],
+                )
+                if len(of) < 10:
+                    info["mesh"] = None
+                    continue
+                info["mesh"] = {
+                    "vertices": ov.tolist(),
+                    "faces": of.tolist(),
+                    "colors": oc.tolist(),
+                }
+
+            self.verts = verts.tolist()
+            self.faces = faces.tolist()
+            self.vertex_colors = vertex_colors.tolist()
+            self.segmentation_color = mesh["seg_colors"]
+            self.vert_clip_feat = mesh["clip_feats"]
+            self.vertex_obj_idx = vertex_obj_idx
+
+            self.save_files_and_broadcast(new_scene=True)
+            self.scene_reconstructed = True
+            self.last_fusion_seconds = time.time() - t0
+            self.last_fusion_timings = result.timings
+            return result
+
+    # -- mesh / knowledge requests -------------------------------------------
+
+    def request_mesh(self, version: int, obj_key: str = "scene",
+                     mesh_type: str = "rgb"):
+        """reference clip_seem_fusion.py:439-480."""
+        with self.lock:
+            mesh_name = "mesh_" + mesh_type
+            if obj_key == "scene":
+                from ..meshing.extract import mesh_to_json
+
+                return mesh_to_json(get_path(self.config, version, mesh_name))
+
+            with open(get_path(self.config, version, "scene_knowledge")) as f:
+                sk_temp = json.load(f)
+
+            if obj_key == "all_objects":
+                obj_dict = sk_temp["unique_objects"]
+            elif obj_key == "unchanged":
+                obj_dict = sk_temp["unchanged_objects"]
+            elif obj_key == "missing":
+                with open(get_path(self.config, 0, "scene_knowledge")) as f:
+                    sk_v0 = json.load(f)
+                obj_keys = sk_temp["missing_objects"]
+                obj_dict = {
+                    k: sk_v0["unique_objects"][k]
+                    for k in obj_keys
+                    if k in sk_v0["unique_objects"]
+                }
+            else:
+                return None
+
+            return {
+                k: v["mesh"]
+                for k, v in obj_dict.items()
+                if v.get("mesh") is not None
+            }
+
+    def unity_copy_object(self, obj_id: str):
+        """Return one object's mesh JSON (fixes the reference's broken
+        /copy_object, app_unity.py:184-188)."""
+        with self.lock:
+            if not self.scene_knowledge:
+                return None
+            info = self.scene_knowledge["unique_objects"].get(obj_id)
+            if info is None:
+                return None
+            return info.get("mesh")
+
+    # -- language query --------------------------------------------------------
+
+    def clip_text_query(self, text: str):
+        """reference clip_seem_fusion.py:482-561: dynamic scene label bank +
+        CLIP-Surgery relevance -> turbo heatmap mesh JSON."""
+        with self.lock:
+            if self.scene_knowledge is None:
+                return None
+            if self.control_objects is None:
+                uo = self.scene_knowledge["unique_objects"]
+                self.control_objects = sorted(
+                    {uo[k]["class_label"] for k in uo}
+                )
+
+            if (
+                text not in self.control_objects
+                or self.control_text_features is None
+            ):
+                if text not in self.control_objects:
+                    self.control_objects.append(text)
+                self.control_text_features = (
+                    self.clip_model.encode_text_with_prompt_ensemble(
+                        self.control_objects,
+                        prompt_templates=["a photo of {}"],
+                    )
+                )
+
+            clip_feat = np.asarray(self.vert_clip_feat, np.float32)
+            norm = np.linalg.norm(clip_feat, axis=-1, keepdims=True)
+            clip_feat = np.nan_to_num(clip_feat / np.maximum(norm, 1e-12))
+
+            similarity = np.asarray(
+                clip_feature_surgery(
+                    jnp.asarray(clip_feat[None]),
+                    jnp.asarray(self.control_text_features),
+                )
+            )
+
+            for n, label in enumerate(self.control_objects):
+                if label != text:
+                    continue
+                relevance = similarity[0, :, n]
+                relevance = relevance - relevance.mean()
+                relevance = np.clip(relevance, 0, 1)
+                rng = relevance.max() - relevance.min()
+                relevance = (relevance - relevance.min()) / (rng + 1e-12)
+
+                colors = turbo_colormap(relevance)
+                alpha = relevance * 0.5
+                colors = np.concatenate([colors, alpha[:, None]], axis=-1)
+                return {
+                    "vertices": self.verts,
+                    "faces": self.faces,
+                    "colors": colors.tolist(),
+                }
+            return None
+
+    # -- persistence ------------------------------------------------------------
+
+    def save_files_and_broadcast(self, new_scene: bool = True):
+        """reference clip_seem_fusion.py:563-607."""
+        with self.lock:
+            cfg = self.config
+            ver = self.curr_ver
+            if new_scene:
+                np.save(get_path(cfg, ver, "voxel_rgb"), self.voxel_rgb)
+                np.save(
+                    get_path(cfg, ver, "voxel_clip_feats"),
+                    self.voxel_clip_feats,
+                )
+                np.save(
+                    get_path(cfg, ver, "vertex_clip_feats"),
+                    self.vert_clip_feat,
+                )
+                np.save(
+                    get_path(cfg, ver, "vertex_obj_idx"), self.vertex_obj_idx
+                )
+                write_ply(
+                    get_path(cfg, ver, "mesh_rgb"),
+                    np.asarray(self.verts, np.float32),
+                    np.asarray(self.faces, np.int64),
+                    np.asarray(self.vertex_colors, np.float32),
+                )
+                write_ply(
+                    get_path(cfg, ver, "mesh_segmentation"),
+                    np.asarray(self.verts, np.float32),
+                    np.asarray(self.faces, np.int64),
+                    np.asarray(self.segmentation_color, np.float32),
+                )
+            with open(get_path(cfg, ver, "scene_knowledge"), "w") as f:
+                json.dump(self.scene_knowledge, f, default=str)
+            with open(get_path(cfg, ver, "insitu_labels"), "w") as f:
+                json.dump(self.insitu_model.labels, f, default=str)
+
+    # -- in-situ learning ---------------------------------------------------------
+
+    def insitu_prepare_and_train(self):
+        """Collect training data from the current scene + train
+        (app_unity.py:169-181 flow)."""
+        with self.lock:
+            n = self.insitu_model.prepare_data(
+                self.scene_knowledge, self.voxel_clip_feats, self.voxel_rgb
+            )
+            if n == 0:
+                return {"trained": False, "reason": "no labeled objects"}
+            return self.insitu_model.train_model()

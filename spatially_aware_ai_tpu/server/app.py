@@ -1,0 +1,148 @@
+"""The Unity-facing HTTP API: the same 10 endpoints (same spellings,
+including the historical `requset_*` typos that are part of the client
+contract) as the reference's Flask app (app_unity.py).
+
+Endpoint map (reference app_unity.py:27-194):
+  POST /reprocess_scan          {version}
+  POST /text_query              {text_query}  ("show me " prefix stripped)
+  POST /requset_scene_mesh      {scan_version, obj_key, color}
+  POST /requset_scene_knowledge {scan_version}
+  POST /merge_objects           {object_list: '{"items": [...]}', new_name}
+  POST /rename_object           {object_key, new_name}
+  POST /memorize_objects        {object_list}
+  GET  /insitu_learn
+  POST /copy_object             {obj_id}   (implemented here; broken upstream)
+  POST /reset_insitu_model
+
+Default port 3291 like the reference (app_unity.py:198).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+from ..manager.paths import get_path
+from ..scene.objects import mark_object_of_interest, merge_objects
+from .http import App
+
+
+def create_app(manager) -> App:
+    app = App()
+
+    @app.route("/reprocess_scan", methods=["POST"])
+    def reprocess_scan(req):
+        start = time.time()
+        version = int(req.form["version"])
+        manager.update_config(version)
+        manager.run_clipfusion(
+            scan_dir=manager.config.scene_inputdir, curr_ver=version
+        )
+        manager.save_files_and_broadcast(new_scene=True)
+        return {"message": "success",
+                "processing_time_s": round(time.time() - start, 3)}, 200
+
+    @app.route("/text_query", methods=["POST"])
+    def text_query(req):
+        text = req.form["text_query"]
+        if text.startswith("show me "):
+            text = text[8:]
+        mesh_json = manager.clip_text_query(text)
+        if mesh_json is None:
+            return {"error": "no object found"}, 404
+        return mesh_json, 200
+
+    @app.route("/requset_scene_mesh", methods=["POST"])
+    def requset_scene_mesh(req):
+        scan_version = int(req.form["scan_version"])
+        obj_key = req.form["obj_key"]
+        mesh_type = req.form["color"]
+        mesh_dict = manager.request_mesh(scan_version, obj_key, mesh_type)
+        if mesh_dict is None:
+            return {"error": "no object found"}, 404
+        return mesh_dict, 200
+
+    @app.route("/requset_scene_knowledge", methods=["POST"])
+    def requset_scene_knowledge(req):
+        scan_version = int(req.form["scan_version"])
+        json_path = get_path(manager.config, scan_version, "scene_knowledge")
+        with open(json_path) as f:
+            scene_knowledge = json.load(f)
+        manager.update_config(scan_version)
+        return scene_knowledge, 200
+
+    @app.route("/merge_objects", methods=["POST"])
+    def client_merge_objects(req):
+        object_list = json.loads(req.form["object_list"])["items"]
+        new_name = req.form["new_name"]
+        with manager.lock:
+            new_name, manager.scene_knowledge = merge_objects(
+                manager.scene_knowledge,
+                manager.vertex_obj_idx,
+                manager.insitu_model,
+                object_list,
+                new_name,
+            )
+            manager.save_files_and_broadcast(new_scene=False)
+        return new_name, 200
+
+    @app.route("/rename_object", methods=["POST"])
+    def client_rename_object(req):
+        object_key = req.form["object_key"]
+        new_name = req.form["new_name"]
+        with manager.lock:
+            new_name, manager.scene_knowledge = merge_objects(
+                manager.scene_knowledge,
+                manager.vertex_obj_idx,
+                manager.insitu_model,
+                [object_key],
+                new_name,
+            )
+            manager.save_files_and_broadcast(new_scene=False)
+        return new_name, 200
+
+    @app.route("/memorize_objects", methods=["POST"])
+    def memorize_objects(req):
+        object_list = json.loads(req.form["object_list"])["items"]
+        with manager.lock:
+            manager.scene_knowledge = mark_object_of_interest(
+                manager.scene_knowledge, manager.insitu_model, object_list
+            )
+            manager.save_files_and_broadcast(new_scene=False)
+        return {"message": "success"}, 200
+
+    @app.route("/insitu_learn", methods=["GET"])
+    def insitu_learn(req):
+        with manager.lock:
+            manager.save_files_and_broadcast(new_scene=False)
+            stats = manager.insitu_prepare_and_train()
+        return {"message": "success", **stats}, 200
+
+    @app.route("/copy_object", methods=["POST"])
+    def copy_object(req):
+        obj_id = req.form["obj_id"]
+        mesh_json = manager.unity_copy_object(obj_id)
+        if mesh_json is None:
+            return {"error": "no object found"}, 404
+        return mesh_json, 200
+
+    @app.route("/reset_insitu_model", methods=["POST"])
+    def reset_insitu_model(req):
+        manager.insitu_model.reset_model(delete_weights=True)
+        return {"message": "success"}, 200
+
+    return app
+
+
+def serve(manager, host: str = "0.0.0.0", port: int = 3291):
+    """Threaded WSGI server (the manager serializes scene mutation with its
+    own lock, unlike the reference's unguarded shared singleton)."""
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    app = create_app(manager)
+    httpd = make_server(host, port, app, server_class=ThreadingWSGIServer)
+    print(f"serving on {host}:{port}")
+    httpd.serve_forever()

@@ -1,0 +1,99 @@
+"""Minimal WSGI micro-framework (stdlib only).
+
+The reference serves through Flask (app_unity.py); Flask is not part of this
+framework's dependency set, so this module provides the tiny slice of it the
+API needs: routing by (method, path), urlencoded/multipart-free form parsing,
+and JSON responses. The WSGI app composes with any server (wsgiref's
+ThreadingWSGIServer in serve(), or gunicorn etc. in production).
+"""
+from __future__ import annotations
+
+import json
+import traceback
+from typing import Callable, Dict, Tuple
+from urllib.parse import parse_qs
+
+
+class Request:
+    def __init__(self, environ):
+        self.environ = environ
+        self.method = environ.get("REQUEST_METHOD", "GET").upper()
+        self.path = environ.get("PATH_INFO", "/")
+        try:
+            length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            length = 0
+        body = environ["wsgi.input"].read(length) if length else b""
+        self.body = body
+        self.form: Dict[str, str] = {}
+        ctype = environ.get("CONTENT_TYPE", "")
+        if "json" in ctype:
+            try:
+                data = json.loads(body.decode("utf-8") or "{}")
+                if isinstance(data, dict):
+                    self.form = {
+                        k: v if isinstance(v, str) else json.dumps(v)
+                        for k, v in data.items()
+                    }
+            except json.JSONDecodeError:
+                pass
+        else:
+            parsed = parse_qs(body.decode("utf-8", "replace"),
+                              keep_blank_values=True)
+            self.form = {k: v[0] for k, v in parsed.items()}
+        qs = parse_qs(environ.get("QUERY_STRING", ""), keep_blank_values=True)
+        for k, v in qs.items():
+            self.form.setdefault(k, v[0])
+
+
+_STATUS = {
+    200: "200 OK",
+    201: "201 Created",
+    400: "400 Bad Request",
+    404: "404 Not Found",
+    405: "405 Method Not Allowed",
+    500: "500 Internal Server Error",
+}
+
+
+class App:
+    def __init__(self):
+        self.routes: Dict[Tuple[str, str], Callable] = {}
+
+    def route(self, path: str, methods=("GET",)):
+        def deco(fn):
+            for m in methods:
+                self.routes[(m.upper(), path)] = fn
+            return fn
+
+        return deco
+
+    def __call__(self, environ, start_response):
+        req = Request(environ)
+        handler = self.routes.get((req.method, req.path))
+        if handler is None:
+            if any(p == req.path for (_, p) in self.routes):
+                payload, status = {"error": "method not allowed"}, 405
+            else:
+                payload, status = {"error": "not found"}, 404
+        else:
+            try:
+                result = handler(req)
+                payload, status = (
+                    result if isinstance(result, tuple) else (result, 200)
+                )
+            except Exception as e:  # surface as a 500 JSON error
+                traceback.print_exc()
+                payload, status = {"error": f"{type(e).__name__}: {e}"}, 500
+
+        if isinstance(payload, (dict, list)):
+            body = json.dumps(payload).encode("utf-8")
+            ctype = "application/json"
+        else:
+            body = str(payload).encode("utf-8")
+            ctype = "text/plain; charset=utf-8"
+        start_response(
+            _STATUS.get(status, f"{status} Unknown"),
+            [("Content-Type", ctype), ("Content-Length", str(len(body)))],
+        )
+        return [body]
