@@ -1,0 +1,157 @@
+"""HTTP test client — test_client_requests.py / test_natural_language_query
+equivalent, driven by subcommands instead of editing __main__
+(reference test_client_requests.py:155-177).
+
+Examples:
+  python -m spatially_aware_ai_tpu.cli.client query "things that might be
+      dangerous to babies" --out heatmap.ply
+  python -m spatially_aware_ai_tpu.cli.client knowledge --version 0
+  python -m spatially_aware_ai_tpu.cli.client mesh --version 1 --obj-key
+      missing --color rgb
+  python -m spatially_aware_ai_tpu.cli.client rename chair:1 my_chair
+  python -m spatially_aware_ai_tpu.cli.client memorize my_chair:1
+  python -m spatially_aware_ai_tpu.cli.client learn
+  python -m spatially_aware_ai_tpu.cli.client reprocess --version 1
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import urllib.parse
+import urllib.request
+
+import numpy as np
+
+
+def post(server: str, path: str, data: dict):
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(server + path, data=body, method="POST")
+    with urllib.request.urlopen(req) as resp:
+        payload = resp.read().decode()
+        try:
+            return resp.status, json.loads(payload)
+        except json.JSONDecodeError:
+            return resp.status, payload
+
+
+def get(server: str, path: str):
+    with urllib.request.urlopen(server + path) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def save_mesh_json(mesh_json: dict, out: str):
+    from ..meshing.ply import write_ply
+
+    write_ply(
+        out,
+        np.asarray(mesh_json["vertices"], np.float32),
+        np.asarray(mesh_json["faces"], np.int64),
+        np.asarray(mesh_json["colors"], np.float32),
+    )
+    print(f"saved {out}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--server", default="http://localhost:3291")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query")
+    q.add_argument("text")
+    q.add_argument("--out")
+
+    k = sub.add_parser("knowledge")
+    k.add_argument("--version", type=int, default=0)
+
+    m = sub.add_parser("mesh")
+    m.add_argument("--version", type=int, default=0)
+    m.add_argument("--obj-key", default="scene",
+                   choices=["scene", "all_objects", "unchanged", "missing"])
+    m.add_argument("--color", default="rgb", choices=["rgb", "segmentation"])
+    m.add_argument("--out")
+
+    r = sub.add_parser("reprocess")
+    r.add_argument("--version", type=int, required=True)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("objects", nargs="+")
+    mg.add_argument("--new-name", required=True)
+
+    rn = sub.add_parser("rename")
+    rn.add_argument("object_key")
+    rn.add_argument("new_name")
+
+    me = sub.add_parser("memorize")
+    me.add_argument("objects", nargs="+")
+
+    sub.add_parser("learn")
+    sub.add_parser("reset")
+
+    c = sub.add_parser("copy")
+    c.add_argument("obj_id")
+
+    args = parser.parse_args(argv)
+    s = args.server
+
+    if args.cmd == "query":
+        status, mesh = post(s, "/text_query", {"text_query": args.text})
+        print(f"status {status}")
+        if status == 200 and args.out:
+            save_mesh_json(mesh, args.out)
+    elif args.cmd == "knowledge":
+        status, sk = post(
+            s, "/requset_scene_knowledge", {"scan_version": args.version}
+        )
+        objs = sk.get("unique_objects", {})
+        print(f"status {status}; {len(objs)} objects:")
+        for key, info in objs.items():
+            print(f"  {key}: {len(info['voxels'])} voxels, "
+                  f"gt={info['gt_label']}")
+        print("missing:", list(sk.get("missing_objects", {})))
+        print("unchanged:", list(sk.get("unchanged_objects", {})))
+    elif args.cmd == "mesh":
+        status, mesh = post(
+            s, "/requset_scene_mesh",
+            {"scan_version": args.version, "obj_key": args.obj_key,
+             "color": args.color},
+        )
+        print(f"status {status}")
+        if status == 200 and args.out:
+            if args.obj_key == "scene":
+                save_mesh_json(mesh, args.out)
+            else:
+                for key, obj_mesh in mesh.items():
+                    save_mesh_json(
+                        obj_mesh,
+                        args.out.replace(
+                            ".ply", f"_{key.replace(':', '_')}.ply"
+                        ),
+                    )
+    elif args.cmd == "reprocess":
+        print(post(s, "/reprocess_scan", {"version": args.version}))
+    elif args.cmd == "merge":
+        print(post(
+            s, "/merge_objects",
+            {"object_list": json.dumps({"items": args.objects}),
+             "new_name": args.new_name},
+        ))
+    elif args.cmd == "rename":
+        print(post(
+            s, "/rename_object",
+            {"object_key": args.object_key, "new_name": args.new_name},
+        ))
+    elif args.cmd == "memorize":
+        print(post(
+            s, "/memorize_objects",
+            {"object_list": json.dumps({"items": args.objects})},
+        ))
+    elif args.cmd == "learn":
+        print(get(s, "/insitu_learn"))
+    elif args.cmd == "reset":
+        print(post(s, "/reset_insitu_model", {}))
+    elif args.cmd == "copy":
+        print(post(s, "/copy_object", {"obj_id": args.obj_id})[0])
+
+
+if __name__ == "__main__":
+    main()

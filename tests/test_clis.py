@@ -1,0 +1,78 @@
+"""CLI smoke/behavior tests on a synthetic scan."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.cli import fuse as fuse_cli
+from spatially_aware_ai_tpu.cli import query as query_cli
+from spatially_aware_ai_tpu.cli import extract_obj as extract_cli
+from spatially_aware_ai_tpu.cli import viz as viz_cli
+from spatially_aware_ai_tpu.meshing.ply import read_ply
+
+
+@pytest.fixture(scope="module")
+def fused_scan(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    scan = root / "synthetic_scans" / "roomA"
+    os.makedirs(scan)
+    with open(scan / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 8, "width": 80, "height": 60}, f)
+    out = root / "out3d"
+    fuse_cli.main([
+        str(root / "synthetic_scans"), str(out), "--dataset", "synthetic",
+        "--voxel-size", "0.06", "--tiny-clip",
+        "--clip-patch-size", "40", "--clip-patch-stride", "20",
+        "--frame-chunk", "4",
+    ])
+    return out / "roomA"
+
+
+def test_fuse_cli_outputs(fused_scan):
+    assert (fused_scan / "mesh_rgb.ply").exists()
+    assert (fused_scan / "vertex_clip_feats.npy").exists()
+    assert (fused_scan / "config.yml").exists()
+    verts, faces, colors = read_ply(str(fused_scan / "mesh_rgb.ply"))
+    feats = np.load(fused_scan / "vertex_clip_feats.npy")
+    assert len(verts) > 100
+    assert len(feats) == len(verts)
+    import yaml
+
+    with open(fused_scan / "config.yml") as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["dataset"] == "synthetic"
+    assert cfg["clip_patch_size"] == 40
+
+
+def test_query_cli(fused_scan):
+    query_cli.main([
+        str(fused_scan), "--targets", "floor", "rug", "--tiny-clip",
+    ])
+    assert (fused_scan / "clipfusion_floor.ply").exists()
+    assert (fused_scan / "clipSurgery_floor.ply").exists()
+    v, f, c = read_ply(str(fused_scan / "clipfusion_floor.ply"))
+    assert c is not None and len(c) == len(v)
+
+
+def test_extract_obj_cli(fused_scan, tmp_path):
+    # fabricate a vertex_obj_idx for the fused mesh
+    verts, _, _ = read_ply(str(fused_scan / "mesh_rgb.ply"))
+    obj_idx = (np.arange(len(verts)) % 2).astype(np.int32) - 3
+    np.save(fused_scan / "vertex_obj_idx.npy", obj_idx)
+    extract_cli.main([str(fused_scan), "--out-dir", str(tmp_path)])
+    outs = os.listdir(tmp_path)
+    assert any(o.startswith("object_") for o in outs)
+
+
+def test_viz_cameras_cli(tmp_path):
+    out = tmp_path / "cams.ply"
+    scan = tmp_path / "scan"
+    os.makedirs(scan)
+    with open(scan / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 4, "width": 32, "height": 24}, f)
+    viz_cli.main(["cameras", str(scan), "--dataset", "synthetic",
+                  "--out", str(out)])
+    v, faces, c = read_ply(str(out))
+    assert len(v) == 4 * 3 * 10
+    assert c is not None
