@@ -192,3 +192,92 @@ def integrate_frames(
 ) -> FusionGrid:
     """Jitted single-process entry point; grid donated (in-place in HBM)."""
     return integrate_frames_impl(grid, frames, rgb_mode=rgb_mode, voxel_start=0)
+
+
+def integrate_frames_hybrid_impl(
+    grid: FusionGrid,
+    frames: FrameBatch,
+    rgb_mode: str = "bilinear",
+    voxel_start=0,
+    tile: int = 512,
+    interpret: bool = False,
+) -> FusionGrid:
+    """Hybrid integration: XLA scan for tsdf/rgb/labels + ONE Pallas pass
+    for the dominant [N, C] CLIP-feature accumulation (see pallas_fusion.py).
+
+    Numerically equivalent to integrate_frames up to matmul reassociation;
+    HBM traffic on feat_sum drops by the chunk size F.
+    """
+    from .pallas_fusion import fused_feature_splat
+
+    count = grid.tsdf_sum.shape[0]
+    xyz_world, vox_valid = voxel_world_coords_flat(
+        grid.nvox, grid.origin, grid.voxel_size, voxel_start, count
+    )
+    F_, H, W = frames.depth.shape
+    Py, Px = frames.feat_img.shape[1], frames.feat_img.shape[2]
+    patch_scale = jnp.array([Px / W, Py / H], jnp.float32)
+
+    def step(g, frame):
+        depth, rgb, pose, K, labels, fv = frame
+        uv, tsdf, tsdf_valid, feat_valid = frame_geometry(
+            g, xyz_world, depth, pose, K
+        )
+        tsdf_valid = tsdf_valid & fv & vox_valid
+        feat_valid = feat_valid & fv & vox_valid
+        feat_w = feat_valid.astype(jnp.float32)
+
+        rgb_s = sample_image_at_uv(rgb, uv, mode=rgb_mode)
+        new = dict(
+            tsdf_sum=g.tsdf_sum + tsdf * tsdf_valid.astype(jnp.float32),
+            tsdf_w=g.tsdf_w + tsdf_valid.astype(jnp.int32),
+            rgb_sum=g.rgb_sum + rgb_s * feat_w[:, None],
+            w=g.w + feat_valid.astype(jnp.int32),
+        )
+        if g.label_hist is not None:
+            num_classes = g.label_hist.shape[1]
+            lab = sample_image_at_uv(
+                labels[..., None].astype(jnp.float32), uv, mode="nearest"
+            )[..., 0].astype(jnp.int32)
+            onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
+            new["label_hist"] = g.label_hist + onehot * feat_valid[
+                :, None
+            ].astype(jnp.int32)
+        uv_patch = (uv + 0.5) * patch_scale - 0.5
+        uvw = jnp.concatenate([uv_patch, feat_w[:, None]], axis=-1)
+        return g.replace(**new), uvw
+
+    if grid.label_hist is not None:
+        if frames.labels is None:
+            raise ValueError("grid tracks labels but FrameBatch.labels is None")
+        labels_xs = frames.labels
+    else:
+        labels_xs = jnp.zeros((frames.num_frames, 1, 1), jnp.int32)
+
+    xs = (frames.depth, frames.rgb, frames.pose, frames.K, labels_xs,
+          frames.frame_valid)
+    grid, uvws = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
+    uvw = jnp.transpose(uvws, (1, 0, 2))  # [N, F, 3]
+
+    feat_sum = fused_feature_splat(
+        grid.feat_sum, uvw, frames.feat_img, tile=tile, interpret=interpret
+    )
+    return grid.replace(feat_sum=feat_sum)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rgb_mode", "tile", "interpret"),
+    donate_argnums=(0,),
+)
+def integrate_frames_pallas(
+    grid: FusionGrid,
+    frames: FrameBatch,
+    rgb_mode: str = "bilinear",
+    tile: int = 512,
+    interpret: bool = False,
+) -> FusionGrid:
+    """Jitted hybrid (XLA + Pallas) integration entry point."""
+    return integrate_frames_hybrid_impl(
+        grid, frames, rgb_mode=rgb_mode, voxel_start=0, tile=tile,
+        interpret=interpret,
+    )

@@ -20,6 +20,20 @@ from .marching import marching_tetrahedra
 from .ply import read_ply
 
 
+def run_marching_tetrahedra(vol, level: float = 0.0):
+    """Dispatch: native C++ extractor when available, vectorized numpy
+    otherwise (identical geometry either way)."""
+    try:
+        from ..native import marching_tetrahedra_native
+
+        out = marching_tetrahedra_native(vol, level)
+        if out is not None:
+            return out
+    except Exception:
+        pass
+    return marching_tetrahedra(vol, level)
+
+
 def extract_mesh(
     grid_values: Dict[str, np.ndarray],
     nvox,
@@ -38,7 +52,7 @@ def extract_mesh(
     weight = np.asarray(grid_values["weight"]).reshape(nvox)
     tsdf[weight == 0] = np.nan
 
-    verts, faces = marching_tetrahedra(tsdf, level=0.0)
+    verts, faces = run_marching_tetrahedra(tsdf, level=0.0)
 
     coords = jnp.asarray(verts)  # voxel-index space
     rgb_vol = jnp.asarray(grid_values["rgb"], jnp.float32).reshape(*nvox, 3)

@@ -37,8 +37,32 @@ def connected_components_3d(class_grid: np.ndarray):
     Returns a list of (class_id, voxel_index_tuple) ordered by first voxel in
     C-scan order (matching the reference's discovery order), where
     voxel_index_tuple is the (xs, ys, zs) arrays of the component.
+
+    Uses the native one-pass union-find labeler when available, falling back
+    to per-class scipy.ndimage labeling.
     """
     class_grid = np.asarray(class_grid)
+    try:
+        from ..native import connected_components_native
+
+        native = connected_components_native(class_grid, NULL_CLASS_ID)
+    except Exception:
+        native = None
+    if native is not None:
+        comp_grid, count = native
+        flat = comp_grid.reshape(-1)
+        order = np.argsort(flat, kind="stable")
+        sorted_ids = flat[order]
+        starts = np.searchsorted(sorted_ids, np.arange(count))
+        ends = np.searchsorted(sorted_ids, np.arange(count), side="right")
+        shape = class_grid.shape
+        comps = []
+        for cid in range(count):
+            lin = order[starts[cid] : ends[cid]]
+            vox = np.unravel_index(np.sort(lin), shape)
+            comps.append((int(class_grid[vox[0][0], vox[1][0], vox[2][0]]),
+                          vox))
+        return comps
     comps = []
     present = np.unique(class_grid)
     for cid in present:

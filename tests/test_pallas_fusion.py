@@ -1,0 +1,84 @@
+"""The Pallas fused feature-splat must match the XLA scan path exactly
+(interpret mode on CPU; the real kernel runs in bench on TPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.grid import FrameBatch, finalize_grid, integrate_frames
+from spatially_aware_ai_tpu.grid.fusion import integrate_frames_pallas
+from spatially_aware_ai_tpu.grid.pallas_fusion import fused_feature_splat
+from spatially_aware_ai_tpu.grid.voxel_grid import create_grid
+
+from test_fusion import make_scene
+from test_parallel import build_batch, grid_args
+
+RNG = np.random.default_rng(33)
+
+
+def test_fused_splat_matches_manual():
+    """Direct kernel check against a dense numpy bilinear splat."""
+    N, C, F, Py, Px = 256, 8, 3, 4, 5
+    tile = 128
+    P = Py * Px
+    feat_sum = RNG.normal(size=(N, C)).astype(np.float32)
+    feat_imgs = RNG.normal(size=(F, Py, Px, C)).astype(np.float32)
+    # coords: mix of interior, boundary, and out-of-bounds
+    uvw = np.stack(
+        [
+            RNG.uniform(-1.5, Px + 0.5, size=(N, F)),
+            RNG.uniform(-1.5, Py + 0.5, size=(N, F)),
+            RNG.integers(0, 2, size=(N, F)).astype(np.float64),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    out = np.asarray(
+        fused_feature_splat(
+            jnp.asarray(feat_sum.copy()), jnp.asarray(uvw),
+            jnp.asarray(feat_imgs), tile=tile, interpret=True,
+        )
+    )
+
+    expect = feat_sum.copy()
+    for v in range(N):
+        for f in range(F):
+            px, py, val = uvw[v, f]
+            if val == 0:
+                continue
+            x0, y0 = int(np.floor(px)), int(np.floor(py))
+            fx, fy = px - x0, py - y0
+            for dy, wy in ((0, 1 - fy), (1, fy)):
+                for dx, wx in ((0, 1 - fx), (1, fx)):
+                    cx, cy = x0 + dx, y0 + dy
+                    if 0 <= cx < Px and 0 <= cy < Py:
+                        expect[v] += val * wx * wy * feat_imgs[f, cy, cx]
+
+    np.testing.assert_allclose(out, expect, atol=1e-4)
+
+
+def test_hybrid_integration_matches_scan_path():
+    scene = make_scene(num_frames=6)
+    batch = build_batch(scene, with_labels=True)
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+
+    # hybrid path needs N % tile == 0
+    n = ref.tsdf_sum.shape[0]
+    tile = 56  # 504 = 9*8*7 divisible by 56
+    assert n % tile == 0
+    out = integrate_frames_pallas(
+        create_grid(**grid_args(scene)), batch, tile=tile, interpret=True
+    )
+
+    for name in ["tsdf_sum", "tsdf_w", "rgb_sum", "w", "label_hist"]:
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum), np.asarray(ref.feat_sum), atol=1e-4
+    )
+
+    fv_ref = finalize_grid(ref)
+    fv_out = finalize_grid(out)
+    np.testing.assert_allclose(
+        np.asarray(fv_out["feat"]), np.asarray(fv_ref["feat"]), atol=1e-4
+    )
