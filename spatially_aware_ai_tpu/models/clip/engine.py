@@ -96,6 +96,19 @@ class ClipEngine:
             encode_fn=self._encode_image,
         )
 
+    def img_inference_tiled_batch(self, imgs, patch_size: int,
+                                  patch_stride: int):
+        """Whole frame chunk [F, H, W, 3] -> [F, ny, nx, C] in one batch."""
+        from .tiling import tiled_image_features_batch
+
+        return tiled_image_features_batch(
+            self.params,
+            jnp.asarray(imgs),
+            patch_size=patch_size,
+            patch_stride=patch_stride,
+            encode_fn=self._encode_image,
+        )
+
     # -- text side -----------------------------------------------------------
 
     def text_inference(self, texts: Sequence[str]) -> np.ndarray:

@@ -47,6 +47,31 @@ def get_patches(img, patch_size: int, patch_stride: int):
 @functools.partial(
     jax.jit, static_argnames=("patch_size", "patch_stride", "encode_fn")
 )
+def tiled_image_features_batch(
+    params, imgs, *, patch_size, patch_stride, encode_fn
+):
+    """Whole-chunk tiled CLIP features: [F, H, W, 3] -> [F, ny, nx, C].
+
+    All F * ny * nx patches are encoded in ONE forward batch — the batch
+    dimension feeding the MXU is the product of frames and patches, not the
+    reference's micro-batches of 8 (clipfusion.py:826-833).
+    """
+    imgs = (imgs - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    patches = jax.vmap(
+        lambda im: get_patches(im, patch_size, patch_stride)
+    )(imgs)  # [F, ny, nx, ps, ps, 3]
+    F, ny, nx = patches.shape[:3]
+    flat = patches.reshape(F * ny * nx, patch_size, patch_size, 3)
+    resized = jax.image.resize(
+        flat, (F * ny * nx, 224, 224, 3), method="bilinear", antialias=False
+    )
+    feats = encode_fn(params, resized)
+    return feats.reshape(F, ny, nx, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "patch_stride", "encode_fn")
+)
 def tiled_image_features(params, img, *, patch_size, patch_stride, encode_fn):
     """Compute the CLIP patch-feature image for one frame.
 

@@ -11,6 +11,7 @@ recompiling.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, Dict, Optional
 
@@ -22,7 +23,7 @@ from .core.bounds import (
     compute_grid_dims,
     percentile_bounds,
 )
-from .grid.fusion import integrate_frames
+from .grid.fusion import integrate_frames, integrate_frames_pallas
 from .grid.voxel_grid import FrameBatch, FusionGrid, create_grid, finalize_grid
 from .meshing.extract import extract_mesh
 from .scene.colors import NULL_CLASS_ID, NUM_CLASSES_WITH_SPARE
@@ -39,6 +40,12 @@ class FusionConfig:
     rgb_mode: str = "bilinear"  # ClipFusion used nearest; ClipSeemFusion bilinear
     with_labels: bool = False
     num_classes: int = NUM_CLASSES_WITH_SPARE
+    # None = auto (Pallas fused feature splat on TPU, XLA scan elsewhere)
+    use_pallas: Optional[bool] = None
+    pallas_tile: int = 512
+    # mid-scan checkpoint/resume (grid/checkpoint.py); 0 disables
+    checkpoint_path: Optional[str] = None
+    checkpoint_every_chunks: int = 8
 
     @property
     def trunc_m(self) -> float:
@@ -108,6 +115,12 @@ def fuse_scan(
     timings["bounds_s"] = time.perf_counter() - t0
     say(f"bounds: nvox={tuple(nvox)}")
 
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+
     grid = create_grid(
         minbound,
         config.voxel_size,
@@ -116,62 +129,113 @@ def fuse_scan(
         feature_dim=clip_engine.feature_dim,
         with_labels=config.with_labels,
         num_classes=config.num_classes,
+        pad_to=config.pallas_tile if use_pallas else 1,
     )
 
     n = len(dataset)
     F = config.frame_chunk
     t_inference = 0.0
     t_integrate = 0.0
-    for start in range(0, n, F):
+
+    start_frame = 0
+    if config.checkpoint_path and os.path.exists(config.checkpoint_path):
+        from .grid.checkpoint import load_grid
+
+        try:
+            ck_grid, frames_done = load_grid(config.checkpoint_path)
+            if (
+                ck_grid.nvox == grid.nvox
+                and ck_grid.tsdf_sum.shape == grid.tsdf_sum.shape
+                and frames_done % F == 0
+            ):
+                grid = ck_grid
+                start_frame = frames_done
+                say(f"resumed from checkpoint at frame {start_frame}")
+        except Exception as e:  # corrupt checkpoint: start over
+            say(f"checkpoint load failed ({e}); starting fresh")
+
+    chunk_counter = 0
+    for start in range(start_frame, n, F):
         idx = list(range(start, min(n, start + F)))
         stack = dataset.stacked(idx)
         n_real = len(idx)
         pad = F - n_real
-
-        t1 = time.perf_counter()
-        feat_imgs = np.stack(
-            [
-                np.asarray(
-                    clip_engine.img_inference_tiled(
-                        stack["rgb"][i],
-                        patch_size=config.clip_patch_size,
-                        patch_stride=config.clip_patch_stride,
-                    )
-                )
-                for i in range(n_real)
-            ]
-        )
-        labels = None
-        if config.with_labels:
-            labels = np.stack(
-                [segmenter(stack["rgb"][i]) for i in range(n_real)]
-            ).astype(np.int32)
-        t_inference += time.perf_counter() - t1
 
         def pad_tail(x):
             if pad == 0:
                 return x
             return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
 
+        rgb_chunk = pad_tail(stack["rgb"])  # padded BEFORE inference so the
+        # encode batch shape is constant across chunks (no recompiles)
+
+        t1 = time.perf_counter()
+        if hasattr(clip_engine, "img_inference_tiled_batch"):
+            feat_imgs = np.asarray(
+                clip_engine.img_inference_tiled_batch(
+                    rgb_chunk,
+                    patch_size=config.clip_patch_size,
+                    patch_stride=config.clip_patch_stride,
+                )
+            )
+        else:
+            feat_imgs = np.stack(
+                [
+                    np.asarray(
+                        clip_engine.img_inference_tiled(
+                            rgb_chunk[i],
+                            patch_size=config.clip_patch_size,
+                            patch_stride=config.clip_patch_stride,
+                        )
+                    )
+                    for i in range(F)
+                ]
+            )
+        labels = None
+        if config.with_labels:
+            labels = np.stack(
+                [segmenter(rgb_chunk[i]) for i in range(n_real)]
+                + [np.full(rgb_chunk.shape[1:3], 133, np.int32)] * pad
+            ).astype(np.int32)
+        t_inference += time.perf_counter() - t1
+
         batch = FrameBatch(
             depth=jnp.asarray(pad_tail(stack["depth"])),
-            rgb=jnp.asarray(pad_tail(stack["rgb"])),
+            rgb=jnp.asarray(rgb_chunk),
             pose=jnp.asarray(pad_tail(stack["pose"])),
             K=jnp.asarray(pad_tail(stack["K"])),
-            feat_img=jnp.asarray(pad_tail(feat_imgs)),
-            labels=jnp.asarray(pad_tail(labels)) if labels is not None else None,
+            feat_img=jnp.asarray(feat_imgs),
+            labels=jnp.asarray(labels) if labels is not None else None,
             frame_valid=jnp.asarray(
                 np.array([True] * n_real + [False] * pad)
             ),
         )
         t1 = time.perf_counter()
-        grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
+        if use_pallas:
+            grid = integrate_frames_pallas(
+                grid, batch, rgb_mode=config.rgb_mode, tile=config.pallas_tile
+            )
+        else:
+            grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
         grid.tsdf_sum.block_until_ready()
         t_integrate += time.perf_counter() - t1
         say(f"integrated frames {idx[0]}..{idx[-1]}")
 
+        chunk_counter += 1
+        if (
+            config.checkpoint_path
+            and config.checkpoint_every_chunks > 0
+            and chunk_counter % config.checkpoint_every_chunks == 0
+        ):
+            from .grid.checkpoint import save_grid
+
+            save_grid(config.checkpoint_path, grid, frames_done=start + F)
+
     timings["inference_s"] = t_inference
     timings["integrate_s"] = t_integrate
+
+    if config.checkpoint_path and os.path.exists(config.checkpoint_path):
+        os.remove(config.checkpoint_path)  # scan completed
 
     t1 = time.perf_counter()
     n_logical = int(np.prod(nvox))
