@@ -22,20 +22,28 @@ from .tokenizer import ClipTokenizer
 
 
 class ClipEngine:
-    def __init__(self, cfg: CLIPConfig, params, bpe_path: Optional[str] = None):
+    def __init__(self, cfg: CLIPConfig, params, bpe_path: Optional[str] = None,
+                 compute_dtype=jnp.float32):
+        """compute_dtype=jnp.bfloat16 runs the towers' matmuls in bf16 on the
+        MXU (params stay f32; embeddings are cast back to f32)."""
         self.cfg = cfg
-        self.model = CLIP(cfg)
+        self.model = CLIP(cfg, dtype=compute_dtype)
+        self.compute_dtype = compute_dtype
         self.params = params
         self.tokenizer = ClipTokenizer(bpe_path)
         self.feature_dim = cfg.embed_dim
 
         @jax.jit
         def _encode_image(p, images):
-            return self.model.apply(p, images, method=CLIP.encode_image)
+            out = self.model.apply(
+                p, images.astype(compute_dtype), method=CLIP.encode_image
+            )
+            return out.astype(jnp.float32)
 
         @jax.jit
         def _encode_text(p, token_ids):
-            return self.model.apply(p, token_ids, method=CLIP.encode_text)
+            out = self.model.apply(p, token_ids, method=CLIP.encode_text)
+            return out.astype(jnp.float32)
 
         self._encode_image = _encode_image
         self._encode_text = _encode_text
@@ -44,7 +52,8 @@ class ClipEngine:
 
     @classmethod
     def random(cls, cfg: CLIPConfig = None, seed: int = 0,
-               bpe_path: Optional[str] = None) -> "ClipEngine":
+               bpe_path: Optional[str] = None,
+               compute_dtype=jnp.float32) -> "ClipEngine":
         """Randomly initialized engine (tests / environments w/o weights)."""
         cfg = cfg or VIT_B_32_QUICKGELU
         model = CLIP(cfg)
@@ -52,7 +61,7 @@ class ClipEngine:
         imgs = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
         ids = jnp.zeros((1, cfg.context_length), jnp.int32)
         params = model.init(key, imgs, ids)
-        return cls(cfg, params, bpe_path)
+        return cls(cfg, params, bpe_path, compute_dtype=compute_dtype)
 
     @classmethod
     def tiny(cls, seed: int = 0) -> "ClipEngine":
@@ -66,15 +75,15 @@ class ClipEngine:
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: CLIPConfig = None,
-                        bpe_path: Optional[str] = None) -> "ClipEngine":
-        """Load converted params (npz produced by cli/convert or torch state
-        dict converted via models.clip.convert)."""
+                        bpe_path: Optional[str] = None,
+                        compute_dtype=jnp.float32) -> "ClipEngine":
+        """Load converted params (pickle produced by cli/convert_clip)."""
         import pickle
 
         cfg = cfg or VIT_B_32_QUICKGELU
         with open(path, "rb") as f:
             params = pickle.load(f)
-        return cls(cfg, params, bpe_path)
+        return cls(cfg, params, bpe_path, compute_dtype=compute_dtype)
 
     # -- image side ----------------------------------------------------------
 
