@@ -76,19 +76,23 @@ def main():
     Ks_d = jnp.asarray(Ks)
     labels_d = jnp.asarray(labels)
 
+    use_pallas = jax.default_backend() == "tpu"
+
     def run_chunk(grid):
-        feat_imgs = jnp.stack(
-            [
-                engine.img_inference_tiled(rgbs_d[i], PATCH, STRIDE)
-                for i in range(F)
-            ]
-        )
+        feat_imgs = engine.img_inference_tiled_batch(rgbs_d, PATCH, STRIDE)
         batch = FrameBatch(
             depth=depths_d, rgb=rgbs_d, pose=poses_d, K=Ks_d,
             feat_img=feat_imgs, labels=labels_d,
             frame_valid=jnp.ones((F,), bool),
         )
-        grid = integrate_frames(grid, batch)
+        if use_pallas:
+            from spatially_aware_ai_tpu.grid.fusion import (
+                integrate_frames_pallas,
+            )
+
+            grid = integrate_frames_pallas(grid, batch, tile=512)
+        else:
+            grid = integrate_frames(grid, batch)
         # NOTE: block_until_ready is not a reliable sync on the axon tunnel
         # backend; a scalar readback forces full execution.
         float(grid.tsdf_sum[0])

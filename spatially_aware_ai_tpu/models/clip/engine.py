@@ -105,6 +105,22 @@ class ClipEngine:
             encode_fn=self._encode_image,
         )
 
+    def img_inference_tiled_depthscaled(self, img, depth, K,
+                                        patch_stride: int,
+                                        footprint_m: float = 0.5):
+        """Depth-scaled variant (constant physical footprint per patch)."""
+        from .tiling import tiled_image_features_depthscaled
+
+        return tiled_image_features_depthscaled(
+            self.params,
+            jnp.asarray(img),
+            jnp.asarray(depth),
+            jnp.asarray(K),
+            patch_stride=patch_stride,
+            encode_fn=self._encode_image,
+            footprint_m=footprint_m,
+        )
+
     def img_inference_tiled_batch(self, imgs, patch_size: int,
                                   patch_stride: int):
         """Whole frame chunk [F, H, W, 3] -> [F, ny, nx, C] in one batch."""

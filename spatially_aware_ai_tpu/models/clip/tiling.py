@@ -70,6 +70,85 @@ def tiled_image_features_batch(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("patch_stride", "encode_fn", "footprint_m"),
+)
+def tiled_image_features_depthscaled(
+    params, img, depth, K, *, patch_stride, encode_fn, footprint_m=0.5
+):
+    """Depth-scaled tiled CLIP features (reference clipfusion.py:841-890,
+    `img_inference_tiled_depthscaled`): each stride-grid center gets a crop
+    whose pixel size corresponds to a fixed physical footprint (default
+    0.5 m) at that center's depth, so CLIP always sees roughly
+    constant-world-size context.
+
+    TPU-native reformulation (the reference loops crops in Python with
+    data-dependent sizes and splats into a full-res [C, H, W] buffer):
+    - crop extraction is ONE batched bilinear resample: per-center 224x224
+      sampling grids are *traced values* with static shapes, so variable
+      crop sizes never change the compiled program
+    - all crops encode in one forward batch
+    - the overlap-weighted splat happens at stride-center resolution via a
+      tiny [n, n] overlap matmul; the result is the usual [ny, nx, C]
+      feature image the fusion kernel consumes
+
+    Returns [ny, nx, C]; centers with no depth fall back to unnormalized
+    zero features (weight 0 in the overlap average).
+    """
+    H, W = img.shape[0], img.shape[1]
+    ycs = jnp.arange(patch_stride, H, patch_stride)
+    xcs = jnp.arange(patch_stride, W, patch_stride)
+    ny, nx = ycs.shape[0], xcs.shape[0]
+    cy, cx = jnp.meshgrid(ycs, xcs, indexing="ij")
+    centers = jnp.stack([cx.reshape(-1), cy.reshape(-1)], -1).astype(
+        jnp.float32
+    )  # [n, 2] (x, y)
+    n = centers.shape[0]
+
+    d = depth[cy.reshape(-1), cx.reshape(-1)]  # [n]
+    valid = d > 0
+    safe_d = jnp.where(valid, d, 1.0)
+    fx, fy = K[0, 0], K[1, 1]
+    half = jnp.stack(
+        [fx * footprint_m / safe_d / 2.0, fy * footprint_m / safe_d / 2.0], -1
+    )  # [n, 2] pixels
+
+    # per-crop 224x224 sampling grids (align_corners=False convention)
+    t = (jnp.arange(224, dtype=jnp.float32) + 0.5) / 224.0  # (0, 1)
+    lo = centers - half  # [n, 2]
+    size = 2.0 * half
+    us = lo[:, None, 0:1] + t[None, :, None] * size[:, None, 0:1]  # [n,224,1]
+    vs = lo[:, None, 1:2] + t[None, :, None] * size[:, None, 1:2]
+    uv = jnp.concatenate(
+        [
+            jnp.broadcast_to(us[:, None, :, :], (n, 224, 224, 1)),
+            jnp.broadcast_to(vs[:, :, None, :], (n, 224, 224, 1)),
+        ],
+        axis=-1,
+    ) - 0.5
+
+    normed = (img - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    from ...core.sampling import sample_image_at_uv
+
+    crops = sample_image_at_uv(normed, uv.reshape(-1, 2)).reshape(
+        n, 224, 224, 3
+    )
+    feats = encode_fn(params, crops)  # [n, C]
+
+    # overlap splat at center resolution: dst center covered by src crop?
+    delta = jnp.abs(centers[None, :, :] - centers[:, None, :])  # [src, dst, 2]
+    covers = (
+        (delta[..., 0] <= half[:, None, 0])
+        & (delta[..., 1] <= half[:, None, 1])
+        & valid[:, None]
+    ).astype(jnp.float32)
+    wsum = covers.sum(axis=0)  # [dst]
+    fsum = jnp.einsum("sd,sc->dc", covers, feats)
+    out = fsum / jnp.maximum(wsum, 1.0)[:, None]
+    return out.reshape(ny, nx, -1)
+
+
+@functools.partial(
     jax.jit, static_argnames=("patch_size", "patch_stride", "encode_fn")
 )
 def tiled_image_features(params, img, *, patch_size, patch_stride, encode_fn):

@@ -1,0 +1,72 @@
+"""Tiled CLIP feature extraction: patch decomposition + depth-scaled variant."""
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as TF
+
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+from spatially_aware_ai_tpu.models.clip.tiling import (
+    get_patches,
+    num_patches,
+    OPENAI_CLIP_MEAN,
+    OPENAI_CLIP_STD,
+)
+
+RNG = np.random.default_rng(13)
+
+
+def test_get_patches_matches_unfold():
+    H, W, ps, stride = 40, 56, 16, 8
+    img = RNG.normal(size=(H, W, 3)).astype(np.float32)
+    patches = np.asarray(get_patches(jnp.asarray(img), ps, stride))
+    ny, nx = num_patches(H, ps, stride), num_patches(W, ps, stride)
+    assert patches.shape == (ny, nx, ps, ps, 3)
+
+    t = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    unf = TF.unfold(t, kernel_size=(ps, ps), stride=stride)
+    unf = unf.transpose(1, 2).reshape(1, ny, nx, 3, ps, ps)[0]
+    np.testing.assert_allclose(
+        patches, unf.permute(0, 1, 3, 4, 2).numpy(), atol=1e-6
+    )
+
+
+def test_tiled_batch_matches_per_frame():
+    engine = ClipEngine.tiny()
+    imgs = RNG.uniform(size=(3, 56, 56, 3)).astype(np.float32)
+    batch = np.asarray(engine.img_inference_tiled_batch(imgs, 28, 14))
+    for i in range(3):
+        single = np.asarray(engine.img_inference_tiled(imgs[i], 28, 14))
+        np.testing.assert_allclose(batch[i], single, atol=1e-4)
+
+
+def test_depthscaled_shapes_and_scaling():
+    engine = ClipEngine.tiny()
+    H, W = 64, 96
+    img = RNG.uniform(size=(H, W, 3)).astype(np.float32)
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32)
+    depth = np.full((H, W), 1.0, np.float32)
+    out = engine.img_inference_tiled_depthscaled(img, depth, K, 16)
+    ny = len(np.arange(16, H, 16))
+    nx = len(np.arange(16, W, 16))
+    assert np.asarray(out).shape == (ny, nx, engine.feature_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # with uniform depth, a flat image, and a footprint small enough that no
+    # crop crosses the border, all features must be identical
+    flat = np.full((H, W, 3), 0.5, np.float32)
+    out_flat = np.asarray(
+        engine.img_inference_tiled_depthscaled(
+            flat, depth, K, 16, footprint_m=0.2
+        )
+    )
+    np.testing.assert_allclose(
+        out_flat, np.broadcast_to(out_flat[0, 0], out_flat.shape), atol=1e-3
+    )
+
+    # invalid depth (0) everywhere -> zero features (weight 0)
+    out_zero = np.asarray(
+        engine.img_inference_tiled_depthscaled(
+            img, np.zeros((H, W), np.float32), K, 16
+        )
+    )
+    np.testing.assert_allclose(out_zero, 0.0, atol=1e-6)
