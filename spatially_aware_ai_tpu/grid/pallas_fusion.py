@@ -31,16 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_TILE = 512
 
 
-def _splat_kernel(uvw_ref, feat_ref, acc_in_ref, out_ref, *, F, Py, Px):
+def _splat_kernel(uvw_ref, feat_ref, acc_in_ref, out_ref, *, F, Py, Px, P):
     """uvw_ref [TILE, F, 3] (px, py, valid) in patch coords;
-    feat_ref [F, P, C]; acc_in_ref/out_ref [TILE, C] (aliased feat_sum).
+    feat_ref [F, P, C] with the patch axis zero-padded to a 128-lane
+    multiple; acc_in_ref/out_ref [TILE, C] (aliased feat_sum).
 
-    One [TILE, P] weight slab per frame feeds the MXU; a single fori over F
-    keeps everything in registers/VMEM. (A fused [TILE, F*P] matmul would be
-    marginally better for MXU util, but Mosaic cannot shape-cast across a
-    non-128-aligned minor dim; the kernel is HBM-bound anyway.)
+    One [TILE, P] weight slab per frame feeds the MXU. Everything is
+    128-lane aligned: unaligned patch counts (e.g. 35) force Mosaic into
+    pathological relayouts, so the caller pads P and the padded one-hot
+    columns simply never match (their feature rows are zeros anyway).
     """
-    P = Py * Px
     uvw = uvw_ref[:]
     tile = uvw.shape[0]
 
@@ -92,9 +92,12 @@ def fused_feature_splat(
     F, Py, Px, C2 = feat_imgs.shape
     assert C == C2, (C, C2)
     assert N % tile == 0, f"{N=} must be a multiple of {tile=}"
-    P = Py * Px
+    # pad the patch axis to a 128-lane multiple for Mosaic-friendly layouts
+    P = ((Py * Px + 127) // 128) * 128
+    feat_flat = feat_imgs.reshape(F, Py * Px, C)
+    feat_flat = jnp.pad(feat_flat, ((0, 0), (0, P - Py * Px), (0, 0)))
 
-    kernel = functools.partial(_splat_kernel, F=F, Py=Py, Px=Px)
+    kernel = functools.partial(_splat_kernel, F=F, Py=Py, Px=Px, P=P)
     flops_per_tile = 2 * tile * F * P * C
 
     return pl.pallas_call(
@@ -118,4 +121,4 @@ def fused_feature_splat(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(uvw, feat_imgs.reshape(F, P, C), feat_sum)
+    )(uvw, feat_flat, feat_sum)

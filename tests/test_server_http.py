@@ -1,0 +1,108 @@
+"""The WSGI app served over a real loopback socket, hit concurrently — the
+reference shares a mutable singleton across Flask threads unguarded; ours
+must stay consistent under concurrent queries."""
+import json
+import os
+import threading
+import urllib.parse
+import urllib.request
+from wsgiref.simple_server import WSGIServer, make_server
+import socketserver
+
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.data.synthetic import (
+    ColorSegmenter,
+    SyntheticScene,
+)
+from spatially_aware_ai_tpu.manager import InSituManager
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+from spatially_aware_ai_tpu.server import create_app
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_scene")
+    d = root / "scans" / "demo" / "v00"
+    os.makedirs(d)
+    with open(d / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 6, "width": 64, "height": 48}, f)
+
+    manager = InSituManager(
+        scan_dir=str(root / "scans"),
+        scan_name="demo",
+        dataset="synthetic",
+        output_dir=str(root / "out"),
+        voxel_size=0.08,
+        trunc_vox=2,
+        clip_patch_size=32,
+        clip_patch_stride=16,
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        frame_chunk=3,
+    )
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    httpd = make_server(
+        "127.0.0.1", 0, create_app(manager), server_class=ThreadingWSGIServer
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def post(url, path, data):
+    body = urllib.parse.urlencode(data).encode()
+    req = urllib.request.Request(url + path, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read().decode())
+
+
+def test_http_text_query(server_url):
+    status, mesh = post(server_url, "/text_query",
+                        {"text_query": "show me the table"})
+    assert status == 200
+    assert len(mesh["vertices"]) > 0
+
+
+def test_http_knowledge(server_url):
+    status, sk = post(server_url, "/requset_scene_knowledge",
+                      {"scan_version": 0})
+    assert status == 200
+    assert len(sk["unique_objects"]) >= 3
+
+
+def test_http_404_on_missing_object(server_url):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(server_url, "/copy_object", {"obj_id": "nope:99"})
+    assert exc.value.code == 404
+
+
+def test_http_concurrent_queries(server_url):
+    errors = []
+
+    def worker(q):
+        try:
+            status, mesh = post(server_url, "/text_query", {"text_query": q})
+            assert status == 200
+            nv = len(mesh["vertices"])
+            assert nv > 0 and len(mesh["colors"]) == nv
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(q,))
+        for q in ["a chair", "the floor", "a red box", "a table"] * 2
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
