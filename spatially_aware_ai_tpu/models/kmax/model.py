@@ -288,3 +288,43 @@ class KmaxSegmenter:
             self.params, img, -(-new_h // 4), -(-new_w // 4), H, W
         )
         return np.asarray(cat)
+
+    def run_on_batch(self, rgbs) -> np.ndarray:
+        """Batched panoptic inference for a frame chunk [F, H, W, 3] (same
+        size frames) -> [F, H, W] int32 masks. One forward batch feeds the
+        MXU instead of F separate dispatches."""
+        rgbs = np.asarray(rgbs, np.float32)
+        F_, H, W = rgbs.shape[:3]
+        img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
+        pad_h, pad_w = img0.shape[0], img0.shape[1]
+
+        if not hasattr(self, "_infer_batch"):
+            import functools
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("crop_h4", "crop_w4", "out_h", "out_w"),
+            )
+            def _infer_batch(params, imgs, crop_h4, crop_w4, out_h, out_w):
+                cls, masks = self.model.apply(params, imgs)
+                masks = masks[:, :crop_h4, :crop_w4]
+                return jax.vmap(
+                    lambda c, m: panoptic_class_map(
+                        c, m, (out_h, out_w), self.cfg
+                    )
+                )(cls, masks)
+
+            self._infer_batch = _infer_batch
+
+        imgs = jax.image.resize(
+            jnp.asarray(rgbs), (F_, new_h, new_w, 3), method="bilinear",
+            antialias=False,
+        )
+        imgs = jnp.pad(
+            imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
+        )
+        imgs = (imgs - _PIXEL_MEAN) / _PIXEL_STD
+        cat = self._infer_batch(
+            self.params, imgs, -(-new_h // 4), -(-new_w // 4), H, W
+        )
+        return np.asarray(cat)

@@ -51,9 +51,14 @@ def _replicated_specs(tree):
 
 def integrate_frames_sharded(
     mesh, grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
-    axis: str = AXIS,
+    axis: str = AXIS, use_pallas: bool = False, pallas_tile: int = 512,
+    pallas_interpret: bool = False,
 ) -> FusionGrid:
-    """shard_map fusion: grid voxel-sharded, frames replicated, no comms."""
+    """shard_map fusion: grid voxel-sharded, frames replicated, no comms.
+
+    use_pallas runs the hybrid XLA+Pallas integrator inside each shard (the
+    fused feature splat then operates on the local voxel slice); the local
+    shard size must be a multiple of pallas_tile."""
     n_dev = mesh.shape[axis]
     n_local = grid.tsdf_sum.shape[0] // n_dev
     if grid.tsdf_sum.shape[0] % n_dev != 0:
@@ -64,6 +69,13 @@ def integrate_frames_sharded(
 
     def body(g, f):
         start = jax.lax.axis_index(axis) * n_local
+        if use_pallas:
+            from ..grid.fusion import integrate_frames_hybrid_impl
+
+            return integrate_frames_hybrid_impl(
+                g, f, rgb_mode=rgb_mode, voxel_start=start,
+                tile=pallas_tile, interpret=pallas_interpret,
+            )
         return integrate_frames_impl(g, f, rgb_mode=rgb_mode, voxel_start=start)
 
     fn = jax.shard_map(

@@ -193,10 +193,14 @@ def fuse_scan(
             )
         labels = None
         if config.with_labels:
-            labels = np.stack(
-                [segmenter(rgb_chunk[i]) for i in range(n_real)]
-                + [np.full(rgb_chunk.shape[1:3], 133, np.int32)] * pad
-            ).astype(np.int32)
+            batch_seg = getattr(segmenter, "__self__", None)
+            if batch_seg is not None and hasattr(batch_seg, "run_on_batch"):
+                labels = batch_seg.run_on_batch(rgb_chunk).astype(np.int32)
+            else:
+                labels = np.stack(
+                    [segmenter(rgb_chunk[i]) for i in range(n_real)]
+                    + [np.full(rgb_chunk.shape[1:3], 133, np.int32)] * pad
+                ).astype(np.int32)
         t_inference += time.perf_counter() - t1
 
         batch = FrameBatch(

@@ -86,3 +86,13 @@ def test_run_on_image_portrait_aspect():
     rgb = RNG.uniform(size=(128, 96, 3)).astype(np.float32)
     out = seg.run_on_image(rgb)
     assert out.shape == (128, 96)
+
+
+def test_run_on_batch_matches_single():
+    seg = KmaxSegmenter.tiny()
+    rgbs = RNG.uniform(size=(3, 96, 128, 3)).astype(np.float32)
+    batch = seg.run_on_batch(rgbs)
+    assert batch.shape == (3, 96, 128)
+    for i in range(3):
+        single = seg.run_on_image(rgbs[i])
+        np.testing.assert_array_equal(batch[i], single)

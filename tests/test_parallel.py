@@ -131,3 +131,23 @@ def test_gspmd_fusion_step_runs_and_matches():
         np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
+
+
+def test_sharded_pallas_fusion_matches():
+    """Hybrid (Pallas interpret) integrator inside shard_map == scan path."""
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]  # 504
+
+    mesh = make_mesh(8)
+    # local shard = 63+pad -> use tile 64 with pad_to 512 (64 per shard)
+    grid = shard_grid(mesh, create_grid(**grid_args(scene, pad_to=512)))
+    out = integrate_frames_sharded(
+        mesh, grid, batch, use_pallas=True, pallas_tile=64,
+        pallas_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
