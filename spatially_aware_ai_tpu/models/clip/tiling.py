@@ -135,8 +135,19 @@ def tiled_image_features_depthscaled(
     )
     feats = encode_fn(params, crops)  # [n, C]
 
-    # overlap splat at center resolution: dst center covered by src crop?
-    delta = jnp.abs(centers[None, :, :] - centers[:, None, :])  # [src, dst, 2]
+    # overlap splat: the destination cells are the positions the fusion
+    # sampler implicitly assigns to an [ny, nx] feature image (it rescales
+    # uv by (nx/W, ny/H); cell p center = (p + 0.5) * W/nx - 0.5), NOT the
+    # crop centers — this keeps the depth-scaled image consistent with
+    # sample_feat_img / the reference's full-res splat-then-sample.
+    dst_x = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * (W / nx) - 0.5
+    dst_y = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * (H / ny) - 0.5
+    dgy, dgx = jnp.meshgrid(dst_y, dst_x, indexing="ij")
+    centers_dst = jnp.stack([dgx.reshape(-1), dgy.reshape(-1)], -1)  # [n, 2]
+
+    delta = jnp.abs(
+        centers_dst[None, :, :] - centers[:, None, :]
+    )  # [src, dst, 2]
     covers = (
         (delta[..., 0] <= half[:, None, 0])
         & (delta[..., 1] <= half[:, None, 1])

@@ -46,6 +46,10 @@ class FusionConfig:
     # mid-scan checkpoint/resume (grid/checkpoint.py); 0 disables
     checkpoint_path: Optional[str] = None
     checkpoint_every_chunks: int = 8
+    # depth-scaled CLIP patches: constant physical footprint per patch
+    # (reference's scale_patches_by_depth, clipfusion.py:631-639)
+    scale_patches_by_depth: bool = False
+    patch_footprint_m: float = 0.5
 
     @property
     def trunc_m(self) -> float:
@@ -170,7 +174,22 @@ def fuse_scan(
         # encode batch shape is constant across chunks (no recompiles)
 
         t1 = time.perf_counter()
-        if hasattr(clip_engine, "img_inference_tiled_batch"):
+        if config.scale_patches_by_depth:
+            depth_chunk = pad_tail(stack["depth"])
+            K_chunk = pad_tail(stack["K"])
+            feat_imgs = np.stack(
+                [
+                    np.asarray(
+                        clip_engine.img_inference_tiled_depthscaled(
+                            rgb_chunk[i], depth_chunk[i], K_chunk[i],
+                            config.clip_patch_stride,
+                            footprint_m=config.patch_footprint_m,
+                        )
+                    )
+                    for i in range(F)
+                ]
+            )
+        elif hasattr(clip_engine, "img_inference_tiled_batch"):
             feat_imgs = np.asarray(
                 clip_engine.img_inference_tiled_batch(
                     rgb_chunk,

@@ -124,3 +124,17 @@ def test_text_query_shapes(fused):
     assert rel.shape == (len(feats), 5)
     assert np.isfinite(rel).all()
     np.testing.assert_allclose(rel.sum(axis=-1), 1.0, atol=1e-4)
+
+
+def test_depth_scaled_pipeline_runs():
+    """scale_patches_by_depth path end-to-end on a small scan."""
+    ds = SyntheticSceneDataset(num_frames=4, width=64, height=48)
+    engine = ClipEngine.tiny()
+    cfg = FusionConfig(
+        voxel_size=0.08, trunc_vox=2.0, clip_patch_stride=16,
+        clip_patch_size=32, frame_chunk=2, scale_patches_by_depth=True,
+        patch_footprint_m=0.4,
+    )
+    result = fuse_scan(ds, engine, cfg)
+    assert result.values["weight"].sum() > 100
+    assert np.isfinite(result.values["feat"]).all()
