@@ -76,7 +76,14 @@ def main():
     Ks_d = jnp.asarray(Ks)
     labels_d = jnp.asarray(labels)
 
-    use_pallas = jax.default_backend() == "tpu"
+    # The Pallas hybrid integrator is opt-in for the bench: this sandbox's
+    # remote-compile tunnel serializes Mosaic compiles with multi-minute
+    # latency, so the proven XLA-scan path is the default until the kernel's
+    # compile time is verified on the target toolchain.
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("SAI_BENCH_PALLAS") == "1"
+    )
 
     def run_chunk(grid):
         feat_imgs = engine.img_inference_tiled_batch(rgbs_d, PATCH, STRIDE)
