@@ -194,6 +194,47 @@ def integrate_frames(
     return integrate_frames_impl(grid, frames, rgb_mode=rgb_mode, voxel_start=0)
 
 
+def einsum_feature_splat(feat_sum, uvw, feat_imgs):
+    """XLA-only chunk-batched feature splat: materialize the bilinear weight
+    tensor W [N, F, P] once and contract it against the patch features as a
+    single MXU matmul:
+
+        feat_sum += reshape(W, [N, F*P]) @ reshape(feat_imgs, [F*P, C])
+
+    Same F-fold reduction in feat_sum HBM traffic as the Pallas kernel
+    (W costs one write+read instead of F grid read-modify-writes), with no
+    custom-kernel compile. The Pallas path still wins by never materializing
+    W; this is the portable fast path.
+    """
+    N = uvw.shape[0]
+    F, Py, Px, C = feat_imgs.shape
+    P = Py * Px
+    px = uvw[..., 0]
+    py = uvw[..., 1]
+    val = uvw[..., 2]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    W = jnp.zeros((N, F, P), jnp.float32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx = x0.astype(jnp.int32) + dx
+            cy = y0.astype(jnp.int32) + dy
+            wx = fx if dx else (1.0 - fx)
+            wy = fy if dy else (1.0 - fy)
+            w = wx * wy * val
+            inb = (cx >= 0) & (cx < Px) & (cy >= 0) & (cy < Py)
+            idx = jnp.where(inb, cy * Px + cx, P)  # P = out-of-range slot
+            W = W + jax.nn.one_hot(idx, P, dtype=jnp.float32) * w[..., None]
+    contrib = jax.lax.dot(
+        W.reshape(N, F * P),
+        feat_imgs.reshape(F * P, C),
+        preferred_element_type=jnp.float32,
+    )
+    return feat_sum + contrib.astype(feat_sum.dtype)
+
+
 def integrate_frames_hybrid_impl(
     grid: FusionGrid,
     frames: FrameBatch,
@@ -201,9 +242,12 @@ def integrate_frames_hybrid_impl(
     voxel_start=0,
     tile: int = 512,
     interpret: bool = False,
+    splat: str = "pallas",
 ) -> FusionGrid:
-    """Hybrid integration: XLA scan for tsdf/rgb/labels + ONE Pallas pass
-    for the dominant [N, C] CLIP-feature accumulation (see pallas_fusion.py).
+    """Hybrid integration: XLA scan for tsdf/rgb/labels + ONE chunk-batched
+    pass for the dominant [N, C] CLIP-feature accumulation — either the
+    Pallas fused kernel (splat="pallas", see pallas_fusion.py) or the
+    portable XLA einsum formulation (splat="einsum").
 
     Numerically equivalent to integrate_frames up to matmul reassociation;
     HBM traffic on feat_sum drops by the chunk size F.
@@ -259,9 +303,13 @@ def integrate_frames_hybrid_impl(
     grid, uvws = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
     uvw = jnp.transpose(uvws, (1, 0, 2))  # [N, F, 3]
 
-    feat_sum = fused_feature_splat(
-        grid.feat_sum, uvw, frames.feat_img, tile=tile, interpret=interpret
-    )
+    if splat == "einsum":
+        feat_sum = einsum_feature_splat(grid.feat_sum, uvw, frames.feat_img)
+    else:
+        feat_sum = fused_feature_splat(
+            grid.feat_sum, uvw, frames.feat_img, tile=tile,
+            interpret=interpret,
+        )
     return grid.replace(feat_sum=feat_sum)
 
 
@@ -280,4 +328,17 @@ def integrate_frames_pallas(
     return integrate_frames_hybrid_impl(
         grid, frames, rgb_mode=rgb_mode, voxel_start=0, tile=tile,
         interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,)
+)
+def integrate_frames_einsum(
+    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+) -> FusionGrid:
+    """Jitted hybrid (XLA scan + einsum splat) entry point — the portable
+    chunk-batched fast path (no custom kernels)."""
+    return integrate_frames_hybrid_impl(
+        grid, frames, rgb_mode=rgb_mode, voxel_start=0, splat="einsum"
     )

@@ -23,7 +23,11 @@ from .core.bounds import (
     compute_grid_dims,
     percentile_bounds,
 )
-from .grid.fusion import integrate_frames, integrate_frames_pallas
+from .grid.fusion import (
+    integrate_frames,
+    integrate_frames_einsum,
+    integrate_frames_pallas,
+)
 from .grid.voxel_grid import FrameBatch, FusionGrid, create_grid, finalize_grid
 from .meshing.extract import extract_mesh
 from .scene.colors import NULL_CLASS_ID, NUM_CLASSES_WITH_SPARE
@@ -40,8 +44,9 @@ class FusionConfig:
     rgb_mode: str = "bilinear"  # ClipFusion used nearest; ClipSeemFusion bilinear
     with_labels: bool = False
     num_classes: int = NUM_CLASSES_WITH_SPARE
-    # None = auto (Pallas fused feature splat on TPU, XLA scan elsewhere)
-    use_pallas: Optional[bool] = None
+    # integrator: None = auto ("einsum" chunk-batched splat on TPU, "scan"
+    # elsewhere); explicit options: "scan" | "einsum" | "pallas"
+    integrator: Optional[str] = None
     pallas_tile: int = 512
     # mid-scan checkpoint/resume (grid/checkpoint.py); 0 disables
     checkpoint_path: Optional[str] = None
@@ -119,11 +124,11 @@ def fuse_scan(
     timings["bounds_s"] = time.perf_counter() - t0
     say(f"bounds: nvox={tuple(nvox)}")
 
-    use_pallas = config.use_pallas
-    if use_pallas is None:
+    integrator = config.integrator
+    if integrator is None:
         import jax
 
-        use_pallas = jax.default_backend() == "tpu"
+        integrator = "einsum" if jax.default_backend() == "tpu" else "scan"
 
     grid = create_grid(
         minbound,
@@ -133,7 +138,7 @@ def fuse_scan(
         feature_dim=clip_engine.feature_dim,
         with_labels=config.with_labels,
         num_classes=config.num_classes,
-        pad_to=config.pallas_tile if use_pallas else 1,
+        pad_to=config.pallas_tile if integrator == "pallas" else 1,
     )
 
     n = len(dataset)
@@ -234,9 +239,13 @@ def fuse_scan(
             ),
         )
         t1 = time.perf_counter()
-        if use_pallas:
+        if integrator == "pallas":
             grid = integrate_frames_pallas(
                 grid, batch, rgb_mode=config.rgb_mode, tile=config.pallas_tile
+            )
+        elif integrator == "einsum":
+            grid = integrate_frames_einsum(
+                grid, batch, rgb_mode=config.rgb_mode
             )
         else:
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)

@@ -82,3 +82,32 @@ def test_hybrid_integration_matches_scan_path():
     np.testing.assert_allclose(
         np.asarray(fv_out["feat"]), np.asarray(fv_ref["feat"]), atol=1e-4
     )
+
+
+def test_einsum_integration_matches_scan_path():
+    scene = make_scene(num_frames=5)
+    batch = build_batch_local(scene)
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_einsum
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    out = integrate_frames_einsum(create_grid(**grid_args(scene)), batch)
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum), np.asarray(ref.feat_sum), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out.w), np.asarray(ref.w))
+    np.testing.assert_allclose(
+        np.asarray(out.rgb_sum), np.asarray(ref.rgb_sum), atol=1e-5
+    )
+
+
+def build_batch_local(scene):
+    fs = scene["frames"]
+    return FrameBatch(
+        depth=jnp.stack([f[0] for f in fs]),
+        rgb=jnp.stack([f[1] for f in fs]),
+        pose=jnp.stack([f[2] for f in fs]),
+        K=jnp.stack([f[3] for f in fs]),
+        feat_img=jnp.stack([f[4] for f in fs]),
+        labels=jnp.stack([f[5] for f in fs]),
+        frame_valid=jnp.ones(len(fs), bool),
+    )
