@@ -76,13 +76,13 @@ def main():
     Ks_d = jnp.asarray(Ks)
     labels_d = jnp.asarray(labels)
 
-    # The Pallas hybrid integrator is opt-in for the bench: this sandbox's
-    # remote-compile tunnel serializes Mosaic compiles with multi-minute
-    # latency, so the proven XLA-scan path is the default until the kernel's
-    # compile time is verified on the target toolchain.
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("SAI_BENCH_PALLAS") == "1"
+    # integrator selection: the chunk-batched einsum splat is the default on
+    # TPU (pure XLA, fast compile); the Pallas kernel is opt-in because this
+    # sandbox's remote-compile tunnel makes Mosaic compiles take many
+    # minutes. SAI_BENCH_INTEGRATOR=scan|einsum|pallas overrides.
+    integrator = os.environ.get(
+        "SAI_BENCH_INTEGRATOR",
+        "einsum" if jax.default_backend() == "tpu" else "scan",
     )
 
     def run_chunk(grid):
@@ -92,12 +92,18 @@ def main():
             feat_img=feat_imgs, labels=labels_d,
             frame_valid=jnp.ones((F,), bool),
         )
-        if use_pallas:
+        if integrator == "pallas":
             from spatially_aware_ai_tpu.grid.fusion import (
                 integrate_frames_pallas,
             )
 
             grid = integrate_frames_pallas(grid, batch, tile=512)
+        elif integrator == "einsum":
+            from spatially_aware_ai_tpu.grid.fusion import (
+                integrate_frames_einsum,
+            )
+
+            grid = integrate_frames_einsum(grid, batch)
         else:
             grid = integrate_frames(grid, batch)
         # NOTE: block_until_ready is not a reliable sync on the axon tunnel
