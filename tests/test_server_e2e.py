@@ -213,3 +213,39 @@ def test_unknown_route_404(env):
     _, client, _ = env
     status, _ = client.post("/nope", {})
     assert status == 404
+
+
+def test_processed_scene_reloads_from_artifacts(env):
+    """A fresh manager over the same output dir must reload the processed
+    scene from disk without recomputing (reference clip_seem_fusion.py:202-244
+    lazy reload)."""
+    manager, _, out_dir = env
+    engine2 = ClipEngine.tiny()
+    m2 = InSituManager(
+        scan_dir=manager.config.scan_dir,
+        scan_name="demo_scene",
+        dataset="synthetic",
+        output_dir=str(out_dir),
+        voxel_size=0.06,
+        trunc_vox=2,
+        clip_patch_size=40,
+        clip_patch_stride=20,
+        clip_engine=engine2,
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        insitu_model=manager.insitu_model,
+        curr_ver=manager.curr_ver,
+        auto_reconstruct=True,  # must be a no-op because artifacts exist
+    )
+    assert m2.scene_reconstructed
+    assert not hasattr(m2, "last_fusion_seconds")  # never ran fusion
+    assert len(m2.verts) == len(manager.verts)
+    assert m2.scene_knowledge["unique_objects"].keys() == (
+        manager.scene_knowledge["unique_objects"].keys()
+    )
+    np.testing.assert_allclose(
+        np.asarray(m2.vert_clip_feat), np.asarray(manager.vert_clip_feat),
+        atol=1e-6,
+    )
+    # text query works off the reloaded artifacts
+    mesh = m2.clip_text_query("the table")
+    assert mesh is not None and len(mesh["vertices"]) == len(m2.verts)
