@@ -32,24 +32,26 @@ DEFAULT_TILE = 512
 
 
 def _splat_kernel(uvw_ref, feat_ref, acc_in_ref, out_ref, *, F, Py, Px, P):
-    """uvw_ref [TILE, F, 3] (px, py, valid) in patch coords;
-    feat_ref [F, P, C] with the patch axis zero-padded to a 128-lane
+    """uvw_ref [TILE, F*3] = interleaved (px, py, valid) per frame, in patch
+    coords; feat_ref [F, P, C] with the patch axis zero-padded to a 128-lane
     multiple; acc_in_ref/out_ref [TILE, C] (aliased feat_sum).
 
-    One [TILE, P] weight slab per frame feeds the MXU. Everything is
-    128-lane aligned: unaligned patch counts (e.g. 35) force Mosaic into
-    pathological relayouts, so the caller pads P and the padded one-hot
-    columns simply never match (their feature rows are zeros anyway).
+    One [TILE, P] weight slab per frame feeds the MXU. Layout notes
+    (hard-won): every VMEM block keeps the minor dim >= 8-ish and slices
+    along it — a [TILE, F, 3] block's 3-wide minor dim would be padded to
+    128 lanes by Mosaic (a 42x VMEM blow-up that OOMs scoped vmem), and an
+    unaligned patch count (e.g. 35) forces pathological relayouts; the
+    caller pads P, and the padded one-hot columns simply never match (their
+    feature rows are zeros anyway).
     """
-    uvw = uvw_ref[:]
-    tile = uvw.shape[0]
+    tile = out_ref.shape[0]
 
     acc = acc_in_ref[:]
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, P), 1)
     for f in range(F):
-        px = uvw[:, f, 0]
-        py = uvw[:, f, 1]
-        val = uvw[:, f, 2]
+        px = uvw_ref[:, 3 * f]
+        py = uvw_ref[:, 3 * f + 1]
+        val = uvw_ref[:, 3 * f + 2]
         x0 = jnp.floor(px)
         y0 = jnp.floor(py)
         fx = px - x0
@@ -104,7 +106,7 @@ def fused_feature_splat(
         kernel,
         grid=(N // tile,),
         in_specs=[
-            pl.BlockSpec((tile, F, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((tile, F * 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((F, P, C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -121,4 +123,4 @@ def fused_feature_splat(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(uvw, feat_flat, feat_sum)
+    )(uvw.reshape(N, F * 3), feat_flat, feat_sum)
