@@ -163,10 +163,25 @@ def fuse_scan(
         except Exception as e:  # corrupt checkpoint: start over
             say(f"checkpoint load failed ({e}); starting fresh")
 
-    chunk_counter = 0
-    for start in range(start_frame, n, F):
+    # host-side prefetch: decode/stack chunk i+1 while the device works on
+    # chunk i (replaces the reference's DataLoader worker processes,
+    # clipfusion.py:1064,1120)
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunk_starts = list(range(start_frame, n, F))
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+
+    def load_chunk(start):
         idx = list(range(start, min(n, start + F)))
-        stack = dataset.stacked(idx)
+        return idx, dataset.stacked(idx)
+
+    pending = prefetcher.submit(load_chunk, chunk_starts[0]) if chunk_starts else None
+
+    chunk_counter = 0
+    for ci, start in enumerate(chunk_starts):
+        idx, stack = pending.result()
+        if ci + 1 < len(chunk_starts):
+            pending = prefetcher.submit(load_chunk, chunk_starts[ci + 1])
         n_real = len(idx)
         pad = F - n_real
 
@@ -265,6 +280,8 @@ def fuse_scan(
 
     timings["inference_s"] = t_inference
     timings["integrate_s"] = t_integrate
+
+    prefetcher.shutdown(wait=False)
 
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
         os.remove(config.checkpoint_path)  # scan completed
