@@ -26,3 +26,21 @@ Key TPU-native design decisions (vs the reference's sequential CUDA design):
 """
 
 __version__ = "0.1.0"
+
+_LAZY = {
+    "FusionConfig": ("spatially_aware_ai_tpu.pipeline", "FusionConfig"),
+    "fuse_scan": ("spatially_aware_ai_tpu.pipeline", "fuse_scan"),
+    "InSituManager": ("spatially_aware_ai_tpu.manager", "InSituManager"),
+    "ClipEngine": ("spatially_aware_ai_tpu.models.clip.engine", "ClipEngine"),
+    "KmaxSegmenter": ("spatially_aware_ai_tpu.models.kmax", "KmaxSegmenter"),
+    "InSituLearning": ("spatially_aware_ai_tpu.models.dgcnn", "InSituLearning"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(name)
