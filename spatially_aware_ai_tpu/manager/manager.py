@@ -261,6 +261,25 @@ class InSituManager:
             self.nvox = result.nvox
             nvox = result.nvox
 
+            # sparse point-cloud preview of the scan (reference exports
+            # point_cloud_preview.ply, clip_seem_fusion.py:273-276)
+            try:
+                from ..core.bounds import backproject_sparse_cloud
+
+                sub = dataset.stacked(
+                    range(0, len(dataset), max(1, len(dataset) // 16))
+                )
+                cloud = backproject_sparse_cloud(
+                    sub["depth"], sub["pose"], sub["K"], max_depth=4.0
+                )
+                write_ply(
+                    os.path.join(cfg.scene_outputdir,
+                                 "point_cloud_preview.ply"),
+                    cloud,
+                )
+            except Exception:
+                pass  # preview is best-effort
+
             self.voxel_clip_feats = result.values["feat"].reshape(*nvox, -1)
             self.voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
             class_grid = result.values["class_id"].reshape(nvox)
