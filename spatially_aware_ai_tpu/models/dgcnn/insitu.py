@@ -178,9 +178,9 @@ class InSituLearning:
 
     # -- training ------------------------------------------------------------
 
-    def _make_optimizer(self):
+    def _make_optimizer(self, horizon: int):
         sched = optax.cosine_decay_schedule(
-            self.lr * (100.0 if self.use_sgd else 1.0), self.epochs, alpha=0.01
+            self.lr * (100.0 if self.use_sgd else 1.0), horizon, alpha=0.01
         )
         if self.use_sgd:
             return optax.sgd(sched, momentum=self.momentum)
@@ -199,7 +199,7 @@ class InSituLearning:
                 key, jnp.zeros((2, self.num_points, self.cfg.in_channels)),
                 train=False,
             )
-        tx = self._make_optimizer()
+        tx = self._make_optimizer(epochs)
         params = self.variables["params"]
         batch_stats = self.variables.get("batch_stats", {})
         opt_state = tx.init(params)
