@@ -1,0 +1,54 @@
+"""ClipEngine API behaviors: prompt ensemble math, normalized text
+inference, query wiring."""
+import numpy as np
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+from spatially_aware_ai_tpu.query import PROMPT_TEMPLATES_85
+
+
+def test_text_inference_normalized():
+    engine = ClipEngine.tiny()
+    feats = engine.text_inference(["a chair", "a red box"])
+    assert feats.shape == (2, engine.feature_dim)
+    np.testing.assert_allclose(
+        np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_prompt_ensemble_is_mean_of_normalized():
+    engine = ClipEngine.tiny()
+    templates = ["a photo of {}", "a picture of {}", "the {}"]
+    out = engine.encode_text_with_prompt_ensemble(["chair"], templates)
+    assert out.shape == (1, engine.feature_dim)
+
+    # manual: encode each prompted string, normalize, mean, renormalize
+    per = engine.text_inference([t.format("chair") for t in templates])
+    mean = per.mean(axis=0)
+    mean /= np.linalg.norm(mean)
+    np.testing.assert_allclose(out[0], mean, atol=1e-5)
+
+
+def test_prompt_ensemble_default_85(monkeypatch):
+    engine = ClipEngine.tiny()
+    calls = []
+    orig = engine.tokenizer.__call__
+
+    def counting(texts, *a, **k):
+        calls.append(len(texts))
+        return orig(texts, *a, **k)
+
+    monkeypatch.setattr(engine, "tokenizer", counting)
+    out = engine.encode_text_with_prompt_ensemble(["chair"])
+    assert out.shape == (1, engine.feature_dim)
+    assert calls == [len(PROMPT_TEMPLATES_85)]
+
+
+def test_run_query_end_to_end():
+    engine = ClipEngine.tiny()
+    text = engine.text_inference(["background", "a red box"])
+    feats = np.tile(text[1][None], (10, 1))  # vertices that ARE the query
+    rel = engine.run_query(jnp.asarray(feats),
+                           ["background", "a red box"])
+    assert rel.shape == (10, 2)
+    assert (rel[:, 1] > rel[:, 0]).all()
