@@ -111,3 +111,27 @@ def build_batch_local(scene):
         labels=jnp.stack([f[5] for f in fs]),
         frame_valid=jnp.ones(len(fs), bool),
     )
+
+
+def test_einsum_splat_blocked_matches_unblocked():
+    from spatially_aware_ai_tpu.grid.fusion import einsum_feature_splat
+
+    rng = np.random.default_rng(1)
+    N, C, F, Py, Px = 1000, 8, 3, 4, 5
+    feat_sum = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    uvw = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-1, Px, size=(N, F)),
+                rng.uniform(-1, Py, size=(N, F)),
+                rng.integers(0, 2, size=(N, F)).astype(np.float64),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
+    feat_imgs = jnp.asarray(rng.normal(size=(F, Py, Px, C)).astype(np.float32))
+    full = einsum_feature_splat(feat_sum, uvw, feat_imgs, block_voxels=4096)
+    blocked = einsum_feature_splat(feat_sum, uvw, feat_imgs, block_voxels=128)
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(blocked), atol=1e-5
+    )
