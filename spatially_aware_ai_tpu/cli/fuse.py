@@ -36,7 +36,8 @@ def detect_dataset(path: str) -> str:
 
 
 def run_one(scan_dir: str, output_dir: str, config: dict, engine,
-            frame_chunk: int, views_limit: int):
+            frame_chunk: int, views_limit: int,
+            incremental_meshes: bool = False):
     import yaml
 
     from ..data import make_dataset
@@ -59,8 +60,30 @@ def run_one(scan_dir: str, output_dir: str, config: dict, engine,
         with_labels=False,
         rgb_mode="nearest",  # ClipFusion's (batch CLI) rgb sampling mode
     )
+    on_chunk = None
+    if incremental_meshes:
+        from ..grid.voxel_grid import finalize_grid
+        from ..meshing.extract import extract_mesh
+        import numpy as _np
+
+        mesh_dir = os.path.join(outdir, "meshes")
+        os.makedirs(mesh_dir, exist_ok=True)
+
+        def on_chunk(grid, frame_idx):
+            n = int(_np.prod(grid.nvox))
+            vals = {
+                k: _np.asarray(v)[:n] for k, v in finalize_grid(grid).items()
+            }
+            m = extract_mesh(vals, grid.nvox, _np.asarray(grid.origin),
+                             grid.voxel_size)
+            write_ply(
+                os.path.join(mesh_dir, f"{frame_idx:04d}.ply"),
+                m["verts_world"], m["faces"], m["colors"],
+            )
+
     result = fuse_scan(dataset, engine, fusion_cfg,
-                       progress=lambda s: print(f"  {s}"))
+                       progress=lambda s: print(f"  {s}"),
+                       on_chunk=on_chunk)
     mesh = result.extract_mesh()
     write_ply(
         os.path.join(outdir, "mesh_rgb.ply"),
@@ -92,6 +115,8 @@ def main(argv=None):
     parser.add_argument("--views-limit", type=int, default=0)
     parser.add_argument("--tiny-clip", action="store_true",
                         help="small random CLIP (tests / smoke runs)")
+    parser.add_argument("--incremental-meshes", action="store_true",
+                        help="dump a mesh PLY after every chunk")
     args = parser.parse_args(argv)
 
     dataset_name = args.dataset or detect_dataset(args.scan_dir)
@@ -134,7 +159,7 @@ def main(argv=None):
     print(f"dataset: {dataset_name}, {len(scan_dirs)} scan(s)")
     for scan_dir in scan_dirs:
         run_one(scan_dir, args.output_dir, config, engine, args.frame_chunk,
-                args.views_limit)
+                args.views_limit, incremental_meshes=args.incremental_meshes)
 
 
 if __name__ == "__main__":

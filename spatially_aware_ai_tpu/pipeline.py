@@ -107,11 +107,15 @@ def fuse_scan(
     config: Optional[FusionConfig] = None,
     segmenter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     progress: Optional[Callable[[str], None]] = None,
+    on_chunk: Optional[Callable[[FusionGrid, int], None]] = None,
 ) -> FusionResult:
     """Run the full fusion over a FrameDataset.
 
     segmenter: rgb [H, W, 3] in [0,1] -> per-pixel class-id mask [H, W] i32
     (null = 133). Required when config.with_labels.
+    on_chunk: called with (grid, last_frame_index) after each integrated
+    chunk — e.g. for incremental mesh previews (the reference's
+    write_incremental_meshes, clipfusion.py:1122-1166).
     """
     config = config or FusionConfig()
     if config.with_labels and segmenter is None:
@@ -267,6 +271,8 @@ def fuse_scan(
         grid.tsdf_sum.block_until_ready()
         t_integrate += time.perf_counter() - t1
         say(f"integrated frames {idx[0]}..{idx[-1]}")
+        if on_chunk is not None:
+            on_chunk(grid, idx[-1])
 
         chunk_counter += 1
         if (

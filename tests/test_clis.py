@@ -76,3 +76,21 @@ def test_viz_cameras_cli(tmp_path):
     v, faces, c = read_ply(str(out))
     assert len(v) == 4 * 3 * 10
     assert c is not None
+
+
+def test_fuse_cli_incremental_meshes(tmp_path):
+    scan = tmp_path / "scans" / "roomB"
+    os.makedirs(scan)
+    with open(scan / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 4, "width": 64, "height": 48}, f)
+    out = tmp_path / "out"
+    fuse_cli.main([
+        str(tmp_path / "scans"), str(out), "--dataset", "synthetic",
+        "--voxel-size", "0.08", "--tiny-clip",
+        "--clip-patch-size", "32", "--clip-patch-stride", "16",
+        "--frame-chunk", "2", "--incremental-meshes",
+    ])
+    meshes = sorted(os.listdir(out / "roomB" / "meshes"))
+    assert len(meshes) == 2  # one per chunk
+    v, f, c = read_ply(str(out / "roomB" / "meshes" / meshes[-1]))
+    assert len(v) > 0
