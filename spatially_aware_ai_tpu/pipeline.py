@@ -197,39 +197,35 @@ def fuse_scan(
         rgb_chunk = pad_tail(stack["rgb"])  # padded BEFORE inference so the
         # encode batch shape is constant across chunks (no recompiles)
 
+        # NOTE: feature images stay on device (no host round trip); chunks
+        # are dispatched asynchronously and only synced at finalize time
         t1 = time.perf_counter()
         if config.scale_patches_by_depth:
             depth_chunk = pad_tail(stack["depth"])
             K_chunk = pad_tail(stack["K"])
-            feat_imgs = np.stack(
+            feat_imgs = jnp.stack(
                 [
-                    np.asarray(
-                        clip_engine.img_inference_tiled_depthscaled(
-                            rgb_chunk[i], depth_chunk[i], K_chunk[i],
-                            config.clip_patch_stride,
-                            footprint_m=config.patch_footprint_m,
-                        )
+                    clip_engine.img_inference_tiled_depthscaled(
+                        rgb_chunk[i], depth_chunk[i], K_chunk[i],
+                        config.clip_patch_stride,
+                        footprint_m=config.patch_footprint_m,
                     )
                     for i in range(F)
                 ]
             )
         elif hasattr(clip_engine, "img_inference_tiled_batch"):
-            feat_imgs = np.asarray(
-                clip_engine.img_inference_tiled_batch(
-                    rgb_chunk,
-                    patch_size=config.clip_patch_size,
-                    patch_stride=config.clip_patch_stride,
-                )
+            feat_imgs = clip_engine.img_inference_tiled_batch(
+                rgb_chunk,
+                patch_size=config.clip_patch_size,
+                patch_stride=config.clip_patch_stride,
             )
         else:
-            feat_imgs = np.stack(
+            feat_imgs = jnp.stack(
                 [
-                    np.asarray(
-                        clip_engine.img_inference_tiled(
-                            rgb_chunk[i],
-                            patch_size=config.clip_patch_size,
-                            patch_stride=config.clip_patch_stride,
-                        )
+                    clip_engine.img_inference_tiled(
+                        rgb_chunk[i],
+                        patch_size=config.clip_patch_size,
+                        patch_stride=config.clip_patch_stride,
                     )
                     for i in range(F)
                 ]
@@ -251,7 +247,7 @@ def fuse_scan(
             rgb=jnp.asarray(rgb_chunk),
             pose=jnp.asarray(pad_tail(stack["pose"])),
             K=jnp.asarray(pad_tail(stack["K"])),
-            feat_img=jnp.asarray(feat_imgs),
+            feat_img=feat_imgs,
             labels=jnp.asarray(labels) if labels is not None else None,
             frame_valid=jnp.asarray(
                 np.array([True] * n_real + [False] * pad)
@@ -268,7 +264,15 @@ def fuse_scan(
             )
         else:
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
-        grid.tsdf_sum.block_until_ready()
+        # only force completion when someone needs to observe the grid now;
+        # otherwise chunks pipeline asynchronously on device
+        needs_sync = on_chunk is not None or (
+            config.checkpoint_path
+            and config.checkpoint_every_chunks > 0
+            and (chunk_counter + 1) % config.checkpoint_every_chunks == 0
+        )
+        if needs_sync:
+            grid.tsdf_sum.block_until_ready()
         t_integrate += time.perf_counter() - t1
         say(f"integrated frames {idx[0]}..{idx[-1]}")
         if on_chunk is not None:
