@@ -29,7 +29,7 @@ def save_grid(path: str, grid: FusionGrid, frames_done: int = 0):
     if grid.label_hist is not None:
         arrays["label_hist"] = grid.label_hist
     arrays = {k: np.asarray(jax.device_get(v)) for k, v in arrays.items()}
-    arrays["nvox"] = np.asarray(grid.nvox, np.int64)
+    arrays["nvox"] = np.asarray(jax.device_get(grid.nvox), np.int64)
     arrays["meta"] = np.asarray(
         [grid.voxel_size, grid.trunc, float(frames_done)], np.float64
     )
@@ -57,7 +57,7 @@ def load_grid(path: str) -> Tuple[FusionGrid, int]:
                 jnp.asarray(z["label_hist"]) if "label_hist" in z else None
             ),
             origin=jnp.asarray(z["origin"]),
-            nvox=nvox,
+            nvox=jnp.asarray(nvox, jnp.int32),
             voxel_size=float(voxel_size),
             trunc=float(trunc),
         )

@@ -47,13 +47,16 @@ def voxel_world_coords_flat(nvox, origin, voxel_size, start, count: int):
     """World coords for the flat-index range [start, start+count).
 
     Used by the sharded integrator: each device shard owns a contiguous flat
-    slice of the (possibly padded) voxel buffer. `start` may be traced
-    (computed from jax.lax.axis_index). Returns (xyz [count, 3],
+    slice of the (possibly padded) voxel buffer. `start` and `nvox` may be
+    traced values — grid DIMENSIONS are data, not compile-time constants, so
+    scenes of different sizes share one executable. Returns (xyz [count, 3],
     in_grid [count] bool) where in_grid masks padding voxels past
     prod(nvox).
     """
-    nx, ny, nz = nvox
-    n = nx * ny * nz
+    nvox = jnp.asarray(nvox, jnp.int32)
+    ny = nvox[1]
+    nz = nvox[2]
+    n = nvox[0] * ny * nz
     flat = start + jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0]
     in_grid = flat < n
     safe = jnp.minimum(flat, n - 1)

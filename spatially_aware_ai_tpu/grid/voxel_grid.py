@@ -50,13 +50,22 @@ class FusionGrid:
     w: jnp.ndarray  # [N] i32
     label_hist: Optional[jnp.ndarray]  # [N, L] i32 or None
     origin: jnp.ndarray  # [3] f32 world position of voxel (0,0,0)
-    nvox: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    # grid dims are a LEAF (traced array), not static metadata: scenes with
+    # different bounds but the same bucketed buffer size then share one
+    # compiled integration executable (compiles cost minutes through some
+    # TPU toolchains; see create_grid(pad_to=...))
+    nvox: jnp.ndarray  # [3] i32
     voxel_size: float = flax.struct.field(pytree_node=False)
     trunc: float = flax.struct.field(pytree_node=False)
 
     @property
+    def nvox_tuple(self) -> Tuple[int, int, int]:
+        """Host-side concrete dims (do not call inside jit)."""
+        return tuple(int(v) for v in np.asarray(self.nvox))
+
+    @property
     def num_voxels(self) -> int:
-        return int(np.prod(self.nvox))
+        return int(np.prod(np.asarray(self.nvox)))
 
     @property
     def feature_dim(self) -> int:
@@ -88,7 +97,7 @@ def create_grid(
         w=jnp.zeros((n,), jnp.int32),
         label_hist=jnp.zeros((n, num_classes), jnp.int32) if with_labels else None,
         origin=jnp.asarray(origin, jnp.float32),
-        nvox=nvox,
+        nvox=jnp.asarray(nvox, jnp.int32),
         voxel_size=float(voxel_size),
         trunc=float(trunc),
     )

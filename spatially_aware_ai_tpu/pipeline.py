@@ -48,6 +48,11 @@ class FusionConfig:
     # elsewhere); explicit options: "scan" | "einsum" | "pallas"
     integrator: Optional[str] = None
     pallas_tile: int = 512
+    # round the flat voxel buffer up to this multiple so scans with similar
+    # bounds reuse one compiled executable (grid dims are traced data, only
+    # the buffer SIZE is baked into the compile). None = auto: 65536 on TPU
+    # (compiles are expensive there), exact size elsewhere.
+    grid_size_bucket: Optional[int] = None
     # mid-scan checkpoint/resume (grid/checkpoint.py); 0 disables
     checkpoint_path: Optional[str] = None
     checkpoint_every_chunks: int = 8
@@ -128,11 +133,22 @@ def fuse_scan(
     timings["bounds_s"] = time.perf_counter() - t0
     say(f"bounds: nvox={tuple(nvox)}")
 
+    import jax
+
     integrator = config.integrator
     if integrator is None:
-        import jax
-
         integrator = "einsum" if jax.default_backend() == "tpu" else "scan"
+
+    bucket = config.grid_size_bucket
+    if bucket is None:
+        bucket = 65536 if jax.default_backend() == "tpu" else 1
+    if integrator == "pallas":
+        bucket = max(bucket, config.pallas_tile)
+        if bucket % config.pallas_tile != 0:
+            raise ValueError(
+                f"grid_size_bucket {bucket} must be a multiple of "
+                f"pallas_tile {config.pallas_tile}"
+            )
 
     grid = create_grid(
         minbound,
@@ -142,7 +158,7 @@ def fuse_scan(
         feature_dim=clip_engine.feature_dim,
         with_labels=config.with_labels,
         num_classes=config.num_classes,
-        pad_to=config.pallas_tile if integrator == "pallas" else 1,
+        pad_to=bucket,
     )
 
     n = len(dataset)
@@ -157,7 +173,7 @@ def fuse_scan(
         try:
             ck_grid, frames_done = load_grid(config.checkpoint_path)
             if (
-                ck_grid.nvox == grid.nvox
+                ck_grid.nvox_tuple == grid.nvox_tuple
                 and ck_grid.tsdf_sum.shape == grid.tsdf_sum.shape
                 and frames_done % F == 0
             ):

@@ -22,7 +22,7 @@ def test_grid_roundtrip(tmp_path):
     save_grid(p, grid, frames_done=12)
     g2, frames_done = load_grid(p)
     assert frames_done == 12
-    assert g2.nvox == grid.nvox
+    assert g2.nvox_tuple == grid.nvox_tuple
     assert g2.voxel_size == pytest.approx(grid.voxel_size)
     np.testing.assert_allclose(np.asarray(g2.tsdf_sum), 1.5)
     assert g2.label_hist is not None

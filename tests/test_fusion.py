@@ -232,3 +232,33 @@ def test_fusion_frame_padding_is_noop():
         np.testing.assert_allclose(
             np.asarray(f1[k]), np.asarray(f2[k]), atol=1e-6, err_msg=k
         )
+
+
+def test_no_recompile_across_scene_sizes():
+    """Grid dims are traced data: scans with different nvox but the same
+    bucketed buffer size must share one compiled executable (compiles cost
+    minutes through some TPU toolchains)."""
+    scene = make_scene(num_frames=2)
+    batch = FrameBatch(
+        depth=jnp.stack([f[0] for f in scene["frames"]]),
+        rgb=jnp.stack([f[1] for f in scene["frames"]]),
+        pose=jnp.stack([f[2] for f in scene["frames"]]),
+        K=jnp.stack([f[3] for f in scene["frames"]]),
+        feat_img=jnp.stack([f[4] for f in scene["frames"]]),
+        labels=jnp.stack([f[5] for f in scene["frames"]]),
+        frame_valid=jnp.ones(2, bool),
+    )
+
+    def grid_for(nvox):
+        return create_grid(
+            scene["origin"], scene["voxel_size"], nvox, scene["trunc"],
+            feature_dim=scene["feat_dim"], with_labels=True,
+            num_classes=scene["n_classes"], pad_to=1024,
+        )
+
+    before = integrate_frames._cache_size()
+    integrate_frames(grid_for((9, 8, 7)), batch)
+    mid = integrate_frames._cache_size()
+    integrate_frames(grid_for((10, 9, 8)), batch)
+    after = integrate_frames._cache_size()
+    assert mid == after == before + 1
