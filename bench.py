@@ -106,19 +106,25 @@ def main():
             grid = integrate_frames_einsum(grid, batch)
         else:
             grid = integrate_frames(grid, batch)
+        return grid
+
+    def sync(grid):
         # NOTE: block_until_ready is not a reliable sync on the axon tunnel
         # backend; a scalar readback forces full execution.
         float(grid.tsdf_sum[0])
-        return grid
 
     # warmup / compile
     t0 = time.perf_counter()
     grid = run_chunk(grid)
+    sync(grid)
     compile_s = time.perf_counter() - t0
 
+    # chunks dispatch asynchronously (as in the production pipeline); one
+    # sync at the end measures pipelined throughput
     t0 = time.perf_counter()
     for _ in range(REPEATS):
         grid = run_chunk(grid)
+    sync(grid)
     elapsed = time.perf_counter() - t0
     fps = (REPEATS * F) / elapsed
 

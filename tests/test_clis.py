@@ -94,3 +94,20 @@ def test_fuse_cli_incremental_meshes(tmp_path):
     assert len(meshes) == 2  # one per chunk
     v, f, c = read_ply(str(out / "roomB" / "meshes" / meshes[-1]))
     assert len(v) > 0
+
+
+def test_test2d_cli(tmp_path):
+    from spatially_aware_ai_tpu.cli import test2d as test2d_cli
+
+    scan = tmp_path / "scan"
+    os.makedirs(scan)
+    with open(scan / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 3, "width": 64, "height": 48}, f)
+    out = tmp_path / "sheets"
+    test2d_cli.main([
+        str(scan), "a red box", "--dataset", "synthetic", "--tiny-clip",
+        "--patch-size", "32", "--patch-stride", "16",
+        "--out-dir", str(out), "--max-frames", "2",
+    ])
+    sheets = os.listdir(out)
+    assert len(sheets) == 2
