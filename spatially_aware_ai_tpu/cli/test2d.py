@@ -57,7 +57,7 @@ def main(argv=None):
             )
         )
         ny, nx, C = feat_img.shape
-        feats = feat_img.reshape(-1, C)
+        feats = feat_img.reshape(-1, C).copy()  # np view of a jax buffer
         feats /= np.maximum(
             np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
         )
