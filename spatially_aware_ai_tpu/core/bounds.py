@@ -58,6 +58,11 @@ def percentile_bounds(xyz, trunc_m, lo=1.0, hi=99.0):
     """minbound/maxbound = percentile(xyz, 1/99) -+ trunc
     (reference clipfusion.py:1100-1101)."""
     xyz = np.asarray(xyz)
+    if len(xyz) == 0:
+        raise ValueError(
+            "no valid depth samples in the scan — cannot estimate scene "
+            "bounds (all frames had empty/zero/NaN depth within max_depth)"
+        )
     minbound = np.percentile(xyz, lo, axis=0).astype(np.float32) - trunc_m
     maxbound = np.percentile(xyz, hi, axis=0).astype(np.float32) + trunc_m
     return minbound, maxbound

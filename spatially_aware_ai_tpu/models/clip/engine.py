@@ -26,11 +26,16 @@ class ClipEngine:
                  compute_dtype=jnp.float32):
         """compute_dtype=jnp.bfloat16 runs the towers' matmuls in bf16 on the
         MXU (params stay f32; embeddings are cast back to f32)."""
+        import os
+
         self.cfg = cfg
         self.model = CLIP(cfg, dtype=compute_dtype)
         self.compute_dtype = compute_dtype
         self.params = params
-        self.tokenizer = ClipTokenizer(bpe_path)
+        # standard CLIP BPE vocab path: explicit arg, else SAI_BPE_VOCAB env
+        self.tokenizer = ClipTokenizer(
+            bpe_path or os.environ.get("SAI_BPE_VOCAB")
+        )
         self.feature_dim = cfg.embed_dim
 
         @jax.jit

@@ -161,3 +161,8 @@ def test_percentile_bounds_and_grid_dims():
     nvox = compute_grid_dims(mn, mx, 0.04)
     assert nvox.dtype == np.int32
     np.testing.assert_array_equal(nvox, np.round((mx - mn) / 0.04).astype(np.int32))
+
+
+def test_percentile_bounds_empty_cloud_raises():
+    with pytest.raises(ValueError, match="no valid depth"):
+        percentile_bounds(np.zeros((0, 3), np.float32), 0.1)
