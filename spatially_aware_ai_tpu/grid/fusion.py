@@ -68,20 +68,33 @@ def voxel_world_coords_flat(nvox, origin, voxel_size, start, count: int):
     return idx * voxel_size + jnp.asarray(origin, jnp.float32), in_grid
 
 
-def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K):
-    """Per-frame projection + sdf. Returns (uv, masks, tsdf_contrib)."""
+def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K, labels=None):
+    """Per-frame projection + sdf (+ optional fused label sampling).
+
+    When `labels` is given, it rides along in the same nearest gather as the
+    depth image (identical indices and rounding mode) — one gather pass
+    instead of two. Returns (uv, tsdf, tsdf_valid, feat_valid[, lab])."""
     H, W = depth.shape
     xyz_cam = world_to_cam(xyz_world, pose)  # [N, 3]
     uv, z = project_points(xyz_cam, K)  # [N, 2], [N]
     frustum = in_frustum_mask(uv, z, W, H)
 
-    d = sample_image_at_uv(depth[..., None], uv, mode="nearest")[..., 0]  # [N]
+    if labels is None:
+        d = sample_image_at_uv(depth[..., None], uv, mode="nearest")[..., 0]
+        lab = None
+    else:
+        packed = jnp.stack([depth, labels.astype(jnp.float32)], axis=-1)
+        s = sample_image_at_uv(packed, uv, mode="nearest")
+        d = s[..., 0]
+        lab = s[..., 1].astype(jnp.int32)
     sdf = (d - z) / grid.trunc
     tsdf = jnp.clip(sdf, -1.0, 1.0)
 
     tsdf_valid = frustum & (sdf > -1.0)
     feat_valid = frustum & (jnp.abs(sdf) <= 1.0)
-    return uv, tsdf, tsdf_valid, feat_valid
+    if labels is None:
+        return uv, tsdf, tsdf_valid, feat_valid
+    return uv, tsdf, tsdf_valid, feat_valid, lab
 
 
 def sample_feat_img(feat_img, uv, imwidth, imheight):
@@ -110,7 +123,17 @@ def integrate_one_frame(
 ) -> FusionGrid:
     """Accumulate a single frame. Pure function; used inside lax.scan."""
     H, W = depth.shape
-    uv, tsdf, tsdf_valid, feat_valid = frame_geometry(grid, xyz_world, depth, pose, K)
+    track_labels = grid.label_hist is not None
+    if track_labels:
+        if labels is None:
+            raise ValueError("grid tracks labels but frame has none")
+        uv, tsdf, tsdf_valid, feat_valid, lab = frame_geometry(
+            grid, xyz_world, depth, pose, K, labels
+        )
+    else:
+        uv, tsdf, tsdf_valid, feat_valid = frame_geometry(
+            grid, xyz_world, depth, pose, K
+        )
     fv = jnp.asarray(frame_valid)
     tsdf_valid = tsdf_valid & fv
     feat_valid = feat_valid & fv
@@ -131,13 +154,8 @@ def integrate_one_frame(
         feat_sum=(grid.feat_sum + (feat_s * feat_w[:, None]).astype(grid.feat_sum.dtype)),
         w=grid.w + feat_valid.astype(jnp.int32),
     )
-    if grid.label_hist is not None:
-        if labels is None:
-            raise ValueError("grid tracks labels but frame has none")
+    if track_labels:
         num_classes = grid.label_hist.shape[1]
-        lab = sample_image_at_uv(
-            labels[..., None].astype(jnp.float32), uv, mode="nearest"
-        )[..., 0].astype(jnp.int32)
         onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
         new["label_hist"] = grid.label_hist + onehot * feat_valid[:, None].astype(
             jnp.int32
@@ -279,9 +297,14 @@ def integrate_frames_hybrid_impl(
 
     def step(g, frame):
         depth, rgb, pose, K, labels, fv = frame
-        uv, tsdf, tsdf_valid, feat_valid = frame_geometry(
-            g, xyz_world, depth, pose, K
-        )
+        if g.label_hist is not None:
+            uv, tsdf, tsdf_valid, feat_valid, lab = frame_geometry(
+                g, xyz_world, depth, pose, K, labels
+            )
+        else:
+            uv, tsdf, tsdf_valid, feat_valid = frame_geometry(
+                g, xyz_world, depth, pose, K
+            )
         tsdf_valid = tsdf_valid & fv & vox_valid
         feat_valid = feat_valid & fv & vox_valid
         feat_w = feat_valid.astype(jnp.float32)
@@ -295,9 +318,6 @@ def integrate_frames_hybrid_impl(
         )
         if g.label_hist is not None:
             num_classes = g.label_hist.shape[1]
-            lab = sample_image_at_uv(
-                labels[..., None].astype(jnp.float32), uv, mode="nearest"
-            )[..., 0].astype(jnp.int32)
             onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
             new["label_hist"] = g.label_hist + onehot * feat_valid[
                 :, None
