@@ -135,3 +135,28 @@ def test_einsum_splat_blocked_matches_unblocked():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(blocked), atol=1e-5
     )
+
+
+def test_hybrid_frame_padding_is_noop():
+    """Padded (frame_valid=False) frames contribute nothing in the hybrid
+    integrators (their uvw validity collapses to zero)."""
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_einsum
+
+    scene = make_scene(num_frames=3)
+    batch = build_batch_local(scene)
+    pad = lambda x: jnp.concatenate([x, x[-1:]], axis=0)
+    padded = FrameBatch(
+        depth=pad(batch.depth), rgb=pad(batch.rgb), pose=pad(batch.pose),
+        K=pad(batch.K), feat_img=pad(batch.feat_img),
+        labels=pad(batch.labels),
+        frame_valid=jnp.array([True, True, True, False]),
+    )
+    g1 = integrate_frames_einsum(create_grid(**grid_args(scene)), batch)
+    g2 = integrate_frames_einsum(create_grid(**grid_args(scene)), padded)
+    np.testing.assert_allclose(
+        np.asarray(g1.feat_sum), np.asarray(g2.feat_sum), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(g1.w), np.asarray(g2.w))
+    np.testing.assert_array_equal(
+        np.asarray(g1.label_hist), np.asarray(g2.label_hist)
+    )
