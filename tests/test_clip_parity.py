@@ -139,3 +139,95 @@ def test_tokenizer_with_merges(tmp_path):
     # fully merged into the single token "hello</w>"
     assert len(ids) == 1
     assert tok.decoder[ids[0]] == "hello</w>"
+
+
+def test_open_clip_converter_roundtrip():
+    """Build an open_clip-layout state dict from our own params via the
+    inverse mapping, convert it back, and require exact equality — catches
+    transpose/naming bugs in the open_clip path (the HF path is covered by
+    the parity tests above)."""
+    import jax
+    from spatially_aware_ai_tpu.models.clip import (
+        CLIP as OurCLIP,
+        CLIPConfig as OurCfg,
+        convert_open_clip_state_dict,
+    )
+
+    cfg = OurCfg(
+        embed_dim=16, image_size=32, patch_size=16, vision_width=32,
+        vision_layers=2, vision_heads=4, vocab_size=64, context_length=12,
+        text_width=24, text_heads=4, text_layers=2,
+    )
+    model = OurCLIP(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 12), jnp.int32),
+    )["params"]
+
+    def block_to_sd(sd, prefix, blk):
+        sd[f"{prefix}.ln_1.weight"] = np.asarray(blk["ln_1"]["scale"])
+        sd[f"{prefix}.ln_1.bias"] = np.asarray(blk["ln_1"]["bias"])
+        sd[f"{prefix}.attn.in_proj_weight"] = np.asarray(
+            blk["attn"]["in_proj"]["kernel"]
+        ).T
+        sd[f"{prefix}.attn.in_proj_bias"] = np.asarray(
+            blk["attn"]["in_proj"]["bias"]
+        )
+        sd[f"{prefix}.attn.out_proj.weight"] = np.asarray(
+            blk["attn"]["out_proj"]["kernel"]
+        ).T
+        sd[f"{prefix}.attn.out_proj.bias"] = np.asarray(
+            blk["attn"]["out_proj"]["bias"]
+        )
+        sd[f"{prefix}.ln_2.weight"] = np.asarray(blk["ln_2"]["scale"])
+        sd[f"{prefix}.ln_2.bias"] = np.asarray(blk["ln_2"]["bias"])
+        sd[f"{prefix}.mlp.c_fc.weight"] = np.asarray(
+            blk["mlp"]["c_fc"]["kernel"]
+        ).T
+        sd[f"{prefix}.mlp.c_fc.bias"] = np.asarray(blk["mlp"]["c_fc"]["bias"])
+        sd[f"{prefix}.mlp.c_proj.weight"] = np.asarray(
+            blk["mlp"]["c_proj"]["kernel"]
+        ).T
+        sd[f"{prefix}.mlp.c_proj.bias"] = np.asarray(
+            blk["mlp"]["c_proj"]["bias"]
+        )
+
+    v = params["visual"]
+    t = params["text"]
+    sd = {
+        "visual.conv1.weight": np.asarray(v["conv1"]["kernel"]).transpose(
+            3, 2, 0, 1
+        ),
+        "visual.class_embedding": np.asarray(v["class_embedding"]),
+        "visual.positional_embedding": np.asarray(v["positional_embedding"]),
+        "visual.ln_pre.weight": np.asarray(v["ln_pre"]["scale"]),
+        "visual.ln_pre.bias": np.asarray(v["ln_pre"]["bias"]),
+        "visual.ln_post.weight": np.asarray(v["ln_post"]["scale"]),
+        "visual.ln_post.bias": np.asarray(v["ln_post"]["bias"]),
+        "visual.proj": np.asarray(v["proj"]),
+        "token_embedding.weight": np.asarray(t["token_embedding"]),
+        "positional_embedding": np.asarray(t["positional_embedding"]),
+        "ln_final.weight": np.asarray(t["ln_final"]["scale"]),
+        "ln_final.bias": np.asarray(t["ln_final"]["bias"]),
+        "text_projection": np.asarray(t["text_projection"]),
+        "logit_scale": np.asarray(params["logit_scale"]),
+    }
+    for i in range(2):
+        block_to_sd(sd, f"visual.transformer.resblocks.{i}",
+                    v["transformer"][f"resblock_{i}"])
+        block_to_sd(sd, f"transformer.resblocks.{i}",
+                    t["transformer"][f"resblock_{i}"])
+
+    converted = convert_open_clip_state_dict(sd, vision_layers=2,
+                                             text_layers=2)["params"]
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(converted))
+    # same structure
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), atol=0,
+            err_msg=str(path),
+        )
