@@ -230,6 +230,8 @@ class InSituLearning:
 
         B = self.batch_size
         last_loss, last_acc = np.inf, 0.0
+        perfect_streak = 0
+        epochs_run = 0
         for epoch in range(epochs):
             key, ek, dk = jax.random.split(key, 3)
             # sample a full batch with replacement + point jitter
@@ -246,6 +248,19 @@ class InSituLearning:
                 jnp.asarray(ys[sel]), dk,
             )
             last_loss, last_acc = float(loss), float(acc)
+            epochs_run = epoch + 1
+            # cool-down early stop: after the classifier holds perfect
+            # training accuracy for cool_down_epochs consecutive epochs,
+            # further fine-tuning only risks overfitting the handful of
+            # user objects (hparam from the reference config,
+            # clip_seem_fusion.py:150)
+            perfect_streak = perfect_streak + 1 if last_acc >= 1.0 else 0
+            if (
+                self.cool_down_epochs > 0
+                and perfect_streak >= self.cool_down_epochs
+                and epoch >= epochs // 4
+            ):
+                break
 
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.model_trained = True
