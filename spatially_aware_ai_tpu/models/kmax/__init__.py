@@ -5,3 +5,4 @@ from .model import (
     KmaxSegmenter,
     panoptic_class_map,
 )
+from .heuristic import HeuristicSegmenter

@@ -50,10 +50,17 @@ COCO_PANOPTIC_CLASSES = _THINGS + _STUFF
 assert len(COCO_PANOPTIC_CLASSES) == 133
 
 # display-name normalization, exactly as the reference does
-# (handy_utils.py:23-25), + "others" for the null class
-PREDEFINED_CLASSES = [
-    n.replace("-other", "").replace("-merged", "") for n in COCO_PANOPTIC_CLASSES
-] + ["others"]
+# (handy_utils.py:23-25), + "others" for the null class (133) + names for
+# the 9 spare class slots the label histogram reserves (134..142; the
+# reference reserves the space but never names it, clip_seem_fusion.py:655)
+PREDEFINED_CLASSES = (
+    [
+        n.replace("-other", "").replace("-merged", "")
+        for n in COCO_PANOPTIC_CLASSES
+    ]
+    + ["others"]
+    + [f"object-{i}" for i in range(1, 10)]
+)
 
 
 def _palette(n: int) -> np.ndarray:
@@ -66,7 +73,9 @@ def _palette(n: int) -> np.ndarray:
     return np.array(cols, np.int32)
 
 
-# color per class id, + black for the null/"others" class
+# color per class id, + black for the null/"others" class, + colors for the
+# spare object slots
 PREDEFINED_COLORS = np.concatenate(
-    [_palette(133), np.zeros((1, 3), np.int32)], axis=0
+    [_palette(133), np.zeros((1, 3), np.int32), _palette(9)[::-1]], axis=0
 )
+assert len(PREDEFINED_CLASSES) == len(PREDEFINED_COLORS) == 143

@@ -1,0 +1,54 @@
+"""Weight-free heuristic segmenter: distinct-colored objects become distinct
+spare-class regions, and the full pipeline discovers them as 3D instances."""
+import numpy as np
+
+from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+from spatially_aware_ai_tpu.models.kmax import HeuristicSegmenter
+from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
+from spatially_aware_ai_tpu.scene import flood_fill_3d, NULL_CLASS_ID
+
+
+def test_distinct_colors_get_distinct_clusters():
+    seg = HeuristicSegmenter(num_clusters=4)
+    H, W = 64, 96
+    rgb = np.zeros((H, W, 3), np.float32)
+    rgb[:, : W // 3] = [0.9, 0.1, 0.1]
+    rgb[:, W // 3 : 2 * W // 3] = [0.1, 0.9, 0.1]
+    rgb[:, 2 * W // 3 :] = [0.1, 0.1, 0.9]
+    out = seg.run_on_image(rgb)
+    assert out.shape == (H, W)
+    ids = {int(out[32, 10]), int(out[32, 48]), int(out[32, 90])}
+    assert len(ids) == 3  # three distinct spare classes
+    assert all(134 <= i <= 142 for i in ids)
+
+
+def test_dark_pixels_are_null():
+    seg = HeuristicSegmenter()
+    rgb = np.zeros((32, 32, 3), np.float32)
+    rgb[:16] = [0.5, 0.5, 0.5]
+    out = seg.run_on_image(rgb)
+    assert (out[20:] == NULL_CLASS_ID).all()
+
+
+def test_pipeline_discovers_objects_without_weights():
+    ds = SyntheticSceneDataset(num_frames=8, width=80, height=60)
+    engine = ClipEngine.tiny()
+    seg = HeuristicSegmenter(num_clusters=5)
+    cfg = FusionConfig(
+        voxel_size=0.07, trunc_vox=2.0, clip_patch_size=40,
+        clip_patch_stride=20, frame_chunk=4, with_labels=True,
+    )
+    result = fuse_scan(ds, engine, cfg, segmenter=seg.run_on_image)
+    nvox = result.nvox
+    class_grid = result.values["class_id"].reshape(nvox)
+    spare = (class_grid >= 134) & (class_grid <= 142)
+    assert spare.sum() > 50  # objects fused with spare classes
+    feats = result.values["feat"].reshape(*nvox, -1)
+    rgbv = result.values["rgb"].reshape(*nvox, 3)
+    sk, obj_ids = flood_fill_3d(class_grid, None, feats, rgbv, None)
+    # at least a couple of 3D instances discovered, named by spare classes
+    assert len(sk["unique_objects"]) >= 2
+    assert any(
+        k.startswith("object-") for k in sk["unique_objects"]
+    )
