@@ -262,3 +262,53 @@ def test_no_recompile_across_scene_sizes():
     integrate_frames(grid_for((10, 9, 8)), batch)
     after = integrate_frames._cache_size()
     assert mid == after == before + 1
+
+
+def test_fusion_fuzz_random_configs():
+    """Property fuzz: random scene/config variations must all match the
+    sequential torch oracle (guards the core contract broadly)."""
+    fuzz_rng = np.random.default_rng(123)
+    for trial in range(6):
+        H = int(fuzz_rng.integers(12, 40))
+        W = int(fuzz_rng.integers(16, 48))
+        feat_dim = int(fuzz_rng.choice([4, 16, 32]))
+        n_classes = int(fuzz_rng.integers(3, 12))
+        rgb_mode = ["bilinear", "nearest"][trial % 2]
+        with_labels = trial % 3 != 0
+
+        global RNG
+        old_rng = RNG
+        RNG = np.random.default_rng(1000 + trial)
+        try:
+            scene = make_scene(
+                num_frames=int(fuzz_rng.integers(2, 6)), H=H, W=W,
+                feat_dim=feat_dim, n_classes=n_classes,
+            )
+            scene["voxel_size"] = float(fuzz_rng.uniform(0.03, 0.09))
+            scene["trunc"] = float(fuzz_rng.uniform(0.05, 0.2))
+            ours = run_ours(scene, with_labels=with_labels, rgb_mode=rgb_mode)
+            oracle = run_oracle(scene, with_labels=with_labels,
+                                rgb_mode=rgb_mode)
+        finally:
+            RNG = old_rng
+
+        np.testing.assert_array_equal(
+            np.asarray(ours["weight"]), oracle.weight.numpy(),
+            err_msg=f"trial {trial}",
+        )
+        fobs = oracle.weight.numpy() > 0
+        np.testing.assert_allclose(
+            np.asarray(ours["feat"])[fobs], oracle.feat.numpy()[fobs],
+            atol=1e-4, err_msg=f"trial {trial}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["rgb"])[fobs], oracle.rgb.numpy()[fobs],
+            atol=1e-4, err_msg=f"trial {trial}",
+        )
+        if with_labels:
+            hist = oracle.labels_one_hot.numpy()
+            expect = np.where(hist.any(1), hist.argmax(1), -1)
+            np.testing.assert_array_equal(
+                np.asarray(ours["class_id"]), expect,
+                err_msg=f"trial {trial}",
+            )
