@@ -28,11 +28,27 @@ def main(argv=None):
 
     kwargs = {}
     if args.tiny_models:
-        from ..data.synthetic import ColorSegmenter, SyntheticScene
-        from ..models.clip.engine import ClipEngine
+        import os as _os
 
-        kwargs["clip_engine"] = ClipEngine.tiny()
+        from ..data.synthetic import ColorSegmenter, SyntheticScene
+        from ..manager.paths import dotdict, get_path
+        from ..models.clip.engine import ClipEngine
+        from ..models.dgcnn import InSituLearning
+
+        engine = ClipEngine.tiny()
+        paths = get_path(
+            dotdict({"scan_dir": args.scan_dir, "scan_name": args.scan_name,
+                     "output_dir": args.output_dir}),
+            0,
+        )
+        kwargs["clip_engine"] = engine
         kwargs["seg_model"] = ColorSegmenter(SyntheticScene.demo_room())
+        kwargs["insitu_model"] = InSituLearning(
+            emb_dims=64, k_neighbors=8, num_points=30, batch_size=32,
+            epochs=120, lr=0.003, feature_dim=engine.feature_dim,
+            model_path=paths.insitu_model_path,
+            label_path=paths.insitu_labels,
+        )
 
     manager = InSituManager(
         scan_dir=args.scan_dir,

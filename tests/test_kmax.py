@@ -96,3 +96,15 @@ def test_run_on_batch_matches_single():
     for i in range(3):
         single = seg.run_on_image(rgbs[i])
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_panoptic_all_void_gives_null_map():
+    cfg = KMAX_TINY_TEST
+    N, C, h, w = 4, 133, 8, 8
+    cls = np.full((N, C + 1), -10.0, np.float32)
+    cls[:, 133] = 10.0  # every query votes void
+    masks = np.full((h, w, N), 10.0, np.float32)
+    out = np.asarray(
+        panoptic_class_map(jnp.asarray(cls), jnp.asarray(masks), (h, w), cfg)
+    )
+    assert (out == 133).all()
