@@ -82,6 +82,9 @@ class App:
                 payload, status = (
                     result if isinstance(result, tuple) else (result, 200)
                 )
+            except (KeyError, ValueError) as e:
+                # malformed client input (missing form field, bad int...)
+                payload, status = {"error": f"{type(e).__name__}: {e}"}, 400
             except Exception as e:  # surface as a 500 JSON error
                 traceback.print_exc()
                 payload, status = {"error": f"{type(e).__name__}: {e}"}, 500

@@ -106,3 +106,15 @@ def test_http_concurrent_queries(server_url):
     for t in threads:
         t.join(timeout=120)
     assert not errors
+
+
+def test_http_malformed_input_is_400(server_url):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(server_url, "/text_query", {})  # missing text_query field
+    assert exc.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(server_url, "/reprocess_scan", {"version": "notanint"})
+    assert exc.value.code == 400
