@@ -117,6 +117,8 @@ def main(argv=None):
                         help="small random CLIP (tests / smoke runs)")
     parser.add_argument("--incremental-meshes", action="store_true",
                         help="dump a mesh PLY after every chunk")
+    parser.add_argument("--profile-dir",
+                        help="write a jax.profiler device trace here")
     args = parser.parse_args(argv)
 
     dataset_name = args.dataset or detect_dataset(args.scan_dir)
@@ -157,9 +159,19 @@ def main(argv=None):
     if args.notes:
         config["notes"] = args.notes
     print(f"dataset: {dataset_name}, {len(scan_dirs)} scan(s)")
-    for scan_dir in scan_dirs:
-        run_one(scan_dir, args.output_dir, config, engine, args.frame_chunk,
-                args.views_limit, incremental_meshes=args.incremental_meshes)
+
+    import contextlib
+
+    from ..utils.profiling import trace_to
+
+    ctx = trace_to(args.profile_dir) if args.profile_dir else (
+        contextlib.nullcontext()
+    )
+    with ctx:
+        for scan_dir in scan_dirs:
+            run_one(scan_dir, args.output_dir, config, engine,
+                    args.frame_chunk, args.views_limit,
+                    incremental_meshes=args.incremental_meshes)
 
 
 if __name__ == "__main__":
