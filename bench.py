@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main():
+    from spatially_aware_ai_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -125,6 +125,9 @@ def fuse_scan(
     config = config or FusionConfig()
     if config.with_labels and segmenter is None:
         raise ValueError("with_labels=True requires a segmenter")
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     say = progress or (lambda s: None)
     timings: Dict[str, float] = {}
 
