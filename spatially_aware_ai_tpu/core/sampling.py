@@ -61,6 +61,47 @@ def sample_image_at_uv(img, uv, mode: str = "bilinear"):
     raise ValueError(f"unknown mode: {mode}")
 
 
+def pack_bilinear_corners(img):
+    """Precompute per-pixel 2x2 corner neighborhoods: [H, W, C] ->
+    [H+1, W+1, 4C] where packed[y, x] = (img[y-1,x-1], img[y-1,x],
+    img[y,x-1], img[y,x]) with zero padding outside the image.
+
+    One gather of the packed image at (floor(v)+1, floor(u)+1) returns all
+    four bilinear corners at once — a 4x reduction in gather passes for
+    gather-bound samplers (TPU gathers cost per index, not per channel).
+    """
+    C = img.shape[-1]
+    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)))
+    packed = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=-1
+    )
+    return packed  # [H+1, W+1, 4C]
+
+
+def sample_bilinear_packed(packed, uv, channels: int):
+    """Bilinear sampling using a pack_bilinear_corners image — exact same
+    result as sample_image_at_uv(img, uv, "bilinear"), one gather."""
+    x = uv[..., 0]
+    y = uv[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    idx_y = y0.astype(jnp.int32) + 1
+    idx_x = x0.astype(jnp.int32) + 1
+    quad = _gather_2d(packed, idx_y, idx_x)  # [..., 4C]
+    v00 = quad[..., :channels]
+    v01 = quad[..., channels : 2 * channels]
+    v10 = quad[..., 2 * channels : 3 * channels]
+    v11 = quad[..., 3 * channels :]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
 def grid_sample_2d(img, grid_norm, mode: str = "bilinear"):
     """torch-compatible entry point on normalized [-1, 1] grid coords.
 

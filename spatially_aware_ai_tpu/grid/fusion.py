@@ -309,7 +309,19 @@ def integrate_frames_hybrid_impl(
         feat_valid = feat_valid & fv & vox_valid
         feat_w = feat_valid.astype(jnp.float32)
 
-        rgb_s = sample_image_at_uv(rgb, uv, mode=rgb_mode)
+        if rgb_mode == "bilinear":
+            # corner-packed single-gather bilinear (TPU gathers cost per
+            # index; this replaces 4 gather passes with 1)
+            from ..core.sampling import (
+                pack_bilinear_corners,
+                sample_bilinear_packed,
+            )
+
+            rgb_s = sample_bilinear_packed(
+                pack_bilinear_corners(rgb), uv, channels=3
+            )
+        else:
+            rgb_s = sample_image_at_uv(rgb, uv, mode=rgb_mode)
         new = dict(
             tsdf_sum=g.tsdf_sum + tsdf * tsdf_valid.astype(jnp.float32),
             tsdf_w=g.tsdf_w + tsdf_valid.astype(jnp.int32),

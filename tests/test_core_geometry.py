@@ -166,3 +166,26 @@ def test_percentile_bounds_and_grid_dims():
 def test_percentile_bounds_empty_cloud_raises():
     with pytest.raises(ValueError, match="no valid depth"):
         percentile_bounds(np.zeros((0, 3), np.float32), 0.1)
+
+
+def test_packed_bilinear_matches_plain():
+    from spatially_aware_ai_tpu.core.sampling import (
+        pack_bilinear_corners,
+        sample_bilinear_packed,
+    )
+
+    H, W, C = 13, 17, 3
+    img = RNG.normal(size=(H, W, C)).astype(np.float32)
+    uv = np.stack(
+        [RNG.uniform(-2, W + 2, size=500), RNG.uniform(-2, H + 2, size=500)],
+        axis=-1,
+    ).astype(np.float32)
+    plain = np.asarray(
+        sample_image_at_uv(jnp.asarray(img), jnp.asarray(uv), mode="bilinear")
+    )
+    packed = np.asarray(
+        sample_bilinear_packed(
+            pack_bilinear_corners(jnp.asarray(img)), jnp.asarray(uv), C
+        )
+    )
+    np.testing.assert_allclose(packed, plain, atol=1e-6)
