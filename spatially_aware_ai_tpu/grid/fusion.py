@@ -268,6 +268,41 @@ def einsum_feature_splat(feat_sum, uvw, feat_imgs, block_voxels: int = 262144):
     return feat_sum + contrib.astype(feat_sum.dtype)
 
 
+def blocked_label_splat(label_hist, labs, valids, block_voxels: int = 131072):
+    """Chunk-batched label-histogram accumulation.
+
+    labs [F, N] i32 sampled class ids, valids [F, N] bool. Accumulates all F
+    frames' one-hots into label_hist with ONE read-modify-write of the
+    histogram instead of F (the per-frame scan RMW is the second-largest
+    traffic term after features). Voxel blocks (lax.map) bound the one-hot
+    transient.
+    """
+    F, N = labs.shape
+    L = label_hist.shape[1]
+    bs = min(block_voxels, N)
+    nb = -(-N // bs)
+    n_pad = nb * bs - N
+    labs_p = jnp.pad(labs, ((0, 0), (0, n_pad)))
+    valids_p = jnp.pad(valids, ((0, 0), (0, n_pad)))
+
+    def block(args):
+        lb, vb = args  # [F, bs]
+        contrib = jnp.zeros((bs, L), jnp.int32)
+        for f in range(F):
+            onehot = jax.nn.one_hot(lb[f], L, dtype=jnp.int32)
+            contrib = contrib + onehot * vb[f][:, None].astype(jnp.int32)
+        return contrib
+
+    contrib = jax.lax.map(
+        block,
+        (
+            labs_p.reshape(F, nb, bs).transpose(1, 0, 2),
+            valids_p.reshape(F, nb, bs).transpose(1, 0, 2),
+        ),
+    )
+    return label_hist + contrib.reshape(nb * bs, L)[:N]
+
+
 def integrate_frames_hybrid_impl(
     grid: FusionGrid,
     frames: FrameBatch,
@@ -328,15 +363,11 @@ def integrate_frames_hybrid_impl(
             rgb_sum=g.rgb_sum + rgb_s * feat_w[:, None],
             w=g.w + feat_valid.astype(jnp.int32),
         )
-        if g.label_hist is not None:
-            num_classes = g.label_hist.shape[1]
-            onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
-            new["label_hist"] = g.label_hist + onehot * feat_valid[
-                :, None
-            ].astype(jnp.int32)
         uv_patch = (uv + 0.5) * patch_scale - 0.5
         uvw = jnp.concatenate([uv_patch, feat_w[:, None]], axis=-1)
-        return g.replace(**new), uvw
+        if g.label_hist is None:
+            lab = jnp.zeros((), jnp.int32)  # placeholder ys leaf
+        return g.replace(**new), (uvw, lab)
 
     if grid.label_hist is not None:
         if frames.labels is None:
@@ -347,8 +378,14 @@ def integrate_frames_hybrid_impl(
 
     xs = (frames.depth, frames.rgb, frames.pose, frames.K, labels_xs,
           frames.frame_valid)
-    grid, uvws = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
+    grid, (uvws, labs) = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
     uvw = jnp.transpose(uvws, (1, 0, 2))  # [N, F, 3]
+
+    if grid.label_hist is not None:
+        label_hist = blocked_label_splat(
+            grid.label_hist, labs, uvws[:, :, 2] > 0
+        )
+        grid = grid.replace(label_hist=label_hist)
 
     if splat == "einsum":
         feat_sum = einsum_feature_splat(grid.feat_sum, uvw, frames.feat_img)
