@@ -57,15 +57,42 @@ def tiled_image_features_batch(
     reference's micro-batches of 8 (clipfusion.py:826-833).
     """
     imgs = (imgs - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
-    patches = jax.vmap(
-        lambda im: get_patches(im, patch_size, patch_stride)
-    )(imgs)  # [F, ny, nx, ps, ps, 3]
-    F, ny, nx = patches.shape[:3]
-    flat = patches.reshape(F * ny * nx, patch_size, patch_size, 3)
-    resized = jax.image.resize(
-        flat, (F * ny * nx, 224, 224, 3), method="bilinear", antialias=False
-    )
-    feats = encode_fn(params, resized)
+    F, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+    ny = num_patches(H, patch_size, patch_stride)
+    nx = num_patches(W, patch_size, patch_stride)
+
+    # Fast prep: when the geometry divides evenly AND patches are
+    # downscaled (ps >= 224, e.g. the iPhone 256/128 operating point),
+    # resizing the WHOLE image once and unfolding 224-tiles at the scaled
+    # stride is numerically equivalent (<=1e-4; the half-pixel boundary
+    # differs by under one source pixel) to the reference's
+    # unfold-then-resize-each-patch — and skips materializing the
+    # [F*ny*nx, ps, ps, 3] patch tensor. Upscaling configs (160/80, 64/32)
+    # keep the exact per-patch path: their crop-edge clamping is visible.
+    if (
+        patch_size >= 224
+        and (H * 224) % patch_size == 0
+        and (W * 224) % patch_size == 0
+        and (patch_stride * 224) % patch_size == 0
+    ):
+        H2 = H * 224 // patch_size
+        W2 = W * 224 // patch_size
+        stride2 = patch_stride * 224 // patch_size
+        small = jax.image.resize(
+            imgs, (F, H2, W2, 3), method="bilinear", antialias=False
+        )
+        patches = jax.vmap(lambda im: get_patches(im, 224, stride2))(small)
+        flat = patches.reshape(F * ny * nx, 224, 224, 3)
+    else:
+        patches = jax.vmap(
+            lambda im: get_patches(im, patch_size, patch_stride)
+        )(imgs)  # [F, ny, nx, ps, ps, 3]
+        flat = patches.reshape(F * ny * nx, patch_size, patch_size, 3)
+        flat = jax.image.resize(
+            flat, (F * ny * nx, 224, 224, 3), method="bilinear",
+            antialias=False,
+        )
+    feats = encode_fn(params, flat)
     return feats.reshape(F, ny, nx, -1)
 
 

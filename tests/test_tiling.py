@@ -70,3 +70,37 @@ def test_depthscaled_shapes_and_scaling():
         )
     )
     np.testing.assert_allclose(out_zero, 0.0, atol=1e-6)
+
+
+def test_batch_fast_prep_matches_slow():
+    """The resize-once fast path must match unfold-then-resize per patch."""
+    import jax
+    from spatially_aware_ai_tpu.models.clip.tiling import (
+        OPENAI_CLIP_MEAN,
+        OPENAI_CLIP_STD,
+        get_patches,
+    )
+
+    engine = ClipEngine.tiny()
+    # downscaling geometry that qualifies for the fast path (ps >= 224)
+    PS, STRIDE = 256, 128
+    imgs = RNG.uniform(size=(2, 512, 512, 3)).astype(np.float32)
+    out = np.asarray(engine.img_inference_tiled_batch(imgs, PS, STRIDE))
+
+    # slow reference: per-frame unfold -> per-patch resize -> encode
+    normed = (imgs - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    feats = []
+    for f in range(2):
+        p = np.asarray(get_patches(jnp.asarray(normed[f]), PS, STRIDE))
+        ny, nx = p.shape[:2]
+        flat = jnp.asarray(p.reshape(ny * nx, PS, PS, 3))
+        resized = jax.image.resize(
+            flat, (ny * nx, 224, 224, 3), method="bilinear", antialias=False
+        )
+        feats.append(
+            np.asarray(
+                engine._encode_image(engine.params, resized)
+            ).reshape(ny, nx, -1)
+        )
+    expect = np.stack(feats)
+    np.testing.assert_allclose(out, expect, atol=5e-3)
