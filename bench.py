@@ -139,9 +139,15 @@ def main():
     }
     print(json.dumps(result))
     # extra diagnostics on stderr (driver reads stdout's single line)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak_gb = round(stats.get("peak_bytes_in_use", 0) / 1e9, 2)
+    except Exception:
+        peak_gb = None
     print(
         json.dumps(
             {
+                "peak_hbm_gb": peak_gb,
                 "compile_s": round(compile_s, 2),
                 "chunk_frames": F,
                 "timed_chunks": REPEATS,

@@ -340,6 +340,17 @@ class InSituManager:
             self.scene_reconstructed = True
             self.last_fusion_seconds = time.time() - t0
             self.last_fusion_timings = result.timings
+            # peak device memory (reference prints
+            # torch.cuda.max_memory_allocated, clip_seem_fusion.py:428-430)
+            try:
+                import jax
+
+                stats = jax.devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use")
+                if peak:
+                    print(f"Peak device memory: {peak} bytes")
+            except Exception:
+                pass
             return result
 
     # -- mesh / knowledge requests -------------------------------------------
