@@ -123,3 +123,15 @@ def test_hypersim_eval(tmp_path, engine):
     # labels lower -> mid thresholds keep recall high
     assert rec[60] > 0.9
     assert prec[60] >= prec[0]
+
+
+def test_synthetic_label_quality():
+    """End-to-end fused-label quality vs GT voxelization must stay high
+    (hermetic stand-in for the ScanNet mIoU benchmark)."""
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    stats = eval_synthetic_labels(num_frames=12, width=96, height=72,
+                                  voxel_size=0.06)
+    assert stats["observed_voxels"] > 1000
+    assert stats["miou"] > 0.8, stats
+    assert stats["accuracy"] > 0.9, stats
