@@ -87,6 +87,20 @@ def eval_synthetic_labels(
         ious[c] = tp / max(tp + fp + fn, 1)
         accs[c] = tp / max(tp + fn, 1)
     acc = float(((pred == gt) & mask).sum() / max(mask.sum(), 1))
+
+    # mesh geometric quality: distance of extracted vertices to the true
+    # surface (union of box SDFs)
+    mesh = result.extract_mesh()
+    verts = mesh["verts_world"]
+    sdf = np.full(len(verts), np.inf, np.float32)
+    for box in scene.boxes:
+        c = (box.lo + box.hi) / 2
+        half = (box.hi - box.lo) / 2
+        q = np.abs(verts - c) - half
+        outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+        inside = np.minimum(q.max(axis=-1), 0)
+        sdf = np.minimum(sdf, np.abs(outside + inside))
+
     return {
         "miou": float(np.mean(list(ious.values()))),
         "accuracy": acc,
@@ -94,6 +108,10 @@ def eval_synthetic_labels(
         "recall_per_class": accs,
         "observed_voxels": int(mask.sum()),
         "nvox": list(nvox),
+        "mesh_vertices": int(len(verts)),
+        "surface_rms_m": float(np.sqrt((sdf**2).mean())),
+        "surface_p95_m": float(np.quantile(sdf, 0.95)),
+        "voxel_size_m": voxel_size,
     }
 
 
