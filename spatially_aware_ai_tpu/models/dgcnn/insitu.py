@@ -40,11 +40,12 @@ def featurize_object(clip_feats, rgb, voxels, num_points: int, rng=None):
     rgb = np.nan_to_num(np.asarray(rgb, np.float32))
     clip_feats = np.nan_to_num(np.asarray(clip_feats, np.float32))
     m = len(voxels)
+    if m == 0:
+        C = clip_feats.shape[-1] if clip_feats.ndim == 2 else 0
+        return np.zeros((num_points, 6 + C), np.float32)
     if rng is None:
         rng = np.random.default_rng(0)
-    idx = rng.integers(0, m, size=num_points) if m > 0 else np.zeros(
-        num_points, np.int64
-    )
+    idx = rng.integers(0, m, size=num_points)
     pts = voxels[idx]
     center = pts.mean(axis=0, keepdims=True)
     pts = pts - center

@@ -168,3 +168,12 @@ def test_reset_model(tmp_path):
     assert not m.model_trained
     import os
     assert not os.path.exists(str(tmp_path / "l.json"))
+
+
+def test_featurize_empty_object_is_zero():
+    pts = featurize_object(
+        np.zeros((0, 16), np.float32), np.zeros((0, 3), np.float32),
+        np.zeros((0, 3), np.int64), num_points=30,
+    )
+    assert pts.shape == (30, 22)
+    assert (pts == 0).all()
