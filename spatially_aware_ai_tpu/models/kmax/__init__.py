@@ -6,3 +6,4 @@ from .model import (
     panoptic_class_map,
 )
 from .heuristic import HeuristicSegmenter
+from .heuristic import GeometricSegmenter

@@ -75,3 +75,65 @@ class HeuristicSegmenter:
 
     def run_on_batch(self, rgbs) -> np.ndarray:
         return np.stack([self.run_on_image(r) for r in np.asarray(rgbs)])
+
+
+class GeometricSegmenter(HeuristicSegmenter):
+    """Depth-aware weight-free segmenter: classifies large planar regions
+    from depth normals (floor-ish horizontal planes -> 'floor-wood' 87,
+    vertical planes -> 'wall-other' normalized id 131), and clusters the
+    rest by color into spare object classes. Needs per-frame depth + K, so
+    it exposes `segment(rgb, depth, K, pose)`; `run_on_image` falls back to
+    color-only clustering when no depth is given.
+
+    The camera frame is right-down-forward; with roughly upright capture the
+    world 'up' is approximately -y in camera space, which is how floors are
+    told from walls without poses. When a pose is provided, normals are
+    rotated to world space for an exact up test.
+    """
+
+    FLOOR_ID = 87   # floor-wood
+    WALL_ID = 131   # wall-other(-merged) -> "wall"
+
+    def __init__(self, plane_cos: float = 0.8, min_region: float = 0.02,
+                 **kw):
+        super().__init__(**kw)
+        self.plane_cos = plane_cos
+        self.min_region = min_region
+
+    def _normals(self, depth, K):
+        H, W = depth.shape
+        fx, fy = K[0, 0], K[1, 1]
+        cx, cy = K[0, 2], K[1, 2]
+        us, vs = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+        X = (us - cx) / fx * depth
+        Y = (vs - cy) / fy * depth
+        pts = np.stack([X, Y, depth], axis=-1)
+        dx = np.gradient(pts, axis=1)
+        dy = np.gradient(pts, axis=0)
+        n = np.cross(dx, dy)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        return n / np.maximum(norm, 1e-9)
+
+    def segment(self, rgb, depth, K, pose=None) -> np.ndarray:
+        rgb = np.asarray(rgb, np.float32)
+        depth = np.asarray(depth, np.float32)
+        out = self.run_on_image(rgb)  # color clusters + null
+
+        valid = depth > 0
+        if valid.mean() < 0.05:
+            return out
+        normals = self._normals(depth, K)
+        if pose is not None:
+            normals = normals @ np.asarray(pose, np.float32)[:3, :3].T
+            up = np.array([0.0, -1.0, 0.0], np.float32)
+        else:
+            up = np.array([0.0, -1.0, 0.0], np.float32)  # camera "up"
+        cos_up = np.abs(normals @ up)
+
+        floor = valid & (cos_up > self.plane_cos)
+        wall = valid & (cos_up < (1 - self.plane_cos))
+        if floor.mean() > self.min_region:
+            out[floor] = self.FLOOR_ID
+        if wall.mean() > self.min_region:
+            out[wall] = self.WALL_ID
+        return out

@@ -52,3 +52,22 @@ def test_pipeline_discovers_objects_without_weights():
     assert any(
         k.startswith("object-") for k in sk["unique_objects"]
     )
+
+
+def test_geometric_segmenter_detects_floor():
+    from spatially_aware_ai_tpu.models.kmax import GeometricSegmenter
+
+    ds = SyntheticSceneDataset(num_frames=2, width=96, height=72)
+    f = ds[0]
+    seg = GeometricSegmenter(num_clusters=4)
+    out = seg.segment(f.rgb, f.depth, f.K, f.pose)
+    assert out.shape == f.depth.shape
+    # the demo room's floor (world-horizontal plane) must be labeled 87
+    labels_gt = ds.render_labels(0)
+    floor_mask = labels_gt == 87
+    assert floor_mask.sum() > 200
+    hit = (out[floor_mask] == GeometricSegmenter.FLOOR_ID).mean()
+    assert hit > 0.6, f"floor hit rate {hit}"
+    # without depth it still returns something sane
+    out2 = seg.segment(f.rgb, np.zeros_like(f.depth), f.K)
+    assert out2.shape == out.shape
