@@ -23,10 +23,13 @@ import urllib.request
 import numpy as np
 
 
+TIMEOUT_S = 1800  # reprocess/learn can run for minutes
+
+
 def post(server: str, path: str, data: dict):
     body = urllib.parse.urlencode(data).encode()
     req = urllib.request.Request(server + path, data=body, method="POST")
-    with urllib.request.urlopen(req) as resp:
+    with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
         payload = resp.read().decode()
         try:
             return resp.status, json.loads(payload)
@@ -35,7 +38,7 @@ def post(server: str, path: str, data: dict):
 
 
 def get(server: str, path: str):
-    with urllib.request.urlopen(server + path) as resp:
+    with urllib.request.urlopen(server + path, timeout=TIMEOUT_S) as resp:
         return resp.status, json.loads(resp.read().decode())
 
 

@@ -14,6 +14,9 @@ from typing import Callable, Dict, Tuple
 from urllib.parse import parse_qs
 
 
+MAX_BODY_BYTES = 64 * 1024 * 1024  # mesh JSON payloads are large; cap abuse
+
+
 class Request:
     def __init__(self, environ):
         self.environ = environ
@@ -23,6 +26,7 @@ class Request:
             length = int(environ.get("CONTENT_LENGTH") or 0)
         except ValueError:
             length = 0
+        length = min(length, MAX_BODY_BYTES)
         body = environ["wsgi.input"].read(length) if length else b""
         self.body = body
         self.form: Dict[str, str] = {}

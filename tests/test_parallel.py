@@ -151,3 +151,75 @@ def test_sharded_pallas_fusion_matches():
         np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
+
+
+def test_2d_mesh_dp_by_vox():
+    """Production sharding shape: frames data-parallel on one mesh axis,
+    the voxel grid sharded on the other (2x4 over 8 devices); GSPMD
+    inserts the reshard between inference and fusion."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_impl
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.models.clip.tiling import (
+        OPENAI_CLIP_MEAN, OPENAI_CLIP_STD, get_patches,
+    )
+
+    engine = ClipEngine.tiny()
+    scene = make_scene(num_frames=4, H=28, W=28,
+                       feat_dim=engine.feature_dim)
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("dp", "vox"))
+
+    grid = create_grid(**grid_args(scene, pad_to=4))
+    batch = build_batch(scene, with_labels=True)
+    batch = batch.replace(
+        feat_img=jnp.zeros((4, 1, 1, engine.feature_dim), jnp.float32)
+    )
+
+    def grid_shard(x):
+        if x.ndim >= 1 and x.shape[0] > 3:
+            return NamedSharding(mesh, P("vox", *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    grid = jax.device_put(grid, jax.tree.map(grid_shard, grid))
+    batch = jax.device_put(
+        batch,
+        jax.tree.map(
+            lambda x: NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))),
+            batch,
+        ),
+    )
+
+    @jax.jit
+    def step(params, grid, frames):
+        x = (frames.rgb - jnp.asarray(OPENAI_CLIP_MEAN)) / jnp.asarray(
+            OPENAI_CLIP_STD
+        )
+        patches = jax.vmap(lambda im: get_patches(im, 28, 14))(x)
+        F_, ny, nx = patches.shape[:3]
+        flat = patches.reshape(F_ * ny * nx, 28, 28, 3)
+        flat = jax.image.resize(flat, (flat.shape[0], 224, 224, 3),
+                                method="bilinear", antialias=False)
+        feats = engine.model.apply(
+            params, flat,
+            method=type(engine.model).encode_image,
+        )
+        frames = frames.replace(feat_img=feats.reshape(F_, ny, nx, -1))
+        return integrate_frames_impl(grid, frames)
+
+    out = step(engine.params, grid, batch)
+
+    # single-device reference
+    feat_imgs = jnp.stack(
+        [engine.img_inference_tiled(scene["frames"][i][1], 28, 14)
+         for i in range(4)]
+    )
+    ref = integrate_frames(
+        create_grid(**grid_args(scene)),
+        build_batch(scene, with_labels=True).replace(feat_img=feat_imgs),
+    )
+    n = ref.tsdf_sum.shape[0]
+    np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
+    )
