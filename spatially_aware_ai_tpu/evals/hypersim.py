@@ -112,6 +112,11 @@ def main(argv=None):
     from ..models.clip.engine import ClipEngine
 
     ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+    if not ckpt:
+        print(
+            "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
+            "scores are meaningless without converted weights"
+        )
     engine = ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
     stats = eval_hypersim(args.reconstruction_dir, engine, args.labels_csv)
     out = args.out or os.path.join(

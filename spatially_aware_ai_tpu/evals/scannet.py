@@ -185,6 +185,11 @@ def main(argv=None):
         ]
 
     ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+    if not ckpt:
+        print(
+            "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
+            "scores are meaningless without converted weights"
+        )
     clip_engine = (
         ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
     )
