@@ -74,10 +74,102 @@ def convert_convnext_state_dict(sd, depths=(3, 3, 27, 3), prefix=""):
     return params
 
 
+def _linear(sd, name):
+    return {"kernel": _np(sd[f"{name}.weight"]).T,
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _ln(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name):
+    return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _mha(sd, name, heads):
+    """Separate q/k/v/out Linears (DxD) -> flax MultiHeadDotProductAttention
+    param layout: q/k/v kernels [D, H, hd], out kernel [H, hd, D]."""
+    qw = _np(sd[f"{name}.q.weight"])  # [D, D] torch (out, in)
+    D = qw.shape[0]
+    hd = D // heads
+
+    def qkv(prefix):
+        w = _np(sd[f"{name}.{prefix}.weight"]).T.reshape(D, heads, hd)
+        b = _np(sd[f"{name}.{prefix}.bias"]).reshape(heads, hd)
+        return {"kernel": w, "bias": b}
+
+    ow = _np(sd[f"{name}.out.weight"]).T.reshape(heads, hd, D)
+    ob = _np(sd[f"{name}.out.bias"])
+    return {
+        "query": qkv("q"),
+        "key": qkv("k"),
+        "value": qkv("v"),
+        "out": {"kernel": ow, "bias": ob},
+    }
+
+
+def convert_kmax_state_dict(sd, cfg=None):
+    """torch kMaX-DeepLab state_dict (in this framework's torch-mirror
+    layout, see tests/test_kmax_convert.py) -> flax params for KMaxDeepLab.
+
+    Layout contract: backbone.* follows the standard ConvNeXt naming;
+    pixel_decoder.{lat,smooth,ln}_<level> + pixel_decoder.mask_feat;
+    kmax_block<i>.{xattn_ln_q,xattn_q,xattn_k,xattn_v,xattn_proj,
+    self_attn.{q,k,v,out},sa_ln,ffn_ln,ffn1,ffn2}; cluster_centers;
+    head_ln / class_head / mask_head.
+
+    NOTE: the official bytedance/kmax-deeplab checkpoint uses different
+    module names; once a checkpoint is available, map its names onto this
+    contract (the tensor-layout conversions here are what's hard to get
+    right, and they are parity-tested).
+    """
+    from .model import KMAX_CONVNEXT_LARGE
+
+    cfg = cfg or KMAX_CONVNEXT_LARGE
+    params = {
+        "backbone": convert_convnext_state_dict(
+            sd, depths=cfg.backbone.depths, prefix="backbone."
+        ),
+        "cluster_centers": _np(sd["cluster_centers"]),
+        "head_ln": _ln(sd, "head_ln"),
+        "class_head": _linear(sd, "class_head"),
+        "mask_head": _linear(sd, "mask_head"),
+    }
+
+    pd = {}
+    for level in ["os32", "os16", "os8", "os4"]:
+        pd[f"lat_{level}"] = _linear(sd, f"pixel_decoder.lat_{level}")
+        pd[f"smooth_{level}"] = _conv(sd, f"pixel_decoder.smooth_{level}")
+        pd[f"ln_{level}"] = _ln(sd, f"pixel_decoder.ln_{level}")
+    pd["mask_feat"] = _linear(sd, "pixel_decoder.mask_feat")
+    params["pixel_decoder"] = pd
+
+    n_blocks = sum(cfg.dec_blocks)
+    for i in range(n_blocks):
+        p = f"kmax_block{i}"
+        params[p] = {
+            "xattn_ln_q": _ln(sd, f"{p}.xattn_ln_q"),
+            "xattn_q": _linear(sd, f"{p}.xattn_q"),
+            "xattn_k": _linear(sd, f"{p}.xattn_k"),
+            "xattn_v": _linear(sd, f"{p}.xattn_v"),
+            "xattn_proj": _linear(sd, f"{p}.xattn_proj"),
+            "self_attn": _mha(sd, f"{p}.self_attn", cfg.num_heads),
+            "sa_ln": _ln(sd, f"{p}.sa_ln"),
+            "ffn_ln": _ln(sd, f"{p}.ffn_ln"),
+            "ffn1": _linear(sd, f"{p}.ffn1"),
+            "ffn2": _linear(sd, f"{p}.ffn2"),
+        }
+    return {"params": params}
+
+
 def convert_kmax_checkpoint(sd):  # pragma: no cover - requires a checkpoint
     raise NotImplementedError(
-        "Full kMaX-DeepLab checkpoint conversion needs the official "
-        "checkpoint to validate decoder-head tensor layouts against; supply "
-        "kmax_convnext_large.pth and extend this converter (the backbone "
-        "maps via convert_convnext_state_dict(sd, prefix='backbone.'))."
+        "The official kmax_convnext_large.pth uses detectron2 module names; "
+        "map them onto convert_kmax_state_dict's layout contract (the "
+        "backbone maps via convert_convnext_state_dict(sd, "
+        "prefix='backbone.'); the decoder tensor-layout conversions are "
+        "already parity-tested in tests/test_kmax_convert.py)."
     )

@@ -37,23 +37,23 @@ class TorchBlock(tnn.Module):
 
 
 class TorchConvNeXt(tnn.Module):
-    def __init__(self):
+    def __init__(self, depths=DEPTHS, dims=DIMS):
         super().__init__()
         self.downsample_layers = tnn.ModuleList()
         stem = tnn.Sequential(
-            tnn.Conv2d(3, DIMS[0], 4, stride=4),
-            ChannelLN(DIMS[0]),
+            tnn.Conv2d(3, dims[0], 4, stride=4),
+            ChannelLN(dims[0]),
         )
         self.downsample_layers.append(stem)
         for i in range(3):
             self.downsample_layers.append(
                 tnn.Sequential(
-                    ChannelLN(DIMS[i]),
-                    tnn.Conv2d(DIMS[i], DIMS[i + 1], 2, stride=2),
+                    ChannelLN(dims[i]),
+                    tnn.Conv2d(dims[i], dims[i + 1], 2, stride=2),
                 )
             )
         self.stages = tnn.ModuleList(
-            tnn.Sequential(*[TorchBlock(DIMS[i]) for _ in range(DEPTHS[i])])
+            tnn.Sequential(*[TorchBlock(dims[i]) for _ in range(depths[i])])
             for i in range(4)
         )
 
