@@ -71,3 +71,70 @@ def test_geometric_segmenter_detects_floor():
     # without depth it still returns something sane
     out2 = seg.segment(f.rgb, np.zeros_like(f.depth), f.K)
     assert out2.shape == out.shape
+
+
+def test_weight_free_manager_lifecycle(tmp_path):
+    """The whole product loop with NO ground-truth segmenter and NO weights:
+    heuristic clustering still yields objects that can be renamed, memorized,
+    trained on, and detected as missing after a rescan."""
+    import json
+    import os
+
+    from spatially_aware_ai_tpu.manager import InSituManager
+    from spatially_aware_ai_tpu.models.dgcnn import InSituLearning
+    from spatially_aware_ai_tpu.scene.objects import (
+        mark_object_of_interest, merge_objects,
+    )
+
+    scan_dir = tmp_path / "scans"
+    for ver, remove in [("v00", []), ("v01", ["red_box"])]:
+        d = scan_dir / "demo" / ver
+        os.makedirs(d)
+        with open(d / "synthetic_scene.json", "w") as f:
+            json.dump({"num_frames": 8, "width": 80, "height": 60,
+                       "remove": remove}, f)
+
+    engine = ClipEngine.tiny()
+    insitu = InSituLearning(
+        emb_dims=64, k_neighbors=8, num_points=30, batch_size=32,
+        epochs=120, lr=0.003, feature_dim=engine.feature_dim,
+        model_path=str(tmp_path / "out" / "demo" / "insitu_model.pth"),
+        label_path=str(tmp_path / "out" / "demo" / "insitu_labels.json"),
+        confidence_threshold=0.5,
+    )
+    manager = InSituManager(
+        scan_dir=str(scan_dir), scan_name="demo", dataset="synthetic",
+        output_dir=str(tmp_path / "out"), voxel_size=0.07, trunc_vox=2,
+        clip_patch_size=40, clip_patch_stride=20,
+        clip_engine=engine,
+        seg_model=HeuristicSegmenter(num_clusters=5),
+        insitu_model=insitu, frame_chunk=4,
+    )
+    uo = manager.scene_knowledge["unique_objects"]
+    assert len(uo) >= 2
+
+    # the red box is small and red: find the object whose mean rgb is reddest
+    def redness(info):
+        vox = np.asarray(info["voxels"])
+        rgb = manager.voxel_rgb[tuple(vox.T)]
+        m = rgb.mean(axis=0)
+        return m[0] - (m[1] + m[2]) / 2
+
+    box_id = max(uo, key=lambda k: redness(uo[k]))
+    new_name, manager.scene_knowledge = merge_objects(
+        manager.scene_knowledge, manager.vertex_obj_idx, insitu, [box_id],
+        "my_red_thing",
+    )
+    manager.scene_knowledge = mark_object_of_interest(
+        manager.scene_knowledge, insitu, [new_name]
+    )
+    manager.save_files_and_broadcast(new_scene=False)
+    stats = manager.insitu_prepare_and_train()
+    assert stats["trained"]
+
+    manager.update_config(1)
+    manager.run_clipfusion(curr_ver=1)
+    sk = manager.scene_knowledge
+    assert new_name in sk["missing_objects"], (
+        list(sk["unique_objects"]), list(sk["missing_objects"])
+    )
