@@ -426,3 +426,171 @@ def integrate_frames_einsum(
     return integrate_frames_hybrid_impl(
         grid, frames, rgb_mode=rgb_mode, voxel_start=0, splat="einsum"
     )
+
+
+def integrate_frames_sparse_impl(
+    grid: FusionGrid,
+    frames: FrameBatch,
+    rgb_mode: str = "bilinear",
+    capacity: int = 0,
+) -> FusionGrid:
+    """Sparse-active-voxel integration.
+
+    TSDF updates are inherently dense (free-space carving covers the
+    frustum), but the expensive channels — RGB, CLIP features, labels —
+    only apply to near-surface voxels (|sdf| <= 1). This integrator runs the
+    dense geometry/TSDF scan, takes the chunk's UNION of near-surface
+    voxels, and when it fits in `capacity` slots does all per-voxel gathers
+    and accumulator updates on that subset only (gathers and grid RMWs
+    shrink by the sparsity factor). If the union overflows capacity the
+    whole chunk falls back to the dense einsum path inside the same jit
+    (lax.cond) — results are ALWAYS exact, capacity only affects speed.
+
+    Requires the grid buffer to be padded past prod(nvox) (one slot is used
+    as a scatter sink for inactive fill indices; padding rows are masked so
+    sink writes are zeros).
+    """
+    N_buf = grid.tsdf_sum.shape[0]
+    xyz_world, vox_valid = voxel_world_coords_flat(
+        grid.nvox, grid.origin, grid.voxel_size, 0, N_buf
+    )
+    F_, H, W = frames.depth.shape
+    Py, Px = frames.feat_img.shape[1], frames.feat_img.shape[2]
+    patch_scale = jnp.array([Px / W, Py / H], jnp.float32)
+    capacity = capacity or max(1024, N_buf // 4)
+    sink = N_buf - 1  # padding slot; its contributions are always zero
+
+    track_labels = grid.label_hist is not None
+    if track_labels and frames.labels is None:
+        raise ValueError("grid tracks labels but FrameBatch.labels is None")
+
+    # ---- phase 1: dense geometry scan (tsdf only) ----
+    def step(g, frame):
+        depth, pose, K, labels, fv = frame
+        if track_labels:
+            uv, tsdf, tsdf_valid, feat_valid, lab = frame_geometry(
+                g, xyz_world, depth, pose, K, labels
+            )
+        else:
+            uv, tsdf, tsdf_valid, feat_valid = frame_geometry(
+                g, xyz_world, depth, pose, K
+            )
+            lab = jnp.zeros((N_buf,), jnp.int32)
+        tsdf_valid = tsdf_valid & fv & vox_valid
+        feat_valid = feat_valid & fv & vox_valid
+        g = g.replace(
+            tsdf_sum=g.tsdf_sum + tsdf * tsdf_valid.astype(jnp.float32),
+            tsdf_w=g.tsdf_w + tsdf_valid.astype(jnp.int32),
+        )
+        uv_patch = (uv + 0.5) * patch_scale - 0.5
+        uvw = jnp.concatenate(
+            [uv_patch, feat_valid.astype(jnp.float32)[:, None]], axis=-1
+        )
+        return g, (uvw, lab)
+
+    labels_xs = (
+        frames.labels if track_labels
+        else jnp.zeros((frames.num_frames, 1, 1), jnp.int32)
+    )
+    xs = (frames.depth, frames.pose, frames.K, labels_xs, frames.frame_valid)
+    grid, (uvws, labs) = jax.lax.scan(step, grid, xs)
+
+    valids = uvws[:, :, 2] > 0  # [F, N]
+    w_counts = valids.sum(axis=0).astype(jnp.int32)  # [N]
+    union = valids.any(axis=0)
+    count = union.sum()
+
+    def rgb_sample(rgb_img, uv_pix):
+        if rgb_mode == "bilinear":
+            from ..core.sampling import (
+                pack_bilinear_corners,
+                sample_bilinear_packed,
+            )
+
+            return sample_bilinear_packed(
+                pack_bilinear_corners(rgb_img), uv_pix, channels=3
+            )
+        return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
+
+    def to_pixel(uv_patch):
+        return (uv_patch + 0.5) / patch_scale - 0.5
+
+    # ---- phase 2a: sparse branch ----
+    def sparse_branch(g):
+        (active,) = jnp.nonzero(union, size=capacity, fill_value=sink)
+        uvw_a = jnp.take(uvws, active, axis=1)  # [F, K, 3]
+        labs_a = jnp.take(labs, active, axis=1)  # [F, K]
+
+        def rgb_step(acc, frame):
+            rgb_img, uvw_f = frame
+            uv_pix = to_pixel(uvw_f[:, :2])
+            s = rgb_sample(rgb_img, uv_pix)
+            return acc + s * uvw_f[:, 2:3], None
+
+        rgb_contrib, _ = jax.lax.scan(
+            rgb_step, jnp.zeros((capacity, 3), jnp.float32),
+            (frames.rgb, uvw_a),
+        )
+
+        feat_contrib = einsum_feature_splat(
+            jnp.zeros((capacity, g.feat_sum.shape[1]), g.feat_sum.dtype),
+            jnp.transpose(uvw_a, (1, 0, 2)),
+            frames.feat_img,
+        )
+
+        new = dict(
+            rgb_sum=g.rgb_sum.at[active].add(rgb_contrib),
+            w=g.w.at[active].add(jnp.take(w_counts, active)),
+            feat_sum=g.feat_sum.at[active].add(feat_contrib),
+        )
+        if track_labels:
+            hist_contrib = blocked_label_splat(
+                jnp.zeros((capacity, g.label_hist.shape[1]), jnp.int32),
+                labs_a,
+                uvw_a[:, :, 2] > 0,
+            )
+            new["label_hist"] = g.label_hist.at[active].add(hist_contrib)
+        return g.replace(**new)
+
+    # ---- phase 2b: dense fallback ----
+    def dense_branch(g):
+        def rgb_step(acc, frame):
+            rgb_img, uvw_f = frame
+            uv_pix = to_pixel(uvw_f[:, :2])
+            s = rgb_sample(rgb_img, uv_pix)
+            return acc + s * uvw_f[:, 2:3], None
+
+        rgb_contrib, _ = jax.lax.scan(
+            rgb_step, jnp.zeros((N_buf, 3), jnp.float32),
+            (frames.rgb, uvws),
+        )
+        new = dict(
+            rgb_sum=g.rgb_sum + rgb_contrib,
+            w=g.w + w_counts,
+            feat_sum=einsum_feature_splat(
+                g.feat_sum, jnp.transpose(uvws, (1, 0, 2)), frames.feat_img
+            ),
+        )
+        if track_labels:
+            new["label_hist"] = blocked_label_splat(
+                g.label_hist, labs, valids
+            )
+        return g.replace(**new)
+
+    return jax.lax.cond(count <= capacity, sparse_branch, dense_branch, grid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rgb_mode", "capacity"), donate_argnums=(0,)
+)
+def integrate_frames_sparse(
+    grid: FusionGrid,
+    frames: FrameBatch,
+    rgb_mode: str = "bilinear",
+    capacity: int = 0,
+) -> FusionGrid:
+    """Jitted sparse-active-voxel entry point (exact; dense fallback on
+    capacity overflow)."""
+    return integrate_frames_sparse_impl(
+        grid, frames, rgb_mode=rgb_mode, capacity=capacity
+    )

@@ -82,13 +82,16 @@ def create_grid(
     num_classes: int = NUM_LABEL_CLASSES,
     feat_dtype=jnp.float32,
     pad_to: int = 1,
+    min_padding: int = 0,
 ) -> FusionGrid:
     """pad_to: round the flat voxel buffer up to a multiple (e.g. the device
     count for voxel-sharding, or 1024 for tile alignment). Padding voxels
-    never accumulate and are sliced off at read time."""
+    never accumulate and are sliced off at read time. min_padding forces at
+    least that many padding slots (the sparse integrator needs one as a
+    scatter sink)."""
     nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
     n = int(np.prod(nvox))
-    n = ((n + pad_to - 1) // pad_to) * pad_to
+    n = ((n + min_padding + pad_to - 1) // pad_to) * pad_to
     return FusionGrid(
         tsdf_sum=jnp.zeros((n,), jnp.float32),
         tsdf_w=jnp.zeros((n,), jnp.int32),

@@ -45,9 +45,12 @@ class FusionConfig:
     with_labels: bool = False
     num_classes: int = NUM_CLASSES_WITH_SPARE
     # integrator: None = auto ("einsum" chunk-batched splat on TPU, "scan"
-    # elsewhere); explicit options: "scan" | "einsum" | "pallas"
+    # elsewhere); explicit: "scan" | "einsum" | "pallas" | "sparse"
+    # ("sparse" restricts rgb/feature/label work to near-surface voxels,
+    # exact with dense fallback; see grid/fusion.py)
     integrator: Optional[str] = None
     pallas_tile: int = 512
+    sparse_capacity: int = 0  # 0 = auto (quarter of the grid buffer)
     # round the flat voxel buffer up to this multiple so scans with similar
     # bounds reuse one compiled executable (grid dims are traced data, only
     # the buffer SIZE is baked into the compile). None = auto: 65536 on TPU
@@ -162,6 +165,7 @@ def fuse_scan(
         with_labels=config.with_labels,
         num_classes=config.num_classes,
         pad_to=bucket,
+        min_padding=1 if integrator == "sparse" else 0,
     )
 
     n = len(dataset)
@@ -280,6 +284,13 @@ def fuse_scan(
         elif integrator == "einsum":
             grid = integrate_frames_einsum(
                 grid, batch, rgb_mode=config.rgb_mode
+            )
+        elif integrator == "sparse":
+            from .grid.fusion import integrate_frames_sparse
+
+            grid = integrate_frames_sparse(
+                grid, batch, rgb_mode=config.rgb_mode,
+                capacity=config.sparse_capacity,
             )
         else:
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)

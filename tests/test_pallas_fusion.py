@@ -160,3 +160,54 @@ def test_hybrid_frame_padding_is_noop():
     np.testing.assert_array_equal(
         np.asarray(g1.label_hist), np.asarray(g2.label_hist)
     )
+
+
+def test_sparse_integration_matches_dense():
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_sparse
+
+    scene = make_scene(num_frames=5)
+    batch = build_batch_local(scene)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    # generous capacity -> sparse branch taken
+    g_args = dict(grid_args(scene), pad_to=8, min_padding=1)
+    out = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=n
+    )
+    for name in ["tsdf_sum", "tsdf_w", "w", "label_hist"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name))[:n],
+            np.asarray(getattr(ref, name)), err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.rgb_sum)[:n], np.asarray(ref.rgb_sum), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
+    )
+    # padding (incl. the scatter sink) stays clean
+    assert np.asarray(out.w)[n:].sum() == 0
+    assert np.abs(np.asarray(out.feat_sum)[n:]).sum() == 0
+
+
+def test_sparse_integration_overflow_falls_back_dense():
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_sparse
+
+    scene = make_scene(num_frames=4)
+    batch = build_batch_local(scene)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    # capacity 8 certainly overflows -> dense fallback, still exact
+    g_args = dict(grid_args(scene), pad_to=8, min_padding=1)
+    out = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=8
+    )
+    np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.rgb_sum)[:n], np.asarray(ref.rgb_sum), atol=1e-5
+    )

@@ -138,3 +138,23 @@ def test_depth_scaled_pipeline_runs():
     result = fuse_scan(ds, engine, cfg)
     assert result.values["weight"].sum() > 100
     assert np.isfinite(result.values["feat"]).all()
+
+
+def test_sparse_integrator_pipeline_matches_scan():
+    ds = SyntheticSceneDataset(num_frames=6, width=64, height=48)
+    engine = ClipEngine.tiny()
+    base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=3)
+    r_scan = fuse_scan(ds, engine, FusionConfig(**base, integrator="scan"))
+    r_sparse = fuse_scan(
+        ds, engine, FusionConfig(**base, integrator="sparse")
+    )
+    np.testing.assert_array_equal(
+        r_sparse.values["weight"], r_scan.values["weight"]
+    )
+    np.testing.assert_allclose(
+        r_sparse.values["feat"], r_scan.values["feat"], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        r_sparse.values["rgb"], r_scan.values["rgb"], atol=1e-5
+    )
