@@ -65,6 +65,7 @@ def main():
     grid = create_grid(
         origin, 0.04, nvox, trunc=3 * 0.04,
         feature_dim=engine.feature_dim, with_labels=True, pad_to=1024,
+        min_padding=1,
     )
 
     labels = np.stack(
@@ -106,6 +107,12 @@ def main():
             )
 
             grid = integrate_frames_einsum(grid, batch)
+        elif integrator == "sparse":
+            from spatially_aware_ai_tpu.grid.fusion import (
+                integrate_frames_sparse,
+            )
+
+            grid = integrate_frames_sparse(grid, batch)
         else:
             grid = integrate_frames(grid, batch)
         return grid
