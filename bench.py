@@ -85,7 +85,7 @@ def main():
     # minutes. SAI_BENCH_INTEGRATOR=scan|einsum|pallas overrides.
     integrator = os.environ.get(
         "SAI_BENCH_INTEGRATOR",
-        "einsum" if jax.default_backend() == "tpu" else "scan",
+        "sparse" if jax.default_backend() == "tpu" else "scan",
     )
 
     def run_chunk(grid):

@@ -143,7 +143,7 @@ def fuse_scan(
 
     integrator = config.integrator
     if integrator is None:
-        integrator = "einsum" if jax.default_backend() == "tpu" else "scan"
+        integrator = "sparse" if jax.default_backend() == "tpu" else "scan"
 
     bucket = config.grid_size_bucket
     if bucket is None:
