@@ -79,10 +79,9 @@ def main():
     Ks_d = jnp.asarray(Ks)
     labels_d = jnp.asarray(labels)
 
-    # integrator selection: the chunk-batched einsum splat is the default on
-    # TPU (pure XLA, fast compile); the Pallas kernel is opt-in because this
-    # sandbox's remote-compile tunnel makes Mosaic compiles take many
-    # minutes. SAI_BENCH_INTEGRATOR=scan|einsum|pallas overrides.
+    # integrator selection: the sparse-active-voxel integrator is the TPU
+    # default (exact; dense fallback on overflow; biggest wins at fine
+    # grids). SAI_BENCH_INTEGRATOR=scan|einsum|pallas|sparse overrides.
     integrator = os.environ.get(
         "SAI_BENCH_INTEGRATOR",
         "sparse" if jax.default_backend() == "tpu" else "scan",
