@@ -94,6 +94,8 @@ def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):
     (reference clipfusion.py:1063, 1100-1106)."""
     clouds = []
     n = len(dataset)
+    if n == 0:
+        raise ValueError("dataset has no frames")
     for start in range(0, n, chunk):
         idx = range(start, min(n, start + chunk))
         stack = dataset.stacked(idx)

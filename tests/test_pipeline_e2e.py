@@ -158,3 +158,23 @@ def test_sparse_integrator_pipeline_matches_scan():
     np.testing.assert_allclose(
         r_sparse.values["rgb"], r_scan.values["rgb"], atol=1e-5
     )
+
+
+def test_scan_smaller_than_one_chunk():
+    ds = SyntheticSceneDataset(num_frames=2, width=48, height=36)
+    engine = ClipEngine.tiny()
+    cfg = FusionConfig(voxel_size=0.1, trunc_vox=2.0, clip_patch_size=24,
+                       clip_patch_stride=12, frame_chunk=8)
+    result = fuse_scan(ds, engine, cfg)
+    assert result.values["weight"].sum() > 50
+    # observation counts can't exceed the 2 real frames
+    assert result.values["weight"].max() <= 2
+
+
+def test_empty_dataset_raises():
+    class Empty(SyntheticSceneDataset):
+        def __len__(self):
+            return 0
+
+    with pytest.raises(ValueError, match="no frames"):
+        fuse_scan(Empty(num_frames=1, width=32, height=24), ClipEngine.tiny())
