@@ -51,14 +51,18 @@ def _replicated_specs(tree):
 
 def integrate_frames_sharded(
     mesh, grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
-    axis: str = AXIS, use_pallas: bool = False, pallas_tile: int = 512,
-    pallas_interpret: bool = False,
+    axis: str = AXIS, integrator: str = "scan", pallas_tile: int = 512,
+    pallas_interpret: bool = False, use_pallas: bool = False,
 ) -> FusionGrid:
     """shard_map fusion: grid voxel-sharded, frames replicated, no comms.
 
-    use_pallas runs the hybrid XLA+Pallas integrator inside each shard (the
-    fused feature splat then operates on the local voxel slice); the local
-    shard size must be a multiple of pallas_tile."""
+    integrator: "scan" (reference-exact oracle), "einsum" (chunk-batched
+    splat, the production fast path — each shard splats its local voxel
+    slice), or "pallas" (fused kernel; local shard size must be a multiple
+    of pallas_tile). `use_pallas=True` is a deprecated alias for
+    integrator="pallas"."""
+    if use_pallas:
+        integrator = "pallas"
     n_dev = mesh.shape[axis]
     n_local = grid.tsdf_sum.shape[0] // n_dev
     if grid.tsdf_sum.shape[0] % n_dev != 0:
@@ -69,12 +73,13 @@ def integrate_frames_sharded(
 
     def body(g, f):
         start = jax.lax.axis_index(axis) * n_local
-        if use_pallas:
+        if integrator in ("pallas", "einsum"):
             from ..grid.fusion import integrate_frames_hybrid_impl
 
             return integrate_frames_hybrid_impl(
                 g, f, rgb_mode=rgb_mode, voxel_start=start,
                 tile=pallas_tile, interpret=pallas_interpret,
+                splat=integrator,
             )
         return integrate_frames_impl(g, f, rgb_mode=rgb_mode, voxel_start=start)
 

@@ -223,3 +223,22 @@ def test_2d_mesh_dp_by_vox():
     np.testing.assert_allclose(
         np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
     )
+
+
+def test_sharded_einsum_fusion_matches():
+    """einsum splat inside shard_map (the multi-chip production fast path)."""
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    mesh = make_mesh(8)
+    grid = shard_grid(mesh, create_grid(**grid_args(scene, pad_to=8)))
+    out = integrate_frames_sharded(mesh, grid, batch, integrator="einsum")
+    np.testing.assert_allclose(
+        np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(out.w)[:n], np.asarray(ref.w))
+    np.testing.assert_array_equal(
+        np.asarray(out.label_hist)[:n], np.asarray(ref.label_hist)
+    )
