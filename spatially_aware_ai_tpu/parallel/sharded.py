@@ -136,6 +136,12 @@ def make_sharded_fusion_step(
         grid = jax.lax.with_sharding_constraint(
             grid, grid_sharding(mesh, grid, axis)
         )
-        return integrate_frames_impl(grid, frames, rgb_mode=rgb_mode)
+        from ..grid.fusion import integrate_frames_hybrid_impl
+
+        # einsum chunk-batched splat: pure XLA, GSPMD partitions the
+        # [N, F*P] x [F*P, C] contraction along the voxel sharding
+        return integrate_frames_hybrid_impl(
+            grid, frames, rgb_mode=rgb_mode, splat="einsum"
+        )
 
     return jax.jit(step, donate_argnums=(1,))
