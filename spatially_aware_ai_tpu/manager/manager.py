@@ -409,18 +409,17 @@ class InSituManager:
         with self.lock:
             if self.scene_knowledge is None:
                 return None
-            if self.control_objects is None:
-                uo = self.scene_knowledge["unique_objects"]
-                self.control_objects = sorted(
-                    {uo[k]["class_label"] for k in uo}
-                )
-
-            if (
-                text not in self.control_objects
-                or self.control_text_features is None
-            ):
-                if text not in self.control_objects:
-                    self.control_objects.append(text)
+            # The reference rebuilds the contrast bank from the CURRENT
+            # scene's class labels on every query (clip_seem_fusion.py:486-494)
+            # so a rescan that adds new classes immediately sharpens query
+            # contrast. We do the same, but only re-encode text when the bank
+            # actually changed (the common repeat-query path stays free).
+            uo = self.scene_knowledge["unique_objects"]
+            bank = sorted({uo[k]["class_label"] for k in uo})
+            if text not in bank:
+                bank.append(text)
+            if bank != self.control_objects or self.control_text_features is None:
+                self.control_objects = bank
                 self.control_text_features = (
                     self.clip_model.encode_text_with_prompt_ensemble(
                         self.control_objects,

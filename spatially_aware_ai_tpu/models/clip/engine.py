@@ -81,14 +81,41 @@ class ClipEngine:
     @classmethod
     def from_checkpoint(cls, path: str, cfg: CLIPConfig = None,
                         bpe_path: Optional[str] = None,
-                        compute_dtype=jnp.float32) -> "ClipEngine":
-        """Load converted params (pickle produced by cli/convert_clip)."""
+                        compute_dtype=jnp.float32,
+                        allow_fallback_vocab: bool = False) -> "ClipEngine":
+        """Load converted params (pickle produced by cli/convert_clip).
+
+        Real checkpoints were trained against the standard CLIP BPE vocab
+        (open_clip's bpe_simple_vocab_16e6.txt.gz, clipfusion.py:772); pairing
+        them with the merge-free byte fallback would silently produce garbage
+        text embeddings, so this constructor REQUIRES the standard vocab
+        (via `bpe_path` or the SAI_BPE_VOCAB env var) unless
+        `allow_fallback_vocab=True` is passed explicitly.
+        """
+        import os
         import pickle
 
         cfg = cfg or VIT_B_32_QUICKGELU
         with open(path, "rb") as f:
             params = pickle.load(f)
-        return cls(cfg, params, bpe_path, compute_dtype=compute_dtype)
+        engine = cls(cfg, params, bpe_path, compute_dtype=compute_dtype)
+        if not engine.tokenizer.has_standard_vocab:
+            msg = (
+                "ClipEngine.from_checkpoint: no standard BPE vocab found "
+                f"(bpe_path={bpe_path!r}, SAI_BPE_VOCAB="
+                f"{os.environ.get('SAI_BPE_VOCAB')!r}). Converted CLIP "
+                "weights require open_clip's bpe_simple_vocab_16e6.txt.gz; "
+                "the byte-level fallback tokenizer would produce garbage "
+                "text embeddings. Provide the vocab file, or pass "
+                "allow_fallback_vocab=True to proceed anyway (image-only "
+                "use)."
+            )
+            if not allow_fallback_vocab:
+                raise FileNotFoundError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return engine
 
     # -- image side ----------------------------------------------------------
 

@@ -209,6 +209,32 @@ def test_full_insitu_lifecycle(env):
     assert not manager.insitu_model.model_trained
 
 
+def test_query_label_bank_tracks_current_scene(env):
+    """Regression (round-1 VERDICT weak #4): the query contrast bank must be
+    rebuilt from the CURRENT scene after a reprocess, like the reference does
+    per query (clip_seem_fusion.py:486-494) — not frozen at first query.
+
+    Runs after test_full_insitu_lifecycle, so the manager sits on v01 where
+    the red box ("suitcase") was removed; earlier queries on v00 put
+    "suitcase" in the bank and it must now be gone.
+    """
+    manager, client, _ = env
+    assert manager.scene_knowledge["scan_version"] == 1
+    status, _ = client.post("/text_query", {"text_query": "a green window"})
+    assert status == 200
+    current = {
+        v["class_label"]
+        for v in manager.scene_knowledge["unique_objects"].values()
+    }
+    assert set(manager.control_objects) == current | {"a green window"}
+    assert "suitcase" not in manager.control_objects
+    # repeat query with an in-bank label must not grow the bank
+    bank_before = list(manager.control_objects)
+    status, _ = client.post("/text_query", {"text_query": "a green window"})
+    assert status == 200
+    assert manager.control_objects == bank_before
+
+
 def test_unknown_route_404(env):
     _, client, _ = env
     status, _ = client.post("/nope", {})
