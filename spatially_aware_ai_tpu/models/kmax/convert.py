@@ -1,13 +1,47 @@
-"""Checkpoint conversion for kMaX-DeepLab weights.
+"""Checkpoint conversion for kMaX-DeepLab weights (detectron2-style naming).
 
 `convert_convnext_state_dict` maps the standard ConvNeXt torch layout
-(facebookresearch/ConvNeXt, also used inside kMaX-DeepLab checkpoints under a
-`backbone.` prefix) onto our Flax ConvNeXt. The kMaX decoder heads differ
-structurally between released checkpoints; converting them requires the
-matching config — `convert_kmax_checkpoint` raises with a clear message until
-a checkpoint is supplied to validate against (none is downloadable in this
-sandbox; the reference loads kmax_convnext_large.pth from disk,
-clip_seem_fusion.py:78-79).
+(facebookresearch/ConvNeXt, used inside kMaX-DeepLab checkpoints under a
+`backbone.` prefix) onto our Flax ConvNeXt.
+
+`convert_kmax_checkpoint` maps a full kMaX-DeepLab checkpoint in the
+detectron2/bytedance naming convention onto `model.KMaxDeepLab`'s Flax
+params. The reference deploys exactly such a checkpoint
+(`kmax/kmax_convnext_large.pth`, /root/reference/clip_seem_fusion.py:78-79,
+handy_utils.py:29-45). The naming contract implemented here (reconstructed
+from the official release's module structure; every ConvBN is `.conv` +
+`.norm`):
+
+    backbone.downsample_layers.* / backbone.stages.*           (ConvNeXt)
+    sem_seg_head.pixel_decoder._in_norms.{0..3}                (os32->os4)
+    sem_seg_head.pixel_decoder._aspp.{_conv0,_conv1.._conv3,_pool_conv,
+                                      _proj_conv_bn_act}
+    sem_seg_head.pixel_decoder._stages.{s}.{b}.<block>         s=0..3
+        axial block:  _conv1_bn_act, _attn_h/_attn_w
+                      (._qkv_conv_bn, .rel_bias, ._out_bn), _conv3_bn
+        bottleneck:   _conv1_bn_act, _conv2_bn_act, _conv3_bn
+    sem_seg_head.pixel_decoder._resized_fuses.{0..2}
+        ._lowres_conv_bn / ._highres_conv_bn
+    sem_seg_head.predictor._pixel_space_head_conv0bnact
+    sem_seg_head.predictor._pixel_space_head_conv1bnact
+    sem_seg_head.predictor._pixel_space_head_last_convbn
+    sem_seg_head.predictor._transformer_mask_head
+    sem_seg_head.predictor._transformer_class_head              (conv, no BN)
+    sem_seg_head.predictor._pixel_space_mask_batch_norm         (BatchNorm(1))
+    sem_seg_head.transformer_decoder._cluster_centers.weight
+    sem_seg_head.transformer_decoder._class_embedding_projection
+    sem_seg_head.transformer_decoder._mask_embedding_projection
+    sem_seg_head.transformer_decoder._pixel_space_projections.{0..2}
+    sem_seg_head.transformer_decoder._panoptic_feature_projection
+    sem_seg_head.transformer_decoder._kmax_transformer_layers.{i}.
+        {_pixel_v_conv_bn, _kmeans_query_conv3_bn, _query_qkv_conv_bn,
+         _query_self_attention_out_conv_bn, _query_ffn_conv1_bn_act,
+         _query_ffn_conv2_bn}
+
+If a real checkpoint uses different leaf names, only the `_D2` table below
+needs editing — all tensor-layout transforms (the hard part) are
+parity-tested in tests/test_kmax_convert.py against a torch mirror that uses
+these exact names.
 """
 from __future__ import annotations
 
@@ -74,9 +108,33 @@ def convert_convnext_state_dict(sd, depths=(3, 3, 27, 3), prefix=""):
     return params
 
 
-def _linear(sd, name):
-    return {"kernel": _np(sd[f"{name}.weight"]).T,
-            "bias": _np(sd[f"{name}.bias"])}
+# -- leaf converters ---------------------------------------------------------
+
+
+def _conv_kernel(w):
+    """torch conv weight -> flax kernel. [out,in,kh,kw] -> [kh,kw,in,out];
+    [out,in,k] -> [k,in,out]. Depthwise [C,1,kh,kw] maps the same way."""
+    w = _np(w)
+    if w.ndim == 4:
+        return w.transpose(2, 3, 1, 0)
+    if w.ndim == 3:
+        return w.transpose(2, 1, 0)
+    raise ValueError(f"unexpected conv weight rank {w.ndim}")
+
+
+def _convbn(sd, name):
+    """ConvBN (.conv + optional .norm) -> flax {conv: {...}, bn: {...}}."""
+    out = {"conv": {"kernel": _conv_kernel(sd[f"{name}.conv.weight"])}}
+    if f"{name}.conv.bias" in sd:
+        out["conv"]["bias"] = _np(sd[f"{name}.conv.bias"])
+    if f"{name}.norm.weight" in sd:
+        out["bn"] = {
+            "scale": _np(sd[f"{name}.norm.weight"]),
+            "bias": _np(sd[f"{name}.norm.bias"]),
+            "mean": _np(sd[f"{name}.norm.running_mean"]),
+            "var": _np(sd[f"{name}.norm.running_var"]),
+        }
+    return out
 
 
 def _ln(sd, name):
@@ -84,92 +142,133 @@ def _ln(sd, name):
             "bias": _np(sd[f"{name}.bias"])}
 
 
-def _conv(sd, name):
-    return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
-            "bias": _np(sd[f"{name}.bias"])}
-
-
-def _mha(sd, name, heads):
-    """Separate q/k/v/out Linears (DxD) -> flax MultiHeadDotProductAttention
-    param layout: q/k/v kernels [D, H, hd], out kernel [H, hd, D]."""
-    qw = _np(sd[f"{name}.q.weight"])  # [D, D] torch (out, in)
-    D = qw.shape[0]
-    hd = D // heads
-
-    def qkv(prefix):
-        w = _np(sd[f"{name}.{prefix}.weight"]).T.reshape(D, heads, hd)
-        b = _np(sd[f"{name}.{prefix}.bias"]).reshape(heads, hd)
-        return {"kernel": w, "bias": b}
-
-    ow = _np(sd[f"{name}.out.weight"]).T.reshape(heads, hd, D)
-    ob = _np(sd[f"{name}.out.bias"])
+def _axial_attn(sd, name):
     return {
-        "query": qkv("q"),
-        "key": qkv("k"),
-        "value": qkv("v"),
-        "out": {"kernel": ow, "bias": ob},
+        "qkv": _convbn(sd, f"{name}._qkv_conv_bn"),
+        "rel_bias": _np(sd[f"{name}.rel_bias"]),
+        "out_bn": {
+            "scale": _np(sd[f"{name}._out_bn.weight"]),
+            "bias": _np(sd[f"{name}._out_bn.bias"]),
+            "mean": _np(sd[f"{name}._out_bn.running_mean"]),
+            "var": _np(sd[f"{name}._out_bn.running_var"]),
+        },
     }
 
 
-def convert_kmax_state_dict(sd, cfg=None):
-    """torch kMaX-DeepLab state_dict (in this framework's torch-mirror
-    layout, see tests/test_kmax_convert.py) -> flax params for KMaxDeepLab.
+def _axial_block(sd, name):
+    out = {
+        "conv1": _convbn(sd, f"{name}._conv1_bn_act"),
+        "attn_h": _axial_attn(sd, f"{name}._attn_h"),
+        "attn_w": _axial_attn(sd, f"{name}._attn_w"),
+        "conv3": _convbn(sd, f"{name}._conv3_bn"),
+    }
+    if f"{name}._shortcut.conv.weight" in sd:
+        out["shortcut"] = _convbn(sd, f"{name}._shortcut")
+    return out
 
-    Layout contract: backbone.* follows the standard ConvNeXt naming;
-    pixel_decoder.{lat,smooth,ln}_<level> + pixel_decoder.mask_feat;
-    kmax_block<i>.{xattn_ln_q,xattn_q,xattn_k,xattn_v,xattn_proj,
-    self_attn.{q,k,v,out},sa_ln,ffn_ln,ffn1,ffn2}; cluster_centers;
-    head_ln / class_head / mask_head.
 
-    NOTE: the official bytedance/kmax-deeplab checkpoint uses different
-    module names; once a checkpoint is available, map its names onto this
-    contract (the tensor-layout conversions here are what's hard to get
-    right, and they are parity-tested).
-    """
+def _bottleneck_block(sd, name):
+    out = {
+        "conv1": _convbn(sd, f"{name}._conv1_bn_act"),
+        "conv2": _convbn(sd, f"{name}._conv2_bn_act"),
+        "conv3": _convbn(sd, f"{name}._conv3_bn"),
+    }
+    if f"{name}._shortcut.conv.weight" in sd:
+        out["shortcut"] = _convbn(sd, f"{name}._shortcut")
+    return out
+
+
+def convert_kmax_checkpoint(sd, cfg=None):
+    """Full kMaX-DeepLab checkpoint (detectron2-style names, see module
+    docstring) -> flax variables {'params': ...} for model.KMaxDeepLab.
+
+    Accepts either a raw state_dict mapping or a detectron2 checkpoint dict
+    with a 'model' key (DetectionCheckpointer format)."""
     from .model import KMAX_CONVNEXT_LARGE
 
+    if "model" in sd and not any(k.startswith("backbone.") for k in sd):
+        sd = sd["model"]
     cfg = cfg or KMAX_CONVNEXT_LARGE
+
+    PD = "sem_seg_head.pixel_decoder"
+    PR = "sem_seg_head.predictor"
+    TD = "sem_seg_head.transformer_decoder"
+
     params = {
         "backbone": convert_convnext_state_dict(
             sd, depths=cfg.backbone.depths, prefix="backbone."
         ),
-        "cluster_centers": _np(sd["cluster_centers"]),
-        "head_ln": _ln(sd, "head_ln"),
-        "class_head": _linear(sd, "class_head"),
-        "mask_head": _linear(sd, "mask_head"),
+        "cluster_centers": _np(sd[f"{TD}._cluster_centers.weight"]),
+        "class_emb_proj": _convbn(sd, f"{TD}._class_embedding_projection"),
+        "mask_emb_proj": _convbn(sd, f"{TD}._mask_embedding_projection"),
+        "panoptic_proj": _convbn(sd, f"{TD}._panoptic_feature_projection"),
     }
 
+    # pixel decoder
     pd = {}
-    for level in ["os32", "os16", "os8", "os4"]:
-        pd[f"lat_{level}"] = _linear(sd, f"pixel_decoder.lat_{level}")
-        pd[f"smooth_{level}"] = _conv(sd, f"pixel_decoder.smooth_{level}")
-        pd[f"ln_{level}"] = _ln(sd, f"pixel_decoder.ln_{level}")
-    pd["mask_feat"] = _linear(sd, "pixel_decoder.mask_feat")
+    for i, lv in enumerate(["os32", "os16", "os8", "os4"]):
+        pd[f"in_norm_{lv}"] = _ln(sd, f"{PD}._in_norms.{i}")
+    aspp = {
+        "conv0": _convbn(sd, f"{PD}._aspp._conv0"),
+        "pool_conv": _convbn(sd, f"{PD}._aspp._pool_conv"),
+        "proj": _convbn(sd, f"{PD}._aspp._proj_conv_bn_act"),
+    }
+    for i in range(len(cfg.aspp_rates)):
+        aspp[f"conv{i + 1}"] = _convbn(sd, f"{PD}._aspp._conv{i + 1}")
+    pd["aspp"] = aspp
+    for s, lv in enumerate(["os32", "os16", "os8", "os4"]):
+        for b in range(cfg.pd_blocks[s]):
+            name = f"{PD}._stages.{s}.{b}"
+            if lv in ("os32", "os16"):
+                pd[f"stage_{lv}_block{b}"] = _axial_block(sd, name)
+            else:
+                pd[f"stage_{lv}_block{b}"] = _bottleneck_block(sd, name)
+    for i, lv in enumerate(["os16", "os8", "os4"]):
+        pd[f"fuse_{lv}"] = {
+            "lowres": _convbn(sd, f"{PD}._resized_fuses.{i}._lowres_conv_bn"),
+            "highres": _convbn(
+                sd, f"{PD}._resized_fuses.{i}._highres_conv_bn"
+            ),
+        }
     params["pixel_decoder"] = pd
 
-    n_blocks = sum(cfg.dec_blocks)
-    for i in range(n_blocks):
-        p = f"kmax_block{i}"
-        params[p] = {
-            "xattn_ln_q": _ln(sd, f"{p}.xattn_ln_q"),
-            "xattn_q": _linear(sd, f"{p}.xattn_q"),
-            "xattn_k": _linear(sd, f"{p}.xattn_k"),
-            "xattn_v": _linear(sd, f"{p}.xattn_v"),
-            "xattn_proj": _linear(sd, f"{p}.xattn_proj"),
-            "self_attn": _mha(sd, f"{p}.self_attn", cfg.num_heads),
-            "sa_ln": _ln(sd, f"{p}.sa_ln"),
-            "ffn_ln": _ln(sd, f"{p}.ffn_ln"),
-            "ffn1": _linear(sd, f"{p}.ffn1"),
-            "ffn2": _linear(sd, f"{p}.ffn2"),
+    # predictor (shared heads)
+    params["predictor"] = {
+        "pixel_conv0": _convbn(sd, f"{PR}._pixel_space_head_conv0bnact"),
+        "pixel_conv1": _convbn(sd, f"{PR}._pixel_space_head_conv1bnact"),
+        "pixel_last": _convbn(sd, f"{PR}._pixel_space_head_last_convbn"),
+        "mask_head": _convbn(sd, f"{PR}._transformer_mask_head"),
+        "class_head": {
+            "kernel": _conv_kernel(sd[f"{PR}._transformer_class_head.weight"]),
+            "bias": _np(sd[f"{PR}._transformer_class_head.bias"]),
+        },
+        "mask_bn_scale": _np(sd[f"{PR}._pixel_space_mask_batch_norm.weight"]),
+        "mask_bn_bias": _np(sd[f"{PR}._pixel_space_mask_batch_norm.bias"]),
+        "mask_bn_mean": _np(
+            sd[f"{PR}._pixel_space_mask_batch_norm.running_mean"]
+        ),
+        "mask_bn_var": _np(
+            sd[f"{PR}._pixel_space_mask_batch_norm.running_var"]
+        ),
+    }
+
+    # per-level pixel-space projections feeding the kMaX layers
+    for i, lv in enumerate(["os32", "os16", "os8"]):
+        params[f"pixel_space_{lv}"] = _convbn(
+            sd, f"{TD}._pixel_space_projections.{i}"
+        )
+
+    # kMaX transformer layers
+    for i in range(sum(cfg.dec_blocks)):
+        L = f"{TD}._kmax_transformer_layers.{i}"
+        params[f"kmax_layer{i}"] = {
+            "pixel_v": _convbn(sd, f"{L}._pixel_v_conv_bn"),
+            "kmeans_conv3": _convbn(sd, f"{L}._kmeans_query_conv3_bn"),
+            "qkv": _convbn(sd, f"{L}._query_qkv_conv_bn"),
+            "attn_out": _convbn(
+                sd, f"{L}._query_self_attention_out_conv_bn"
+            ),
+            "ffn_conv1": _convbn(sd, f"{L}._query_ffn_conv1_bn_act"),
+            "ffn_conv2": _convbn(sd, f"{L}._query_ffn_conv2_bn"),
         }
     return {"params": params}
-
-
-def convert_kmax_checkpoint(sd):  # pragma: no cover - requires a checkpoint
-    raise NotImplementedError(
-        "The official kmax_convnext_large.pth uses detectron2 module names; "
-        "map them onto convert_kmax_state_dict's layout contract (the "
-        "backbone maps via convert_convnext_state_dict(sd, "
-        "prefix='backbone.'); the decoder tensor-layout conversions are "
-        "already parity-tested in tests/test_kmax_convert.py)."
-    )

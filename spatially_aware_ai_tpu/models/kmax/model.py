@@ -1,31 +1,46 @@
 """kMaX-DeepLab: k-means Mask Transformer for panoptic segmentation (Flax).
 
-Architecture (Yu et al., ECCV 2022, "k-means Mask Transformer"), sized by the
-reference's deployment (ConvNeXt-L, COCO panoptic, 133 classes + void,
-128 cluster centers):
+Faithful re-implementation of the architecture the reference deploys
+(kMaX-DeepLab with a ConvNeXt-Large backbone, COCO panoptic, 133 classes +
+void, 128 cluster centers — reference README.md:49, handy_utils.py:29-161),
+following the structure of the official release (Yu et al., ECCV 2022;
+deeplab2 / bytedance kmax-deeplab port):
 
-- ConvNeXt backbone -> {os4..os32} pyramid
-- FPN-style pixel decoder -> decoder features per level + final os4
-  mask-feature map
-- kMaX decoder blocks at os32/os16/os8: cluster centers attend to pixels
-  with *k-means (hard, cluster-wise argmax) cross-attention*, then query
-  self-attention + FFN
-- heads: per-center class logits (134 = 133 + void) and mask embeddings;
-  mask logits = mask_features @ mask_emb^T
+- ConvNeXt backbone -> {os4..os32} pyramid.
+- **Pixel decoder**: per-level input LayerNorms, ASPP at os32 (rates
+  6/12/18 + image pooling), axial-attention inverted-bottleneck blocks at
+  os32/os16, bottleneck conv blocks at os8/os4, with resized-fuse skip
+  merges — all conv+frozen-BN ("ConvBN") style, gelu activations.
+- **kMaX transformer decoder**: cluster centers (learned embedding) updated
+  by dec_blocks layers at os32/os16/os8. Each layer performs *k-means
+  cross-attention*: the clustering logits ARE the layer's own mask
+  prediction (shared kMaXPredictor), each pixel is hard-assigned to its
+  argmax center, and centers are updated with the sum-pooled pixel values;
+  then query self-attention + FFN, all conv1d+BN (no LayerNorm, per the
+  official decoder).
+- **kMaXPredictor**: depthwise-5x5 + 1x1 ConvBN pixel head, L2-normalized
+  mask features x L2-normalized mask embeddings (cosine mask logits) with a
+  trailing single-channel BN, plus a class head.
+- **Panoptic inference**: confidence-sorted mask pasting with an overlap
+  threshold (deeplab2-style, which detectron2 exposes as `panoptic_seg` +
+  `_PanopticPrediction`): masks softmax-ed over queries, binarized at
+  pixel_confidence_threshold, sorted by class-score x in-mask confidence,
+  painted high-to-low onto unclaimed pixels, skipped when more than
+  overlap_threshold of the mask is already covered; stuff segments of one
+  class merge, thing segments get distinct instance ids. The per-pixel
+  category-id contract matches the reference's flattening
+  (handy_utils.py:103-133): null = 133.
 
-Panoptic inference reproduces the reference's per-pixel contract
-(KmaxSegmentationModel.run_on_image, handy_utils.py:60-161): resize long edge
-to 1281, infer, and return a per-pixel COCO category-id map at the original
-resolution with 133 = null. (The reference collapses instances of the same
-class anyway — separation happens later via 3D flood fill, SURVEY.md §2.8.)
-
-Weights: `convert.py` maps official checkpoints; in weight-free environments
-the class is still the executable architecture + the panoptic plumbing.
+Everything under jit with static shapes; the sequential pasting is a
+lax.fori_loop over the (fixed) query count. Weights load through
+`convert.convert_kmax_checkpoint` (detectron2-style names) — in weight-free
+environments the class is still the executable architecture.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+import functools
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -39,103 +54,392 @@ from .convnext import ConvNeXt, ConvNeXtConfig, CONVNEXT_LARGE, CONVNEXT_TINY_TE
 class KMaxConfig:
     backbone: ConvNeXtConfig = CONVNEXT_LARGE
     num_queries: int = 128
-    num_classes: int = 133  # + void handled as index 133
-    dec_dim: int = 256
+    num_classes: int = 133   # COCO panoptic; void handled as index 133
+    num_things: int = 80     # contiguous ids [0, 80) are "thing" classes
+    dec_dim: int = 256       # cluster-center / transformer channel width
     num_heads: int = 8
-    dec_blocks: Tuple[int, ...] = (2, 2, 2)  # at os32, os16, os8
-    mask_dim: int = 256
+    dec_blocks: Tuple[int, ...] = (2, 2, 2)     # kMaX layers at os32/os16/os8
+    mask_dim: int = 128      # normalized mask-embedding width
+    pd_dims: Tuple[int, ...] = (512, 256, 128, 64)  # decoder os32/16/8/4
+    pd_blocks: Tuple[int, ...] = (1, 1, 1, 1)   # blocks per decoder stage
+    aspp_rates: Tuple[int, ...] = (6, 12, 18)
+    axial_span: int = 64     # max spatial extent for axial rel-pos tables
     test_long_edge: int = 1281
-    class_threshold: float = 0.3
-    mask_threshold: float = 0.4
+    # panoptic post-processing (deeplab2/kmax defaults)
+    class_threshold_thing: float = 0.7
+    class_threshold_stuff: float = 0.5
+    pixel_confidence_threshold: float = 0.4
     overlap_threshold: float = 0.8
+    reorder_class_weight: float = 1.0
+    reorder_mask_weight: float = 1.0
 
 
 KMAX_CONVNEXT_LARGE = KMaxConfig()
 KMAX_TINY_TEST = KMaxConfig(
     backbone=CONVNEXT_TINY_TEST, num_queries=16, dec_dim=32, num_heads=4,
-    dec_blocks=(1, 1, 1), mask_dim=32, test_long_edge=129,
+    dec_blocks=(1, 1, 1), mask_dim=32, pd_dims=(32, 24, 16, 16),
+    pd_blocks=(1, 1, 1, 1), aspp_rates=(1, 2, 3), axial_span=16,
+    test_long_edge=129,
 )
 
 
-class KMaxBlock(nn.Module):
-    """One kMaX decoder block: k-means cross-attention + self-attn + FFN."""
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode BatchNorm: per-channel affine with stored running
+    statistics (the official ConvBN modules use [sync]BatchNorm; this model
+    is inference-only so the stats are plain params filled by the
+    converter)."""
 
-    dim: int
-    heads: int
+    eps: float = 1e-5
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, centers, pixels):
-        """centers [B, N, D], pixels [B, HW, D] -> updated centers."""
-        B, N, D = centers.shape
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        mean = self.param("mean", nn.initializers.zeros, (dim,))
+        var = self.param("var", nn.initializers.ones, (dim,))
+        inv = jax.lax.rsqrt(var.astype(self.dtype) + self.eps)
+        return ((x - mean.astype(self.dtype)) * (scale.astype(self.dtype) * inv)
+                + bias.astype(self.dtype))
 
-        # ---- k-means cross-attention (hard cluster-wise assignment) ----
-        q = nn.Dense(D, dtype=self.dtype, name="xattn_q")(
-            nn.LayerNorm(dtype=self.dtype, name="xattn_ln_q")(centers)
+
+class ConvBN(nn.Module):
+    """conv -> frozen BN -> activation (official `ConvBN`). Works on NHWC
+    feature maps (kernel k x k) and on [B, T, C] sequences (kernel (k,)) —
+    the official 1d convs on query features are kernel-size-1, i.e. Dense."""
+
+    features: int
+    kernel: Tuple[int, ...] = (1, 1)
+    strides: Optional[Tuple[int, ...]] = None
+    groups: int = 1
+    dilation: int = 1
+    use_bn: bool = True
+    act: Optional[str] = None  # None | "gelu" | "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd = len(self.kernel)
+        x = nn.Conv(
+            self.features, self.kernel,
+            strides=self.strides or (1,) * kd,
+            padding="SAME",
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation,) * kd,
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = FrozenBatchNorm(dtype=self.dtype, name="bn")(x)
+        if self.act == "gelu":
+            x = nn.gelu(x, approximate=False)
+        elif self.act == "relu":
+            x = nn.relu(x)
+        return x
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling at os32 (DeepLab heritage): 1x1 conv,
+    three dilated 3x3 convs, and a global-image-pooling branch, concatenated
+    and projected."""
+
+    features: int
+    rates: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        branches = [
+            ConvBN(self.features, (1, 1), act="gelu", dtype=self.dtype,
+                   name="conv0")(x)
+        ]
+        for i, rate in enumerate(self.rates):
+            branches.append(
+                ConvBN(self.features, (3, 3), dilation=rate, act="gelu",
+                       dtype=self.dtype, name=f"conv{i + 1}")(x)
+            )
+        pooled = x.mean(axis=(1, 2), keepdims=True)
+        pooled = ConvBN(self.features, (1, 1), act="gelu", dtype=self.dtype,
+                        name="pool_conv")(pooled)
+        pooled = jnp.broadcast_to(
+            pooled, (*x.shape[:3], self.features)
         )
-        k = nn.Dense(D, dtype=self.dtype, name="xattn_k")(pixels)
-        v = nn.Dense(D, dtype=self.dtype, name="xattn_v")(pixels)
-        logits = jnp.einsum("bnd,bpd->bnp", q, k)  # [B, N, HW]
-        # each pixel assigned to its argmax center (k-means E-step)
-        assign = jax.nn.one_hot(
-            jnp.argmax(logits, axis=1), N, axis=1, dtype=logits.dtype
-        )  # [B, N, HW]
-        pooled = jnp.einsum("bnp,bpd->bnd", assign, v)
-        denom = jnp.maximum(assign.sum(axis=-1, keepdims=True), 1.0)
-        pooled = pooled / denom  # cluster mean (M-step)
-        centers = centers + nn.Dense(D, dtype=self.dtype, name="xattn_proj")(
-            pooled
-        )
-
-        # ---- self-attention among centers ----
-        h = nn.LayerNorm(dtype=self.dtype, name="sa_ln")(centers)
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name="self_attn"
-        )(h, h)
-        centers = centers + sa
-
-        # ---- FFN ----
-        h = nn.LayerNorm(dtype=self.dtype, name="ffn_ln")(centers)
-        h = nn.Dense(D * 4, dtype=self.dtype, name="ffn1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(D, dtype=self.dtype, name="ffn2")(h)
-        return centers + h
+        out = jnp.concatenate(branches + [pooled], axis=-1)
+        return ConvBN(self.features, (1, 1), act="gelu", dtype=self.dtype,
+                      name="proj")(out)
 
 
-class PixelDecoder(nn.Module):
-    """FPN-style top-down decoder producing per-level features + os4 mask
-    features."""
+class AxialAttention(nn.Module):
+    """Multi-head self-attention along one spatial axis with a learned
+    relative-position bias (position-sensitive axial attention, Axial-DeepLab
+    style). axis=1 attends within each column (over H), axis=2 within each
+    row (over W). Relative bias table covers spans up to `span`."""
 
     dim: int
-    mask_dim: int
+    heads: int
+    axis: int  # 1 (height) or 2 (width)
+    span: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        L = x.shape[self.axis]
+        if L > self.span:
+            raise ValueError(
+                f"axial length {L} exceeds rel-pos span {self.span}; raise "
+                f"KMaxConfig.axial_span"
+            )
+        qkv = ConvBN(3 * self.dim, (1, 1), dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = self.dim // self.heads
+
+        def heads_split(t):  # [B,H,W,dim] -> [B,h,H,W,hd]
+            return t.reshape(B, H, W, self.heads, hd).transpose(0, 3, 1, 2, 4)
+
+        q, k, v = heads_split(q), heads_split(k), heads_split(v)
+        if self.axis == 1:  # attend over H: [B,h,W,H,hd]
+            q, k, v = (t.transpose(0, 1, 3, 2, 4) for t in (q, k, v))
+        # now shape [B, h, other, L, hd]
+        logits = jnp.einsum("bhoqd,bhokd->bhoqk", q, k) / np.sqrt(hd)
+        rel = self.param(
+            "rel_bias", nn.initializers.zeros, (self.heads, 2 * self.span - 1)
+        )
+        idx = jnp.arange(L)[:, None] - jnp.arange(L)[None, :] + self.span - 1
+        logits = logits + rel.astype(self.dtype)[:, idx][None, :, None]
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhoqk,bhokd->bhoqd", attn, v)
+        if self.axis == 1:
+            out = out.transpose(0, 1, 3, 2, 4)  # back to [B,h,H,W,hd]
+        out = out.transpose(0, 2, 3, 1, 4).reshape(B, H, W, self.dim)
+        return FrozenBatchNorm(dtype=self.dtype, name="out_bn")(out)
+
+
+class AxialBlock(nn.Module):
+    """Inverted-bottleneck residual block with axial attention (height then
+    width) in the middle (MaX-DeepLab's axial block)."""
+
+    dim: int
+    heads: int
+    span: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.dim // 2
+        h = ConvBN(mid, (1, 1), act="gelu", dtype=self.dtype, name="conv1")(x)
+        h = AxialAttention(mid, self.heads, axis=1, span=self.span,
+                           dtype=self.dtype, name="attn_h")(h)
+        h = AxialAttention(mid, self.heads, axis=2, span=self.span,
+                           dtype=self.dtype, name="attn_w")(h)
+        h = nn.gelu(h, approximate=False)
+        h = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="conv3")(h)
+        if x.shape[-1] != self.dim:
+            x = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="shortcut")(x)
+        return nn.gelu(x + h, approximate=False)
+
+
+class BottleneckBlock(nn.Module):
+    """Classic conv bottleneck (1x1 down, 3x3, 1x1 up) with residual."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.dim // 2
+        h = ConvBN(mid, (1, 1), act="gelu", dtype=self.dtype, name="conv1")(x)
+        h = ConvBN(mid, (3, 3), act="gelu", dtype=self.dtype, name="conv2")(h)
+        h = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="conv3")(h)
+        if x.shape[-1] != self.dim:
+            x = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="shortcut")(x)
+        return nn.gelu(x + h, approximate=False)
+
+
+class ResizedFuse(nn.Module):
+    """Merge a deeper (lower-res) decoder output into a skip level: project
+    both to `dim`, bilinear-upsample the deeper one, add."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lowres, highres):
+        lo = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="lowres")(lowres)
+        hi = ConvBN(self.dim, (1, 1), dtype=self.dtype, name="highres")(highres)
+        lo = jax.image.resize(
+            lo, (lo.shape[0], *hi.shape[1:3], self.dim), method="bilinear"
+        )
+        return nn.gelu(lo + hi, approximate=False)
+
+
+class KMaxPixelDecoder(nn.Module):
+    """kMaX semantic decoder: LayerNormed inputs, ASPP + axial blocks at
+    os32, axial blocks at os16, bottleneck blocks at os8/os4, resized-fuse
+    skip merges. Returns per-level features {os32, os16, os8, os4} with
+    channel widths cfg.pd_dims."""
+
+    cfg: KMaxConfig
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
+        c = self.cfg
+        levels = ["os32", "os16", "os8", "os4"]
+        normed = {
+            lv: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name=f"in_norm_{lv}")(feats[lv])
+            for lv in levels
+        }
         outs = {}
-        prev = None
-        for level in ["os32", "os16", "os8", "os4"]:
-            lat = nn.Dense(self.dim, dtype=self.dtype, name=f"lat_{level}")(
-                feats[level]
-            )
-            if prev is not None:
-                up = jax.image.resize(
-                    prev, (*lat.shape[:1], *lat.shape[1:3], prev.shape[-1]),
-                    method="nearest",
-                )
-                lat = lat + up
-            lat = nn.Conv(
-                self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                name=f"smooth_{level}",
-            )(lat)
-            lat = nn.LayerNorm(dtype=self.dtype, name=f"ln_{level}")(lat)
-            lat = nn.gelu(lat, approximate=False)
-            outs[level] = lat
-            prev = lat
-        mask_feat = nn.Dense(self.mask_dim, dtype=self.dtype, name="mask_feat")(
-            outs["os4"]
+        x = ASPP(c.pd_dims[0], c.aspp_rates, dtype=self.dtype,
+                 name="aspp")(normed["os32"])
+        for b in range(c.pd_blocks[0]):
+            x = AxialBlock(c.pd_dims[0], c.num_heads, c.axial_span,
+                           dtype=self.dtype, name=f"stage_os32_block{b}")(x)
+        outs["os32"] = x
+        for si, lv in enumerate(["os16", "os8", "os4"], start=1):
+            x = ResizedFuse(c.pd_dims[si], dtype=self.dtype,
+                            name=f"fuse_{lv}")(x, normed[lv])
+            for b in range(c.pd_blocks[si]):
+                if lv == "os16":
+                    x = AxialBlock(
+                        c.pd_dims[si], c.num_heads, c.axial_span,
+                        dtype=self.dtype, name=f"stage_{lv}_block{b}",
+                    )(x)
+                else:
+                    x = BottleneckBlock(
+                        c.pd_dims[si], dtype=self.dtype,
+                        name=f"stage_{lv}_block{b}",
+                    )(x)
+            outs[lv] = x
+        return outs
+
+
+class KMaxPredictor(nn.Module):
+    """Shared prediction heads (official kMaXPredictor): a pixel head
+    (depthwise 5x5 ConvBN + 1x1 ConvBN + 1x1 ConvBN to mask_dim), cosine
+    mask logits between L2-normalized pixel features and L2-normalized mask
+    embeddings with a trailing single-stat BN, and a class head. Defined via
+    setup() because the kMaX layers invoke these heads repeatedly (shared
+    weights across decoder layers, as in the official model)."""
+
+    cfg: KMaxConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self._pixel_conv0 = ConvBN(
+            c.dec_dim, (5, 5), groups=c.dec_dim, act="gelu",
+            dtype=self.dtype, name="pixel_conv0",
         )
-        return outs, mask_feat
+        self._pixel_conv1 = ConvBN(
+            c.dec_dim, (1, 1), act="gelu", dtype=self.dtype,
+            name="pixel_conv1",
+        )
+        self._pixel_last = ConvBN(
+            c.mask_dim, (1, 1), dtype=self.dtype, name="pixel_last"
+        )
+        self._mask_head = ConvBN(
+            c.mask_dim, (1,), dtype=self.dtype, name="mask_head"
+        )
+        self._class_head = nn.Conv(
+            c.num_classes + 1, (1,), use_bias=True, dtype=self.dtype,
+            name="class_head",
+        )
+        self._mask_bn_scale = self.param(
+            "mask_bn_scale", nn.initializers.ones, (1,)
+        )
+        self._mask_bn_bias = self.param(
+            "mask_bn_bias", nn.initializers.zeros, (1,)
+        )
+        self._mask_bn_mean = self.param(
+            "mask_bn_mean", nn.initializers.zeros, (1,)
+        )
+        self._mask_bn_var = self.param(
+            "mask_bn_var", nn.initializers.ones, (1,)
+        )
+
+    def pixel_features(self, pixel):
+        h = self._pixel_conv0(pixel)
+        h = self._pixel_conv1(h)
+        h = self._pixel_last(h)
+        norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
+        return h / jnp.maximum(norm, 1e-6)
+
+    def mask_logits(self, mask_emb, pixel_norm):
+        """mask_emb [B, N, dec_dim], pixel_norm [B, H, W, mask_dim] ->
+        [B, H, W, N]."""
+        m = self._mask_head(mask_emb)
+        m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
+        logits = jnp.einsum("bhwd,bnd->bhwn", pixel_norm, m)
+        # official: BatchNorm2d(1) over the logit map -> a single affine
+        inv = jax.lax.rsqrt(self._mask_bn_var.astype(self.dtype) + 1e-5)
+        return (logits - self._mask_bn_mean.astype(self.dtype)) * (
+            self._mask_bn_scale.astype(self.dtype) * inv
+        ) + self._mask_bn_bias.astype(self.dtype)
+
+    def class_logits(self, class_emb):
+        return self._class_head(class_emb)
+
+    def __call__(self, mask_emb, class_emb, pixel):
+        p = self.pixel_features(pixel)
+        return self.class_logits(class_emb), self.mask_logits(mask_emb, p)
+
+
+class KMaxTransformerLayer(nn.Module):
+    """One kMaX decoder layer (official kMaXTransformerLayer): k-means
+    cross-attention whose clustering logits are the shared predictor's mask
+    prediction at this layer's resolution, then query self-attention + FFN.
+    All projections are conv(+BN); no LayerNorm, per the official decoder."""
+
+    cfg: KMaxConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, pixel, mask_logits):
+        """query [B, N, D]; pixel [B, H, W, C_p]; mask_logits [B, H, W, N]
+        (this layer's clustering logits, from the shared predictor)."""
+        c = self.cfg
+        B, N, D = query.shape
+
+        pixel_value = ConvBN(D, (1, 1), dtype=self.dtype,
+                             name="pixel_v")(pixel)
+        pixel_value = pixel_value.reshape(B, -1, D)
+
+        # ---- k-means cross-attention: hard per-pixel argmax assignment ----
+        logits = jax.lax.stop_gradient(mask_logits.reshape(B, -1, N))
+        assign = jax.nn.one_hot(
+            jnp.argmax(logits, axis=-1), N, dtype=self.dtype
+        )  # [B, P, N]
+        pooled = jnp.einsum("bpn,bpd->bnd", assign, pixel_value)
+        update = ConvBN(D, (1,), dtype=self.dtype, name="kmeans_conv3")(pooled)
+        query = query + update
+
+        # ---- query self-attention (conv1d qkv + BN) ----
+        qkv = ConvBN(3 * D, (1,), dtype=self.dtype, name="qkv")(query)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        hd = D // c.num_heads
+
+        def split(t):
+            return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
+
+        att = jnp.einsum(
+            "bhnd,bhmd->bhnm", split(q), split(k)
+        ) / np.sqrt(hd)
+        att = jax.nn.softmax(att, axis=-1)
+        sa = jnp.einsum("bhnm,bhmd->bhnd", att, split(v))
+        sa = sa.transpose(0, 2, 1, 3).reshape(B, N, D)
+        sa = ConvBN(D, (1,), dtype=self.dtype, name="attn_out")(sa)
+        query = query + sa
+
+        # ---- FFN ----
+        h = ConvBN(2 * D, (1,), act="gelu", dtype=self.dtype,
+                   name="ffn_conv1")(query)
+        h = ConvBN(D, (1,), dtype=self.dtype, name="ffn_conv2")(h)
+        return nn.gelu(query + h, approximate=False)
 
 
 class KMaxDeepLab(nn.Module):
@@ -149,77 +453,164 @@ class KMaxDeepLab(nn.Module):
         """
         c = self.cfg
         feats = ConvNeXt(c.backbone, self.dtype, name="backbone")(images)
-        dec_feats, mask_feat = PixelDecoder(
-            c.dec_dim, c.mask_dim, self.dtype, name="pixel_decoder"
-        )(feats)
+        dec = KMaxPixelDecoder(c, self.dtype, name="pixel_decoder")(feats)
 
         B = images.shape[0]
         centers = self.param(
             "cluster_centers", nn.initializers.normal(1.0),
             (c.num_queries, c.dec_dim),
         )
-        centers = jnp.broadcast_to(
+        query = jnp.broadcast_to(
             centers.astype(self.dtype), (B, c.num_queries, c.dec_dim)
         )
 
+        predictor = KMaxPredictor(c, self.dtype, name="predictor")
+        class_proj = ConvBN(c.dec_dim, (1,), act="gelu", dtype=self.dtype,
+                            name="class_emb_proj")
+        mask_proj = ConvBN(c.dec_dim, (1,), act="gelu", dtype=self.dtype,
+                           name="mask_emb_proj")
+
         block_idx = 0
         for level, n_blocks in zip(["os32", "os16", "os8"], c.dec_blocks):
-            f = dec_feats[level]
-            pixels = f.reshape(B, -1, c.dec_dim)
+            pixel = dec[level]
+            # project the level's features once for the predictor's pixel head
+            pixel_space = ConvBN(
+                c.dec_dim, (1, 1), act="gelu", dtype=self.dtype,
+                name=f"pixel_space_{level}",
+            )(pixel)
             for _ in range(n_blocks):
-                centers = KMaxBlock(
-                    c.dec_dim, c.num_heads, self.dtype,
-                    name=f"kmax_block{block_idx}",
-                )(centers, pixels)
+                pnorm = predictor.pixel_features(pixel_space)
+                mlog = predictor.mask_logits(mask_proj(query), pnorm)
+                query = KMaxTransformerLayer(
+                    c, self.dtype, name=f"kmax_layer{block_idx}",
+                )(query, pixel_space, mlog)
                 block_idx += 1
 
-        h = nn.LayerNorm(dtype=self.dtype, name="head_ln")(centers)
-        class_logits = nn.Dense(
-            c.num_classes + 1, dtype=self.dtype, name="class_head"
-        )(h)
-        mask_emb = nn.Dense(c.mask_dim, dtype=self.dtype, name="mask_head")(h)
-        mask_logits = jnp.einsum("bhwd,bnd->bhwn", mask_feat, mask_emb)
+        # final prediction on the os4 panoptic features
+        panoptic = ConvBN(c.dec_dim, (1, 1), act="gelu", dtype=self.dtype,
+                          name="panoptic_proj")(dec["os4"])
+        class_logits, mask_logits = predictor(
+            mask_proj(query), class_proj(query), panoptic
+        )
         return class_logits, mask_logits
+
+
+# ---------------------------------------------------------------------------
+# Panoptic post-processing
+# ---------------------------------------------------------------------------
+
+
+def panoptic_inference(
+    class_logits, mask_logits, cfg: KMaxConfig, null_id: int = 133
+):
+    """Confidence-sorted panoptic mask pasting -> (category map, segment-id
+    map), both at the mask resolution.
+
+    Reproduces the semantics the reference consumes via detectron2's
+    `panoptic_seg` + `_PanopticPrediction` (handy_utils.py:103-133):
+
+    1. per-query class = argmax of softmax over real classes; the class
+       confidence threshold is 0.7 for things, 0.5 for stuff.
+    2. mask probabilities = softmax over queries; binarized at
+       pixel_confidence_threshold.
+    3. queries sorted by class_score^w1 * mean-in-mask-confidence^w2 and
+       pasted high-to-low onto still-unclaimed pixels; a query is skipped
+       when more than (1 - overlap_threshold) of its mask is already
+       claimed... precisely: painted only if new_area / mask_area >=
+       overlap_threshold.
+    4. stuff segments of the same class share one segment id; thing
+       segments get fresh ids (scan order = paint order).
+
+    Pixels never painted get category `null_id` and segment id 0.
+
+    Args:
+      class_logits [N, C+1], mask_logits [h, w, N].
+    Returns:
+      (cat_map [h, w] int32, seg_map [h, w] int32): COCO category ids with
+      null_id for unassigned; positive segment ids with 0 for unassigned.
+    """
+    c = cfg
+    N = class_logits.shape[0]
+    h, w = mask_logits.shape[:2]
+
+    probs = jax.nn.softmax(class_logits, axis=-1)      # [N, C+1]
+    scores = probs[:, :-1].max(axis=-1)                # best real class
+    classes = probs[:, :-1].argmax(axis=-1)
+    is_thing = classes < c.num_things
+    class_thr = jnp.where(
+        is_thing, c.class_threshold_thing, c.class_threshold_stuff
+    )
+    class_keep = scores > class_thr
+
+    mask_probs = jax.nn.softmax(mask_logits, axis=-1)  # over queries
+    binary = mask_probs > c.pixel_confidence_threshold  # [h, w, N]
+    area = binary.sum(axis=(0, 1))                      # [N]
+    in_mask_conf = jnp.where(
+        area > 0,
+        (mask_probs * binary).sum(axis=(0, 1)) / jnp.maximum(area, 1),
+        0.0,
+    )
+    reorder = (
+        scores ** c.reorder_class_weight
+        * in_mask_conf ** c.reorder_mask_weight
+    )
+    order = jnp.argsort(-reorder)
+
+    def body(i, state):
+        cat_map, seg_map, claimed, next_id, stuff_ids = state
+        k = order[i]
+        m = binary[:, :, k]
+        new = m & ~claimed
+        mask_area = m.sum()
+        new_area = new.sum()
+        ok = (
+            class_keep[k]
+            & (mask_area > 0)
+            & (new_area / jnp.maximum(mask_area, 1) >= c.overlap_threshold)
+        )
+        cls = classes[k]
+        # stuff segments merge: reuse this class's id when it exists
+        existing = stuff_ids[cls]
+        use_existing = (~is_thing[k]) & (existing > 0)
+        seg_id = jnp.where(use_existing, existing, next_id)
+        paint = new & ok
+        cat_map = jnp.where(paint, cls.astype(jnp.int32), cat_map)
+        seg_map = jnp.where(paint, seg_id.astype(jnp.int32), seg_map)
+        claimed = claimed | paint
+        stuff_ids = jnp.where(
+            ok & (~is_thing[k]) & (existing == 0),
+            stuff_ids.at[cls].set(seg_id),
+            stuff_ids,
+        )
+        next_id = jnp.where(ok & ~use_existing, next_id + 1, next_id)
+        return cat_map, seg_map, claimed, next_id, stuff_ids
+
+    init = (
+        jnp.full((h, w), null_id, jnp.int32),
+        jnp.zeros((h, w), jnp.int32),
+        jnp.zeros((h, w), bool),
+        jnp.int32(1),
+        jnp.zeros((c.num_classes,), jnp.int32),
+    )
+    cat_map, seg_map, *_ = jax.lax.fori_loop(0, N, body, init)
+    return cat_map, seg_map
+
+
+def _resize_nearest_int(m, out_hw):
+    return jax.image.resize(
+        m[..., None].astype(jnp.float32), (out_hw[0], out_hw[1], 1),
+        method="nearest",
+    )[..., 0].astype(jnp.int32)
 
 
 def panoptic_class_map(
     class_logits, mask_logits, out_hw, cfg: KMaxConfig, null_id: int = 133
 ):
-    """Panoptic post-processing -> per-pixel category-id map.
-
-    Mirrors the semantics of detectron2's panoptic inference + the
-    reference's mask flattening (handy_utils.py:103-133): per-query class =
-    argmax of the softmax over real classes; low-confidence queries are
-    dropped; pixels pick their argmax query among survivors (weighted by
-    class score, MaskFormer-style); unassigned pixels get `null_id`.
-
-    Args:
-      class_logits [N, C+1], mask_logits [h, w, N] (os4), out_hw target size.
-    Returns: [out_h, out_w] int32 category-id map.
-    """
-    probs = jax.nn.softmax(class_logits, axis=-1)  # [N, C+1]
-    scores = probs[:, :-1].max(axis=-1)  # best real class score
-    classes = probs[:, :-1].argmax(axis=-1)
-    keep = scores > cfg.class_threshold  # [N]
-
-    mask_probs = jax.nn.sigmoid(mask_logits)  # [h, w, N]
-    weighted = mask_probs * scores[None, None, :]
-    weighted = jnp.where(keep[None, None, :], weighted, -1.0)
-    best_q = jnp.argmax(weighted, axis=-1)  # [h, w]
-    best_p = jnp.take_along_axis(
-        mask_probs, best_q[..., None], axis=-1
-    )[..., 0]
-    any_keep = keep.any()
-    cat = jnp.where(
-        (best_p > cfg.mask_threshold) & any_keep, classes[best_q], null_id
-    ).astype(jnp.int32)
-
-    cat = jax.image.resize(
-        cat[..., None].astype(jnp.float32),
-        (out_hw[0], out_hw[1], 1),
-        method="nearest",
-    )[..., 0].astype(jnp.int32)
-    return cat
+    """Per-pixel COCO category-id map at `out_hw` (the reference's
+    run_on_image contract, handy_utils.py:103-133): panoptic inference +
+    nearest-neighbor upsample; 133 = null."""
+    cat, _ = panoptic_inference(class_logits, mask_logits, cfg, null_id)
+    return _resize_nearest_int(cat, out_hw)
 
 
 # ImageNet statistics used by detectron2-style preprocessing
@@ -230,35 +621,53 @@ _PIXEL_STD = np.array([0.229, 0.224, 0.225], np.float32)
 class KmaxSegmenter:
     """Engine with the reference's `run_on_image` contract
     (handy_utils.py:29-161): rgb [H, W, 3] float in [0, 1] -> per-pixel
-    category-id mask [H, W] int32 with 133 = null."""
+    category-id mask [H, W] int32 with 133 = null. `run_on_*_panoptic`
+    additionally return the segment-id map (instance separation within a
+    frame — the reference left this as a TODO, handy_utils.py:135)."""
 
-    def __init__(self, cfg: KMaxConfig = None, params=None, seed: int = 0):
+    def __init__(self, cfg: KMaxConfig = None, params=None, seed: int = 0,
+                 compute_dtype=jnp.float32):
         self.cfg = cfg or KMAX_CONVNEXT_LARGE
-        self.model = KMaxDeepLab(self.cfg)
+        self.model = KMaxDeepLab(self.cfg, dtype=compute_dtype)
         if params is None:
             key = jax.random.PRNGKey(seed)
             probe = jnp.zeros((1, 64, 64, 3), jnp.float32)
             params = self.model.init(key, probe)
         self.params = params
 
-        import functools
-
         @functools.partial(
             jax.jit, static_argnames=("crop_h4", "crop_w4", "out_h", "out_w")
         )
-        def _infer(params, img, crop_h4, crop_w4, out_h, out_w):
-            cls, masks = self.model.apply(params, img[None])
-            # drop the pad-to-multiple-of-32 region before upsampling
-            masks = masks[0][:crop_h4, :crop_w4]
-            return panoptic_class_map(
-                cls[0], masks, (out_h, out_w), self.cfg
-            )
+        def _infer(params, imgs, crop_h4, crop_w4, out_h, out_w):
+            cls, masks = self.model.apply(params, imgs)
+            masks = masks[:, :crop_h4, :crop_w4]
+
+            def post(c, m):
+                cat, seg = panoptic_inference(c, m, self.cfg)
+                return (
+                    _resize_nearest_int(cat, (out_h, out_w)),
+                    _resize_nearest_int(seg, (out_h, out_w)),
+                )
+
+            return jax.vmap(post)(cls, masks)
 
         self._infer = _infer
 
     @classmethod
     def tiny(cls, seed: int = 0) -> "KmaxSegmenter":
         return cls(KMAX_TINY_TEST, seed=seed)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: KMaxConfig = None,
+                        compute_dtype=jnp.float32) -> "KmaxSegmenter":
+        """Load params converted from the official checkpoint (a pickle of
+        the Flax variables produced by convert.convert_kmax_checkpoint)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            params = pickle.load(f)
+        return cls(cfg or KMAX_CONVNEXT_LARGE, params=params,
+                   compute_dtype=compute_dtype)
 
     def _resize_for_test(self, rgb):
         """Resize long edge to cfg.test_long_edge keeping aspect, then pad to
@@ -279,42 +688,28 @@ class KmaxSegmenter:
         img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
         return img, (new_h, new_w)
 
-    def run_on_image(self, rgb) -> np.ndarray:
+    def run_on_image_panoptic(self, rgb):
         rgb = np.asarray(rgb, np.float32)
         H, W = rgb.shape[:2]
         img, (new_h, new_w) = self._resize_for_test(rgb)
         img = (img - _PIXEL_MEAN) / _PIXEL_STD
-        cat = self._infer(
-            self.params, img, -(-new_h // 4), -(-new_w // 4), H, W
+        cat, seg = self._infer(
+            self.params, img[None], -(-new_h // 4), -(-new_w // 4), H, W
         )
-        return np.asarray(cat)
+        return np.asarray(cat[0]), np.asarray(seg[0])
 
-    def run_on_batch(self, rgbs) -> np.ndarray:
+    def run_on_image(self, rgb) -> np.ndarray:
+        return self.run_on_image_panoptic(rgb)[0]
+
+    def run_on_batch_panoptic(self, rgbs):
         """Batched panoptic inference for a frame chunk [F, H, W, 3] (same
-        size frames) -> [F, H, W] int32 masks. One forward batch feeds the
-        MXU instead of F separate dispatches."""
+        size frames) -> ([F, H, W] int32 category ids, [F, H, W] int32
+        per-frame segment ids). One forward batch feeds the MXU instead of F
+        separate dispatches."""
         rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
         img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
         pad_h, pad_w = img0.shape[0], img0.shape[1]
-
-        if not hasattr(self, "_infer_batch"):
-            import functools
-
-            @functools.partial(
-                jax.jit,
-                static_argnames=("crop_h4", "crop_w4", "out_h", "out_w"),
-            )
-            def _infer_batch(params, imgs, crop_h4, crop_w4, out_h, out_w):
-                cls, masks = self.model.apply(params, imgs)
-                masks = masks[:, :crop_h4, :crop_w4]
-                return jax.vmap(
-                    lambda c, m: panoptic_class_map(
-                        c, m, (out_h, out_w), self.cfg
-                    )
-                )(cls, masks)
-
-            self._infer_batch = _infer_batch
 
         imgs = jax.image.resize(
             jnp.asarray(rgbs), (F_, new_h, new_w, 3), method="bilinear",
@@ -324,7 +719,10 @@ class KmaxSegmenter:
             imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
         )
         imgs = (imgs - _PIXEL_MEAN) / _PIXEL_STD
-        cat = self._infer_batch(
+        cat, seg = self._infer(
             self.params, imgs, -(-new_h // 4), -(-new_w // 4), H, W
         )
-        return np.asarray(cat)
+        return np.asarray(cat), np.asarray(seg)
+
+    def run_on_batch(self, rgbs) -> np.ndarray:
+        return self.run_on_batch_panoptic(rgbs)[0]
