@@ -56,12 +56,15 @@ def eval_hypersim(
     fn = np.zeros(num_thresholds)
 
     scene_names = sorted({r["scene_name"] for r in rows})
+    n_evaluated = 0
     for scan_name in scene_names:
         feat_file = os.path.join(
             reconstruction_dir, scan_name, "vertex_clip_feats.npy"
         )
         if not os.path.exists(feat_file):
+            print(f"warning: no reconstruction for {scan_name}; skipping")
             continue
+        n_evaluated += 1
         feats = np.load(feat_file).astype(np.float32)
         norm = np.linalg.norm(feats, axis=-1, keepdims=True)
         feats = feats / np.maximum(norm, 0.1)
@@ -86,11 +89,17 @@ def eval_hypersim(
         fp += (preds & ~presence[:, None]).sum(axis=0)
         fn += (~preds & presence[:, None]).sum(axis=0)
 
+    if n_evaluated == 0:
+        raise FileNotFoundError(
+            f"no scene under {reconstruction_dir} has vertex_clip_feats.npy "
+            f"(expected any of {scene_names})"
+        )
     with np.errstate(divide="ignore", invalid="ignore"):
         precision = tp / (tp + fp)
         recall = tp / (tp + fn)
     return {
         "thresholds": thresholds.tolist(),
+        "scenes_evaluated": n_evaluated,
         "precision": precision.tolist(),
         "recall": recall.tolist(),
         "tp": tp.tolist(),
@@ -99,7 +108,7 @@ def eval_hypersim(
     }
 
 
-def main(argv=None):
+def main(argv=None, clip_engine=None):
     import argparse
     import json
 
@@ -109,15 +118,19 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     args = parser.parse_args(argv)
 
-    from ..models.clip.engine import ClipEngine
+    if clip_engine is None:
+        from ..models.clip.engine import ClipEngine
 
-    ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
-    if not ckpt:
-        print(
-            "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
-            "scores are meaningless without converted weights"
+        ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+        if not ckpt:
+            print(
+                "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
+                "scores are meaningless without converted weights"
+            )
+        clip_engine = (
+            ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
         )
-    engine = ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
+    engine = clip_engine
     stats = eval_hypersim(args.reconstruction_dir, engine, args.labels_csv)
     out = args.out or os.path.join(
         args.reconstruction_dir, "hypersim_eval.json"

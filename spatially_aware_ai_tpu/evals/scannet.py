@@ -160,7 +160,7 @@ def summarize(global_cmat, ncorrect_top1, ncorrect_top5, ntotal):
     }
 
 
-def main(argv=None):
+def main(argv=None, clip_engine=None):
     import argparse
 
     parser = argparse.ArgumentParser()
@@ -170,8 +170,6 @@ def main(argv=None):
     parser.add_argument("--classes", "-c", default="20",
                         choices=["20", "200"])
     args = parser.parse_args(argv)
-
-    from ..models.clip.engine import ClipEngine
 
     pred_dirs = [
         d
@@ -183,24 +181,41 @@ def main(argv=None):
         pred_dirs = [
             d for d in pred_dirs if os.path.basename(d) == args.scan_name
         ]
-
-    ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
-    if not ckpt:
-        print(
-            "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
-            "scores are meaningless without converted weights"
+    if not pred_dirs:
+        raise SystemExit(
+            f"no prediction dirs matching scene* under {args.pred_dir}"
+            + (f" with scan name {args.scan_name}" if args.scan_name else "")
         )
-    clip_engine = (
-        ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
-    )
+
+    if clip_engine is None:
+        from ..models.clip.engine import ClipEngine
+
+        ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+        if not ckpt:
+            print(
+                "warning: SAI_CLIP_CHECKPOINT unset -> random-weight CLIP; "
+                "scores are meaningless without converted weights"
+            )
+        clip_engine = (
+            ClipEngine.from_checkpoint(ckpt) if ckpt else ClipEngine.random()
+        )
 
     global_cmat = 0
     scene_cmats = {}
     nc1 = nc5 = nt = 0
+    skipped = []
     for pred_dir in pred_dirs:
         scene_name = os.path.basename(pred_dir)
-        gt_dir = next(d for d in gt_dirs if scene_name in d)
-        cmat, c1, c5, t = eval_scene(pred_dir, gt_dir, args.classes,
+        matches = [d for d in gt_dirs if scene_name in d]
+        if not matches:
+            # reference crashes here with StopIteration
+            # (eval_scannet_segmentation.py:712's gt-dir lookup); we skip
+            # with a warning and keep evaluating the rest
+            print(f"warning: no GT dir for {scene_name} under {args.gt_dir};"
+                  " skipping")
+            skipped.append(scene_name)
+            continue
+        cmat, c1, c5, t = eval_scene(pred_dir, matches[0], args.classes,
                                      clip_engine)
         scene_cmats[scene_name] = cmat.tolist()
         global_cmat = global_cmat + cmat
@@ -208,7 +223,12 @@ def main(argv=None):
         nc5 = nc5 + np.array(c5)
         nt = nt + np.array(t)
 
+    if not scene_cmats:
+        raise SystemExit(
+            f"no scene had both predictions and GT (skipped: {skipped})"
+        )
     stats = summarize(global_cmat, nc1, nc5, nt)
+    stats["skipped_scenes"] = skipped
     print(round(100 * stats["miou"], 1))
     print(round(100 * stats["macc_top1"], 1))
     print(round(100 * stats["macc_top5"], 1))
