@@ -153,6 +153,30 @@ class ColorSegmenter:
         )
 
 
+class ColorPanopticSegmenter(ColorSegmenter):
+    """ColorSegmenter that additionally returns per-frame instance segment
+    ids (box index + 1; 0 = unassigned), mirroring
+    KmaxSegmenter.run_on_*_panoptic — so instance-aware label fusion is
+    testable hermetically (two touching same-class boxes with distinct
+    albedos resolve to distinct instances)."""
+
+    def run_on_image_panoptic(self, rgb):
+        rgb = np.asarray(rgb, np.float32)
+        norm = np.linalg.norm(rgb, axis=-1, keepdims=True)
+        unit = rgb / np.maximum(norm, 1e-6)
+        sim = unit @ self.colors.T
+        box = np.argmax(sim, axis=-1)
+        valid = norm[..., 0] >= 0.05
+        label = np.where(valid, self.class_ids[box], self.null_id)
+        seg = np.where(valid, box + 1, 0)
+        return label.astype(np.int32), seg.astype(np.int32)
+
+    def run_on_batch_panoptic(self, rgbs):
+        outs = [self.run_on_image_panoptic(r) for r in np.asarray(rgbs)]
+        return (np.stack([o[0] for o in outs]),
+                np.stack([o[1] for o in outs]))
+
+
 class SyntheticSceneDataset(FrameDataset):
     """Orbit of cameras around the demo room, FrameDataset protocol."""
 

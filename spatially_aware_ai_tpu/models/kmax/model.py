@@ -63,7 +63,9 @@ class KMaxConfig:
     pd_dims: Tuple[int, ...] = (512, 256, 128, 64)  # decoder os32/16/8/4
     pd_blocks: Tuple[int, ...] = (1, 1, 1, 1)   # blocks per decoder stage
     aspp_rates: Tuple[int, ...] = (6, 12, 18)
-    axial_span: int = 64     # max spatial extent for axial rel-pos tables
+    axial_span: int = 128    # max spatial extent for axial rel-pos tables
+    #                          (axial blocks run at os32 AND os16: a 1281
+    #                          long edge pads to 1312 -> 82 tokens at os16)
     test_long_edge: int = 1281
     # panoptic post-processing (deeplab2/kmax defaults)
     class_threshold_thing: float = 0.7

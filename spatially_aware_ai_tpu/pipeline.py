@@ -63,6 +63,14 @@ class FusionConfig:
     # (reference's scale_patches_by_depth, clipfusion.py:631-639)
     scale_patches_by_depth: bool = False
     patch_footprint_m: float = 0.5
+    # instance-aware label fusion: when the segmenter exposes per-frame
+    # panoptic segment ids (run_on_batch_panoptic), null out dilated
+    # same-class instance-boundary pixels before fusing labels, so touching
+    # same-class objects are separated by a null seam in the 3D grid and the
+    # flood fill splits them (the reference left this as a TODO,
+    # handy_utils.py:135)
+    split_instances: bool = True
+    instance_boundary_dilate: int = 2
 
     @property
     def trunc_m(self) -> float:
@@ -87,6 +95,47 @@ class FusionResult:
             voxel_obj_idx=voxel_obj_idx,
             segmentation_color=segmentation_color,
         )
+
+
+def null_instance_boundaries(
+    cat: np.ndarray, seg: np.ndarray, null_id: int = NULL_CLASS_ID,
+    dilate: int = 2,
+) -> np.ndarray:
+    """Null out pixels on SAME-CLASS instance-instance boundaries.
+
+    cat/seg: [F, H, W] per-frame class ids / panoptic segment ids (0 =
+    unassigned). Where two different segments of the same class touch, the
+    (dilated) seam is set to null so the fused 3D label grid carries a gap
+    between the instances. Class-class boundaries are left alone (3D
+    connected components already separate those), and object-background
+    edges are untouched (nulling them would erode every object)."""
+    cat = np.asarray(cat)
+    seg = np.asarray(seg)
+    boundary = np.zeros(seg.shape, bool)
+
+    def mark(a, b):
+        seam = (
+            (seg[a] != seg[b]) & (seg[a] > 0) & (seg[b] > 0)
+            & (cat[a] == cat[b])
+        )
+        boundary[a] |= seam
+        boundary[b] |= seam
+
+    F = (slice(None),)
+    mark(F + (slice(None), slice(1, None)),
+         F + (slice(None), slice(None, -1)))
+    mark(F + (slice(1, None), slice(None)),
+         F + (slice(None, -1), slice(None)))
+
+    if dilate > 0 and boundary.any():
+        from scipy import ndimage
+
+        structure = np.zeros((1, 3, 3), bool)
+        structure[0] = True  # dilate within each frame only
+        boundary = ndimage.binary_dilation(
+            boundary, structure=structure, iterations=dilate
+        )
+    return np.where(boundary, null_id, cat).astype(np.int32)
 
 
 def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):
@@ -258,7 +307,16 @@ def fuse_scan(
         labels = None
         if config.with_labels:
             batch_seg = getattr(segmenter, "__self__", None)
-            if batch_seg is not None and hasattr(batch_seg, "run_on_batch"):
+            if (
+                config.split_instances
+                and batch_seg is not None
+                and hasattr(batch_seg, "run_on_batch_panoptic")
+            ):
+                cat, seg = batch_seg.run_on_batch_panoptic(rgb_chunk)
+                labels = null_instance_boundaries(
+                    cat, seg, dilate=config.instance_boundary_dilate
+                )
+            elif batch_seg is not None and hasattr(batch_seg, "run_on_batch"):
                 labels = batch_seg.run_on_batch(rgb_chunk).astype(np.int32)
             else:
                 labels = np.stack(
