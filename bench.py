@@ -313,7 +313,13 @@ def main_full():
         class_grid = np.where(occ, blob.astype(np.int32), 133)
     t0 = time.perf_counter()
     knowledge, voxel_obj_idx = flood_fill_3d(class_grid, None, feats, rgbg)
+    flood_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     mesh = result.extract_mesh(voxel_obj_idx=voxel_obj_idx.reshape(-1))
+    mesh_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     n_obj_meshes = 0
     for key, info in knowledge["unique_objects"].items():
         ov, of, oc = extract_mesh_by_object(
@@ -321,11 +327,15 @@ def main_full():
             mesh["obj_idx"], info["object_index"],
         )
         n_obj_meshes += 1
+    objmesh_s = time.perf_counter() - t0
+
     # text query against the vertex CLIP features (scan -> QUERYABLE)
+    t0 = time.perf_counter()
     vert_feats = jnp.asarray(mesh["clip_feats"])
     rel = engine.run_query(vert_feats, ["background", "a chair"])
     float(rel[0, 0])
-    postproc_s = time.perf_counter() - t0
+    query_s = time.perf_counter() - t0
+    postproc_s = flood_s + mesh_s + objmesh_s + query_s
 
     est_scan_s = 500.0 / (full_fps * 8) + postproc_s
     result_line = {
@@ -342,6 +352,12 @@ def main_full():
                 "full_pipeline_fps_per_chip": round(full_fps, 2),
                 "fuse_wall_s": round(fuse_wall, 2),
                 "postproc_s": round(postproc_s, 2),
+                "postproc_phases_s": {
+                    "flood_fill": round(flood_s, 2),
+                    "mesh": round(mesh_s, 2),
+                    "obj_meshes": round(objmesh_s, 2),
+                    "query": round(query_s, 2),
+                },
                 "timings": {k: round(v, 2) for k, v in
                             result.timings.items()},
                 "n_objects": len(knowledge["unique_objects"]),

@@ -310,6 +310,15 @@ def fuse_scan(
             if (
                 config.split_instances
                 and batch_seg is not None
+                and hasattr(batch_seg, "run_on_batch_fused_labels")
+            ):
+                # device-fused path: one program, one [F, H, W] transfer
+                labels = batch_seg.run_on_batch_fused_labels(
+                    rgb_chunk, dilate=config.instance_boundary_dilate
+                ).astype(np.int32)
+            elif (
+                config.split_instances
+                and batch_seg is not None
                 and hasattr(batch_seg, "run_on_batch_panoptic")
             ):
                 cat, seg = batch_seg.run_on_batch_panoptic(rgb_chunk)
@@ -388,9 +397,17 @@ def fuse_scan(
 
     t1 = time.perf_counter()
     n_logical = int(np.prod(nvox))
-    values = {
-        k: np.asarray(v)[:n_logical] for k, v in finalize_grid(grid).items()
-    }
+    values = {}
+    for k, v in finalize_grid(grid).items():
+        if k == "feat":
+            # the CLIP feature grid is by far the largest buffer (~1 GB at
+            # 0.5M voxels x 512): keep it ON DEVICE. Everything on the
+            # scan->queryable critical path consumes it device-side (mesh
+            # vertex sampling, per-object gathers); np.save / np.asarray
+            # still work via __array__ when persistence needs the bytes.
+            values[k] = v[:n_logical]
+        else:
+            values[k] = np.asarray(v)[:n_logical]
     timings["finalize_s"] = time.perf_counter() - t1
 
     return FusionResult(

@@ -183,7 +183,9 @@ def flood_fill_3d(
                 user_modified = True
                 object_index = pred_label_index
 
-        curr_voxels = [list(map(int, v)) for v in zip(*vox_indices)]
+        # C-speed list building (a Python loop here costs seconds on a
+        # 0.5M-voxel grid); tolist() yields plain ints, JSON-safe
+        curr_voxels = np.stack(vox_indices, axis=-1).tolist()
         obj_id = add_object(
             unique_objects,
             object_counts,

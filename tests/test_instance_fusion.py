@@ -102,3 +102,45 @@ def test_null_instance_boundaries_unit():
     seg3[:, :, :4] = 1
     out3 = null_instance_boundaries(cat, seg3, null_id=133, dilate=1)
     np.testing.assert_array_equal(out3, cat)
+
+
+def test_device_fused_labels_match_host_path():
+    """KmaxSegmenter.run_on_batch_fused_labels (one on-device program) must
+    equal run_on_batch_panoptic + pipeline.null_instance_boundaries
+    (the host path) exactly, including the dilation semantics."""
+    from spatially_aware_ai_tpu.models.kmax import KmaxSegmenter
+
+    seg = KmaxSegmenter.tiny()
+    rng = np.random.default_rng(3)
+    rgbs = rng.uniform(size=(2, 96, 128, 3)).astype(np.float32)
+    for dilate in (0, 1, 2):
+        fused = seg.run_on_batch_fused_labels(rgbs, dilate=dilate)
+        cat, sg = seg.run_on_batch_panoptic(rgbs)
+        host = null_instance_boundaries(cat, sg, dilate=dilate)
+        np.testing.assert_array_equal(fused, host, err_msg=f"dilate={dilate}")
+
+
+def test_null_seams_device_matches_scipy_dilation():
+    """Random cat/seg maps: the jax seam-nulling (reduce_window Chebyshev
+    ball) must equal the scipy binary_dilation host reference."""
+    from spatially_aware_ai_tpu.models.kmax.model import (
+        null_same_class_instance_seams,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        cat = rng.integers(0, 4, (20, 24)).astype(np.int32)
+        seg = rng.integers(0, 5, (20, 24)).astype(np.int32)
+        for dilate in (0, 1, 2):
+            dev = np.asarray(
+                null_same_class_instance_seams(
+                    jnp.asarray(cat), jnp.asarray(seg), dilate=dilate
+                )
+            )
+            host = null_instance_boundaries(
+                cat[None], seg[None], dilate=dilate
+            )[0]
+            np.testing.assert_array_equal(
+                dev, host, err_msg=f"trial={trial} dilate={dilate}"
+            )
