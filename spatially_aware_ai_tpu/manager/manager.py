@@ -134,6 +134,17 @@ class InSituManager:
         self.control_objects = None
         self.control_text_features = None
 
+        # background artifact persistence: the post-scan save moves ~1 GB
+        # (voxel feature grid) device->host->disk; it runs on this executor
+        # so /reprocess_scan returns as soon as the scene is QUERYABLE.
+        # Readers of on-disk artifacts call _wait_for_save() first.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._save_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="artifact-save"
+        )
+        self._save_future = None
+
         self.update_config(target_version=curr_ver)
 
         self.scan_versions = sorted(
@@ -171,6 +182,7 @@ class InSituManager:
 
     def update_config(self, target_version: int):
         with self.lock:
+            self._wait_for_save()  # may read artifacts written in background
             if target_version != self.curr_ver and self.scene_knowledge:
                 self.scene_knowledge_prev = dict(self.scene_knowledge)
 
@@ -336,7 +348,7 @@ class InSituManager:
             self.vert_clip_feat = mesh["clip_feats"]
             self.vertex_obj_idx = vertex_obj_idx
 
-            self.save_files_and_broadcast(new_scene=True)
+            self.save_files_and_broadcast(new_scene=True, asynchronous=True)
             self.scene_reconstructed = True
             self.last_fusion_seconds = time.time() - t0
             self.last_fusion_timings = result.timings
@@ -359,6 +371,7 @@ class InSituManager:
                      mesh_type: str = "rgb"):
         """reference clip_seem_fusion.py:439-480."""
         with self.lock:
+            self._wait_for_save()  # reads mesh/knowledge files from disk
             mesh_name = "mesh_" + mesh_type
             if obj_key == "scene":
                 from ..meshing.extract import mesh_to_json
@@ -459,36 +472,61 @@ class InSituManager:
 
     # -- persistence ------------------------------------------------------------
 
-    def save_files_and_broadcast(self, new_scene: bool = True):
-        """reference clip_seem_fusion.py:563-607."""
+    def _wait_for_save(self):
+        """Block until any in-flight background artifact save finishes (so
+        on-disk readers never observe missing/partial files)."""
+        fut = self._save_future
+        if fut is not None:
+            fut.result()
+            self._save_future = None
+
+    def save_files_and_broadcast(self, new_scene: bool = True,
+                                 asynchronous: bool = False):
+        """reference clip_seem_fusion.py:563-607.
+
+        asynchronous=True writes the heavy per-scene arrays (voxel feature
+        grid, meshes) on a background thread — the scene stays queryable
+        from memory immediately; disk readers synchronize via
+        _wait_for_save()."""
         with self.lock:
+            self._wait_for_save()
             cfg = self.config
             ver = self.curr_ver
+
             if new_scene:
-                np.save(get_path(cfg, ver, "voxel_rgb"), self.voxel_rgb)
-                np.save(
-                    get_path(cfg, ver, "voxel_clip_feats"),
-                    self.voxel_clip_feats,
-                )
-                np.save(
-                    get_path(cfg, ver, "vertex_clip_feats"),
-                    self.vert_clip_feat,
-                )
-                np.save(
-                    get_path(cfg, ver, "vertex_obj_idx"), self.vertex_obj_idx
-                )
-                write_ply(
-                    get_path(cfg, ver, "mesh_rgb"),
-                    np.asarray(self.verts, np.float32),
-                    np.asarray(self.faces, np.int64),
-                    np.asarray(self.vertex_colors, np.float32),
-                )
-                write_ply(
-                    get_path(cfg, ver, "mesh_segmentation"),
-                    np.asarray(self.verts, np.float32),
-                    np.asarray(self.faces, np.int64),
-                    np.asarray(self.segmentation_color, np.float32),
-                )
+                # snapshot references under the lock; the writer thread
+                # touches only these locals
+                voxel_rgb = self.voxel_rgb
+                voxel_clip_feats = self.voxel_clip_feats
+                vert_clip_feat = self.vert_clip_feat
+                vertex_obj_idx = self.vertex_obj_idx
+                verts = np.asarray(self.verts, np.float32)
+                faces = np.asarray(self.faces, np.int64)
+                vertex_colors = np.asarray(self.vertex_colors, np.float32)
+                seg_colors = np.asarray(self.segmentation_color, np.float32)
+
+                def write_heavy():
+                    np.save(get_path(cfg, ver, "voxel_rgb"), voxel_rgb)
+                    np.save(
+                        get_path(cfg, ver, "voxel_clip_feats"),
+                        np.asarray(voxel_clip_feats),
+                    )
+                    np.save(
+                        get_path(cfg, ver, "vertex_clip_feats"),
+                        np.asarray(vert_clip_feat),
+                    )
+                    np.save(
+                        get_path(cfg, ver, "vertex_obj_idx"), vertex_obj_idx
+                    )
+                    write_ply(get_path(cfg, ver, "mesh_rgb"), verts, faces,
+                              vertex_colors)
+                    write_ply(get_path(cfg, ver, "mesh_segmentation"), verts,
+                              faces, seg_colors)
+
+                if asynchronous:
+                    self._save_future = self._save_executor.submit(write_heavy)
+                else:
+                    write_heavy()
             with open(get_path(cfg, ver, "scene_knowledge"), "w") as f:
                 json.dump(self.scene_knowledge, f, default=str)
             with open(get_path(cfg, ver, "insitu_labels"), "w") as f:

@@ -101,6 +101,9 @@ def env(tmp_path_factory):
 def test_v00_reconstructed(env):
     manager, client, out_dir = env
     assert manager.scene_reconstructed
+    # artifact persistence runs on a background thread after fusion; disk
+    # assertions (and out-of-process readers) synchronize explicitly
+    manager._wait_for_save()
     uo = manager.scene_knowledge["unique_objects"]
     labels = {v["class_label"] for v in uo.values()}
     assert {"chair", "suitcase", "table", "floor-wood"} <= labels
@@ -246,6 +249,7 @@ def test_processed_scene_reloads_from_artifacts(env):
     scene from disk without recomputing (reference clip_seem_fusion.py:202-244
     lazy reload)."""
     manager, _, out_dir = env
+    manager._wait_for_save()  # m2 reads this manager's artifacts from disk
     engine2 = ClipEngine.tiny()
     m2 = InSituManager(
         scan_dir=manager.config.scan_dir,
