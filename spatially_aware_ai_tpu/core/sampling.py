@@ -164,6 +164,61 @@ def trilinear_sample(vol, coords, mode: str = "bilinear"):
     raise ValueError(f"unknown mode: {mode}")
 
 
+def trilinear_sample_flat(flat, nvox, coords, mode: str = "bilinear"):
+    """trilinear_sample over a FLATTENED volume buffer.
+
+    flat: [Nbuf, C] row-major flattening of a [d0, d1, d2, C] volume; Nbuf
+    may exceed prod(nvox) (bucket padding — the tail is never read because
+    out-of-bounds is decided against `nvox`). nvox: int32[3], a TRACED
+    value — so a jit of this function is keyed only on (Nbuf, coords shape,
+    C, mode), not on the per-scan grid dims. That keying is the point: on
+    the TPU sandbox every new eager-op shape costs a serialized remote
+    compile, and scan grids never repeat their dims exactly.
+    """
+    d0 = nvox[0]
+    d1 = nvox[1]
+    d2 = nvox[2]
+
+    def gather(i0, i1, i2):
+        inb = (
+            (i0 >= 0) & (i0 < d0) & (i1 >= 0) & (i1 < d1)
+            & (i2 >= 0) & (i2 < d2)
+        )
+        idx = (
+            jnp.clip(i0, 0, d0 - 1) * d1 + jnp.clip(i1, 0, d1 - 1)
+        ) * d2 + jnp.clip(i2, 0, d2 - 1)
+        vals = flat[idx]
+        return jnp.where(inb[..., None], vals, 0.0)
+
+    c0, c1, c2 = coords[..., 0], coords[..., 1], coords[..., 2]
+    if mode == "nearest":
+        return gather(
+            jnp.round(c0).astype(jnp.int32),
+            jnp.round(c1).astype(jnp.int32),
+            jnp.round(c2).astype(jnp.int32),
+        )
+    if mode == "bilinear":
+        f0, f1, f2 = jnp.floor(c0), jnp.floor(c1), jnp.floor(c2)
+        t0 = (c0 - f0)[..., None]
+        t1 = (c1 - f1)[..., None]
+        t2 = (c2 - f2)[..., None]
+        i0 = f0.astype(jnp.int32)
+        i1 = f1.astype(jnp.int32)
+        i2 = f2.astype(jnp.int32)
+        out = 0.0
+        for d0_ in (0, 1):
+            for d1_ in (0, 1):
+                for d2_ in (0, 1):
+                    w = (
+                        (t0 if d0_ else 1 - t0)
+                        * (t1 if d1_ else 1 - t1)
+                        * (t2 if d2_ else 1 - t2)
+                    )
+                    out = out + w * gather(i0 + d0_, i1 + d1_, i2 + d2_)
+        return out
+    raise ValueError(f"unknown mode: {mode}")
+
+
 def grid_sample_3d(vol, grid_norm, mode: str = "bilinear"):
     """torch-compatible 3D entry point. vol: [D0, D1, D2, C].
 

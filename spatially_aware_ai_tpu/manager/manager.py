@@ -30,7 +30,7 @@ from ..meshing.extract import extract_mesh_by_object
 from ..meshing.ply import read_ply, write_ply
 from ..pipeline import FusionConfig, fuse_scan
 from ..query import turbo_colormap
-from ..query.text import clip_feature_surgery
+from ..query.text import clip_feature_surgery_fast
 from ..scene.objects import flood_fill_3d
 from .paths import dotdict, get_path
 
@@ -133,6 +133,7 @@ class InSituManager:
 
         self.control_objects = None
         self.control_text_features = None
+        self._vert_feat_dev = None  # (device feats, n) query cache
 
         # background artifact persistence: the post-scan save moves ~1 GB
         # (voxel feature grid) device->host->disk; it runs on this executor
@@ -212,6 +213,7 @@ class InSituManager:
         self.vert_clip_feat = np.load(
             get_path(config, ver, "vertex_clip_feats")
         )
+        self._vert_feat_dev = None
         verts, faces, colors = read_ply(get_path(config, ver, "mesh_rgb"))
         self.verts = verts.tolist()
         self.faces = faces.tolist()
@@ -292,7 +294,11 @@ class InSituManager:
             except Exception:
                 pass  # preview is best-effort
 
-            self.voxel_clip_feats = result.values["feat"].reshape(*nvox, -1)
+            # feat stays a (bucket-padded) device array; slice to the
+            # logical grid for per-object gathers + persistence
+            self.voxel_clip_feats = result.values["feat"][
+                : int(np.prod(nvox))
+            ].reshape(*nvox, -1)
             self.voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
             class_grid = result.values["class_id"].reshape(nvox)
 
@@ -346,6 +352,7 @@ class InSituManager:
             self.vertex_colors = vertex_colors.tolist()
             self.segmentation_color = mesh["seg_colors"]
             self.vert_clip_feat = mesh["clip_feats"]
+            self._vert_feat_dev = None
             self.vertex_obj_idx = vertex_obj_idx
 
             self.save_files_and_broadcast(new_scene=True, asynchronous=True)
@@ -416,6 +423,28 @@ class InSituManager:
 
     # -- language query --------------------------------------------------------
 
+    _QUERY_V_BUCKET = 16384
+
+    def _query_feats_device(self):
+        """Normalized vertex CLIP features as a cached, bucket-padded device
+        array [1, Vb, C] (uploads ~tens of MB once per scene instead of per
+        query; the bucket keeps the query jit shape-stable across scans).
+        Returns (device_feats, n_real_vertices)."""
+        feats = self._vert_feat_dev
+        if feats is not None and feats[1] == len(self.vert_clip_feat):
+            return feats[0], feats[1]
+        clip_feat = np.asarray(self.vert_clip_feat, np.float32)
+        n = len(clip_feat)
+        norm = np.linalg.norm(clip_feat, axis=-1, keepdims=True)
+        clip_feat = np.nan_to_num(clip_feat / np.maximum(norm, 1e-12))
+        vb = max(self._QUERY_V_BUCKET,
+                 -(-n // self._QUERY_V_BUCKET) * self._QUERY_V_BUCKET)
+        if vb != n:
+            clip_feat = np.pad(clip_feat, ((0, vb - n), (0, 0)))
+        dev = jnp.asarray(clip_feat[None])
+        self._vert_feat_dev = (dev, n)
+        return dev, n
+
     def clip_text_query(self, text: str):
         """reference clip_seem_fusion.py:482-561: dynamic scene label bank +
         CLIP-Surgery relevance -> turbo heatmap mesh JSON."""
@@ -440,16 +469,13 @@ class InSituManager:
                     )
                 )
 
-            clip_feat = np.asarray(self.vert_clip_feat, np.float32)
-            norm = np.linalg.norm(clip_feat, axis=-1, keepdims=True)
-            clip_feat = np.nan_to_num(clip_feat / np.maximum(norm, 1e-12))
-
+            feats_dev, n_verts = self._query_feats_device()
             similarity = np.asarray(
-                clip_feature_surgery(
-                    jnp.asarray(clip_feat[None]),
+                clip_feature_surgery_fast(
+                    feats_dev,
                     jnp.asarray(self.control_text_features),
                 )
-            )
+            )[:, :n_verts, :]
 
             for n, label in enumerate(self.control_objects):
                 if label != text:

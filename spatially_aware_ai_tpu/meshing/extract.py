@@ -10,14 +10,46 @@ clip_seem_fusion.py:824-888):
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.sampling import trilinear_sample
+from ..core.sampling import trilinear_sample_flat
 from .marching import marching_tetrahedra
 from .ply import read_ply
+
+# Vertex counts and grid dims vary per scan; on the TPU sandbox every new
+# eager-op shape costs a serialized remote compile, so vertex sampling runs
+# through ONE jitted flat-buffer program keyed on bucketed sizes only.
+VERT_BUCKET = 16384
+FLAT_BUCKET = 65536
+
+_sample_flat_jit = jax.jit(
+    trilinear_sample_flat, static_argnames=("mode",)
+)
+
+
+def _bucket_flat(arr):
+    """Pad a flat [n, C] array up to a FLAT_BUCKET multiple. Host arrays pad
+    host-side (no device compile); device arrays are assumed to already be
+    bucket-padded by the fusion pipeline (create_grid pad_to)."""
+    if isinstance(arr, np.ndarray):
+        n = arr.shape[0]
+        nb = -(-n // FLAT_BUCKET) * FLAT_BUCKET
+        if nb != n:
+            arr = np.pad(arr, ((0, nb - n),) + ((0, 0),) * (arr.ndim - 1))
+        return jnp.asarray(arr)
+    return arr
+
+
+def _sample_verts(flat, nvox, coords_padded, mode, n_real):
+    out = _sample_flat_jit(
+        _bucket_flat(flat), jnp.asarray(nvox, jnp.int32), coords_padded, mode
+    )
+    return np.asarray(out)[:n_real]
 
 
 def run_marching_tetrahedra(vol, level: float = 0.0):
@@ -54,13 +86,31 @@ def extract_mesh(
 
     verts, faces = run_marching_tetrahedra(tsdf, level=0.0)
 
-    coords = jnp.asarray(verts)  # voxel-index space
-    rgb_vol = jnp.asarray(grid_values["rgb"], jnp.float32).reshape(*nvox, 3)
-    feat_vol = jnp.asarray(grid_values["feat"], jnp.float32).reshape(
-        *nvox, -1
+    # pad vertex coords to a bucket, host-side, with -1 (out-of-bounds ->
+    # zeros, sliced away); all samplers then share bucket-stable jits
+    n_real = len(verts)
+    vb = max(VERT_BUCKET, -(-n_real // VERT_BUCKET) * VERT_BUCKET)
+    coords_p = np.full((vb, 3), -10.0, np.float32)
+    coords_p[:n_real] = verts
+    coords_p = jnp.asarray(coords_p)
+
+    def to_flat(arr, C):
+        """Host arrays -> [n, C] float32 numpy (padded later host-side);
+        device arrays pass through (already flat + bucket-padded)."""
+        if isinstance(arr, np.ndarray):
+            return np.asarray(arr, np.float32).reshape(-1, C)
+        return arr.reshape(-1, C) if arr.ndim != 2 else arr
+
+    colors = np.clip(
+        _sample_verts(to_flat(grid_values["rgb"], 3), nvox, coords_p,
+                      "bilinear", n_real),
+        0.0, 1.0,
     )
-    colors = np.clip(np.asarray(trilinear_sample(rgb_vol, coords)), 0.0, 1.0)
-    clip_feats = np.asarray(trilinear_sample(feat_vol, coords))
+    feat = grid_values["feat"]
+    feat_dim = feat.shape[-1] if feat.ndim > 1 else 1
+    clip_feats = _sample_verts(
+        to_flat(feat, feat_dim), nvox, coords_p, "bilinear", n_real
+    )
 
     out = {
         "verts_world": verts * voxel_size + np.asarray(origin, np.float32),
@@ -70,15 +120,15 @@ def extract_mesh(
         "clip_feats": clip_feats,
     }
     if voxel_obj_idx is not None:
-        obj_vol = jnp.asarray(voxel_obj_idx, jnp.float32).reshape(*nvox, 1)
-        out["obj_idx"] = (
-            np.asarray(trilinear_sample(obj_vol, coords, mode="nearest"))[:, 0]
-            .astype(np.int32)
-        )
+        obj_flat = np.asarray(voxel_obj_idx, np.float32).reshape(-1, 1)
+        out["obj_idx"] = _sample_verts(
+            obj_flat, nvox, coords_p, "nearest", n_real
+        )[:, 0].astype(np.int32)
     if segmentation_color is not None:
-        seg_vol = jnp.asarray(segmentation_color, jnp.float32).reshape(*nvox, 3)
+        seg_flat = np.asarray(segmentation_color, np.float32).reshape(-1, 3)
         out["seg_colors"] = np.clip(
-            np.asarray(trilinear_sample(seg_vol, coords, mode="nearest")), 0.0, 1.0
+            _sample_verts(seg_flat, nvox, coords_p, "nearest", n_real),
+            0.0, 1.0,
         )
     return out
 

@@ -183,12 +183,30 @@ class ClipEngine:
             prompt_templates,
         )
 
+    _QUERY_V_BUCKET = 16384
+
     def run_query(self, img_feats, labels: Sequence[str]) -> np.ndarray:
-        """softmax(100 * img @ text^T) relevance (clipfusion.py:899-904)."""
+        """softmax(100 * img @ text^T) relevance (clipfusion.py:899-904).
+
+        The vertex axis is bucket-padded so the jitted matmul is
+        shape-stable across scans (per-scan vertex counts would otherwise
+        recompile through the slow remote-compile path on every scan)."""
         text_feats = self.text_inference(labels)
-        return np.asarray(
-            query_text.run_query(jnp.asarray(img_feats), jnp.asarray(text_feats))
+        img_feats = np.asarray(img_feats, np.float32)
+        n = len(img_feats)
+        vb = max(self._QUERY_V_BUCKET,
+                 -(-n // self._QUERY_V_BUCKET) * self._QUERY_V_BUCKET)
+        if vb != n:
+            img_feats = np.pad(img_feats, ((0, vb - n), (0, 0)))
+        out = self._run_query_jit(
+            jnp.asarray(img_feats), jnp.asarray(text_feats)
         )
+        return np.asarray(out)[:n]
+
+    @staticmethod
+    @functools.partial(jax.jit)
+    def _run_query_jit(img_feats, text_feats):
+        return query_text.run_query(img_feats, text_feats)
 
     @staticmethod
     def clip_feature_surgery(image_features, text_features, redundant_feats=None):

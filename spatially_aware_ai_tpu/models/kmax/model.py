@@ -766,7 +766,8 @@ class KmaxSegmenter:
         return img, (new_h, new_w)
 
     def run_on_image_panoptic(self, rgb):
-        rgb = np.asarray(rgb, np.float32)
+        if not isinstance(rgb, jnp.ndarray):
+            rgb = np.asarray(rgb, np.float32)
         H, W = rgb.shape[:2]
         img, (new_h, new_w) = self._resize_for_test(rgb)
         img = (img - _PIXEL_MEAN) / _PIXEL_STD
@@ -783,7 +784,8 @@ class KmaxSegmenter:
         size frames) -> ([F, H, W] int32 category ids, [F, H, W] int32
         per-frame segment ids). One forward batch feeds the MXU instead of F
         separate dispatches."""
-        rgbs = np.asarray(rgbs, np.float32)
+        if not isinstance(rgbs, jnp.ndarray):
+            rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
         img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
         pad_h, pad_w = img0.shape[0], img0.shape[1]
@@ -808,7 +810,8 @@ class KmaxSegmenter:
         """Batched labels ready for instance-aware fusion: panoptic inference
         with same-class instance seams nulled, computed on device in one
         program — one [F, H, W] transfer instead of cat+seg+host dilation."""
-        rgbs = np.asarray(rgbs, np.float32)
+        if not isinstance(rgbs, jnp.ndarray):
+            rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
         img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
         pad_h, pad_w = img0.shape[0], img0.shape[1]

@@ -86,6 +86,14 @@ class FusionResult:
     config: FusionConfig
     timings: Dict[str, float]
 
+    @property
+    def feat_grid(self):
+        """CLIP feature grid [*nvox, C] (device array): values["feat"] is
+        kept bucket-padded for jit shape stability; this slices to the
+        logical grid."""
+        n = int(np.prod(self.nvox))
+        return self.values["feat"][:n].reshape(*self.nvox, -1)
+
     def extract_mesh(self, voxel_obj_idx=None, segmentation_color=None):
         return extract_mesh(
             self.values,
@@ -270,6 +278,11 @@ def fuse_scan(
 
         rgb_chunk = pad_tail(stack["rgb"])  # padded BEFORE inference so the
         # encode batch shape is constant across chunks (no recompiles)
+        # one host->device upload per chunk: CLIP encode, the segmenter, and
+        # the integration batch all read this same device buffer (RGB is
+        # ~100 MB/chunk at the iPhone operating point; the tunnel made
+        # triple uploads a measurable cost)
+        rgb_chunk = jnp.asarray(rgb_chunk)
 
         # NOTE: feature images stay on device (no host round trip); chunks
         # are dispatched asynchronously and only synced at finalize time
@@ -401,11 +414,12 @@ def fuse_scan(
     for k, v in finalize_grid(grid).items():
         if k == "feat":
             # the CLIP feature grid is by far the largest buffer (~1 GB at
-            # 0.5M voxels x 512): keep it ON DEVICE. Everything on the
-            # scan->queryable critical path consumes it device-side (mesh
-            # vertex sampling, per-object gathers); np.save / np.asarray
-            # still work via __array__ when persistence needs the bytes.
-            values[k] = v[:n_logical]
+            # 0.5M voxels x 512): keep it ON DEVICE and UNSLICED (the
+            # bucket-padded length keeps downstream vertex-sampling jits
+            # shape-stable across scans). Mesh sampling reads it directly;
+            # consumers needing the logical grid slice to
+            # values["feat"][:prod(nvox)]; np.save works via __array__.
+            values[k] = v
         else:
             values[k] = np.asarray(v)[:n_logical]
     timings["finalize_s"] = time.perf_counter() - t1

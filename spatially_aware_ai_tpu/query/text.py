@@ -88,6 +88,10 @@ def clip_feature_surgery(image_features, text_features, redundant_feats=None):
 
     image_features: [B, N, C] (L2-normalized), text_features: [L, C].
     Returns similarity [B, N, L].
+
+    Reference-shaped implementation (materializes the [B, N, L, C]
+    outer-product tensor like the original); production paths use the
+    algebraically identical `clip_feature_surgery_fast`.
     """
     if redundant_feats is not None:
         return image_features @ (text_features - redundant_feats).T
@@ -103,6 +107,26 @@ def clip_feature_surgery(image_features, text_features, redundant_feats=None):
     redundant = feats.mean(axis=2, keepdims=True)
     feats = feats - redundant
     return feats.sum(axis=-1)
+
+
+@jax.jit
+def clip_feature_surgery_fast(image_features, text_features):
+    """Algebraically identical to `clip_feature_surgery` without the
+    [B, N, L, C] intermediate:
+
+        sim[b,n,l] = w[b,l] * (img[b,n] . text[l])
+                     - img[b,n] . mean_l(w[b,l] * text[l])
+
+    Two matmuls instead of an O(N*L*C) materialization (at 100K vertices x
+    60 labels x 512 dims the old tensor is 12 GB; this is the production
+    query path)."""
+    prob = image_features[:, :1, :] @ text_features.T  # [B, 1, L]
+    prob = jax.nn.softmax(prob * 2, axis=-1)
+    w = prob / prob.mean(axis=-1, keepdims=True)  # [B, 1, L]
+    sims = (image_features @ text_features.T) * w  # [B, N, L]
+    tbar = (w @ text_features) / text_features.shape[0]  # [B, 1, C]
+    red = jnp.einsum("bnc,bxc->bnx", image_features, tbar)  # [B, N, 1]
+    return sims - red
 
 
 def encode_text_with_prompt_ensemble(encode_text_fn, tokenizer, texts,

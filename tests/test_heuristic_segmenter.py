@@ -44,7 +44,7 @@ def test_pipeline_discovers_objects_without_weights():
     class_grid = result.values["class_id"].reshape(nvox)
     spare = (class_grid >= 134) & (class_grid <= 142)
     assert spare.sum() > 50  # objects fused with spare classes
-    feats = result.values["feat"].reshape(*nvox, -1)
+    feats = np.asarray(result.feat_grid)
     rgbv = result.values["rgb"].reshape(*nvox, 3)
     sk, obj_ids = flood_fill_3d(class_grid, None, feats, rgbv, None)
     # at least a couple of 3D instances discovered, named by spare classes

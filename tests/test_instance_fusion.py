@@ -48,7 +48,7 @@ def fuse(scene, segmenter):
     result = fuse_scan(ds, engine, cfg, segmenter=segmenter.run_on_image)
     nvox = result.nvox
     class_grid = result.values["class_id"].reshape(nvox)
-    feats = result.values["feat"].reshape(*nvox, -1)
+    feats = np.asarray(result.feat_grid)
     rgb = result.values["rgb"].reshape(*nvox, 3)
     knowledge, _ = flood_fill_3d(class_grid, None, feats, rgb)
     return knowledge

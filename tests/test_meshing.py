@@ -126,3 +126,42 @@ def test_extract_mesh_by_object():
     assert len(ov) == 3
     np.testing.assert_array_equal(of, [[0, 1, 2]])
     np.testing.assert_allclose(ov, verts[3:])
+
+
+def test_trilinear_sample_flat_matches_volume_sampler():
+    """Flat-buffer sampler (bucket-padded, traced nvox) must equal the
+    volume sampler, including out-of-bounds coords and padded tails."""
+    import jax.numpy as jnp
+    from spatially_aware_ai_tpu.core.sampling import (
+        trilinear_sample,
+        trilinear_sample_flat,
+    )
+
+    rng = np.random.default_rng(11)
+    nvox = (5, 7, 6)
+    C = 4
+    vol = rng.normal(size=(*nvox, C)).astype(np.float32)
+    flat = vol.reshape(-1, C)
+    flat_padded = np.concatenate(
+        [flat, np.full((37, C), 99.0, np.float32)]
+    )  # garbage tail must never be read
+    coords = np.concatenate(
+        [
+            rng.uniform(-1.5, np.array(nvox) + 1.5, (64, 3)),
+            np.full((8, 3), -10.0),  # fully OOB pad rows
+        ]
+    ).astype(np.float32)
+    for mode in ("bilinear", "nearest"):
+        ref = np.asarray(
+            trilinear_sample(jnp.asarray(vol), jnp.asarray(coords), mode=mode)
+        )
+        out = np.asarray(
+            trilinear_sample_flat(
+                jnp.asarray(flat_padded),
+                jnp.asarray(nvox, jnp.int32),
+                jnp.asarray(coords),
+                mode=mode,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=mode)
+        assert (out[-8:] == 0).all()

@@ -98,7 +98,7 @@ def test_object_instances_found(fused):
     ds, result = fused
     nvox = result.nvox
     class_grid = result.values["class_id"].reshape(nvox)
-    feats = result.values["feat"].reshape(*nvox, -1)
+    feats = np.asarray(result.feat_grid)
     rgb = result.values["rgb"].reshape(*nvox, 3)
     sk, obj_ids = flood_fill_3d(class_grid, None, feats, rgb, None)
     labels = {o["class_label"] for o in sk["unique_objects"].values()}
@@ -153,7 +153,8 @@ def test_sparse_integrator_pipeline_matches_scan():
         r_sparse.values["weight"], r_scan.values["weight"]
     )
     np.testing.assert_allclose(
-        r_sparse.values["feat"], r_scan.values["feat"], atol=1e-4
+        np.asarray(r_sparse.feat_grid), np.asarray(r_scan.feat_grid),
+        atol=1e-4,
     )
     np.testing.assert_allclose(
         r_sparse.values["rgb"], r_scan.values["rgb"], atol=1e-5

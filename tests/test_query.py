@@ -77,3 +77,27 @@ def test_turbo_colormap():
     assert rgb[0, 2] > rgb[0, 0]
     assert rgb[-1, 0] > rgb[-1, 2]
     assert rgb[5, 1] > 0.5
+
+
+def test_surgery_fast_matches_reference_shaped():
+    """clip_feature_surgery_fast (two matmuls) must equal the
+    reference-shaped implementation (materialized [B,N,L,C] tensor)."""
+    import jax.numpy as jnp
+    from spatially_aware_ai_tpu.query.text import (
+        clip_feature_surgery,
+        clip_feature_surgery_fast,
+    )
+
+    rng = np.random.default_rng(5)
+    for B, N, L, C in [(1, 50, 7, 16), (2, 33, 12, 32)]:
+        img = rng.normal(size=(B, N, C)).astype(np.float32)
+        img /= np.linalg.norm(img, axis=-1, keepdims=True)
+        txt = rng.normal(size=(L, C)).astype(np.float32)
+        txt /= np.linalg.norm(txt, axis=-1, keepdims=True)
+        ref = np.asarray(
+            clip_feature_surgery(jnp.asarray(img), jnp.asarray(txt))
+        )
+        fast = np.asarray(
+            clip_feature_surgery_fast(jnp.asarray(img), jnp.asarray(txt))
+        )
+        np.testing.assert_allclose(fast, ref, atol=1e-5)
