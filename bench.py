@@ -241,9 +241,11 @@ def main_full():
     W, H = (256, 192) if tiny else (1024, 768)
     T = int(os.environ.get("SAI_BENCH_FULL_FRAMES", "8" if tiny else "24"))
     CHUNK = int(os.environ.get("SAI_BENCH_FULL_CHUNK", "4" if tiny else "8"))
-    dtype = jnp.bfloat16 if os.environ.get("SAI_KMAX_BF16") == "1" else (
-        jnp.float32
-    )
+    # None lets the segmenter pick its backend default (bf16 on TPU);
+    # SAI_KMAX_BF16=0/1 forces f32/bf16 explicitly
+    dtype = {None: None, "1": jnp.bfloat16, "0": jnp.float32}[
+        os.environ.get("SAI_KMAX_BF16")
+    ]
 
     base = SyntheticSceneDataset(num_frames=8, width=W // 4, height=H // 4)
     rgbs, depths, poses, Ks = [], [], [], []
@@ -373,7 +375,9 @@ def main_full():
                 "n_verts": int(len(mesh["verts_world"])),
                 "frames": T,
                 "chunk": CHUNK,
-                "kmax_dtype": str(dtype.__name__),
+                "kmax_dtype": str(
+                    getattr(seg, "compute_dtype", np.float32).__name__
+                ),
                 "device": str(jax.devices()[0]),
             }
         ),

@@ -5,53 +5,49 @@ subsample grid of every depth frame to a world point cloud, mask invalid /
 over-max depths, then bounds = 1st/99th percentile +- trunc and
 nvox = round((max - min) / voxel_size).
 
-TPU-native version: the per-frame unprojection is one batched jit over all
-frames at once (frames x 49 points is tiny); the percentile runs in numpy on
-host (it is a O(F*49) sort).
+This pass is pure host numpy: the unprojection touches only 49 pixels per
+frame, so subsampling before any device involvement avoids uploading full
+depth frames, and the percentile is an O(F*49) sort.
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
-
-from .geometry import cam_to_world, get_pix_vecs
-
-
-@functools.partial(jax.jit, static_argnames=("imwidth", "imheight", "uv_size"))
-def _backproject_batch(depth_imgs, poses, Ks, *, imwidth, imheight, uv_size=7):
-    """depth_imgs [F, H, W], poses [F, 4, 4], Ks [F, 3, 3] ->
-    (xyz [F, uv_size^2, 3], valid [F, uv_size^2])."""
-    u = jnp.round(jnp.linspace(0, imwidth - 1, uv_size)).astype(jnp.int32)
-    v = jnp.round(jnp.linspace(0, imheight - 1, uv_size)).astype(jnp.int32)
-    uu, vv = jnp.meshgrid(u, v, indexing="xy")
-    uu = uu.reshape(-1)
-    vv = vv.reshape(-1)
-
-    pix_vecs = get_pix_vecs(imwidth, imheight, Ks)  # [F, H, W, 3]
-    rays = pix_vecs[:, vv, uu]  # [F, P, 3]
-    depth = depth_imgs[:, vv, uu]  # [F, P]
-    xyz_cam = rays * depth[..., None]
-    xyz_world = cam_to_world(xyz_cam, poses)
-    valid = ~jnp.isnan(depth) & (depth > 0)
-    return xyz_world, valid, depth
 
 
 def backproject_sparse_cloud(depth_imgs, poses, Ks, max_depth=np.inf, uv_size=7):
     """Returns an [M, 3] numpy world point cloud from a 7x7 subsample of every
     frame, with invalid/beyond-max depths removed (reference
-    clipfusion.py:517-551 uses max_depth=4 for bounds)."""
-    depth_imgs = jnp.asarray(depth_imgs)
+    clipfusion.py:517-551 uses max_depth=4 for bounds).
+
+    Pure host numpy: only 49 pixels per frame are needed, so subsampling
+    happens BEFORE any device involvement — the previous device path
+    uploaded every full depth frame (1.5 GB for a 500-frame iPhone scan)
+    just to gather 49 samples each."""
+    depth_imgs = np.asarray(depth_imgs)
+    poses = np.asarray(poses, np.float32)
+    Ks = np.asarray(Ks, np.float32)
     F, H, W = depth_imgs.shape
-    xyz, valid, depth = _backproject_batch(
-        depth_imgs, jnp.asarray(poses), jnp.asarray(Ks), imwidth=W, imheight=H,
-        uv_size=uv_size,
-    )
-    xyz = np.asarray(xyz)
-    keep = np.asarray(valid) & (np.asarray(depth) < max_depth)
-    return xyz[keep]
+    u = np.round(np.linspace(0, W - 1, uv_size)).astype(np.int32)
+    v = np.round(np.linspace(0, H - 1, uv_size)).astype(np.int32)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    uu = uu.reshape(-1)
+    vv = vv.reshape(-1)
+
+    # rays = K^-1 @ [u, v, 1] at the sampled pixels (get_pix_vecs math)
+    uv1 = np.stack(
+        [uu.astype(np.float32), vv.astype(np.float32), np.ones_like(uu, np.float32)],
+        axis=-1,
+    )  # [P, 3]
+    Kinv = np.linalg.inv(Ks)  # [F, 3, 3]
+    rays = np.einsum("fij,pj->fpi", Kinv, uv1)  # [F, P, 3]
+
+    depth = depth_imgs[:, vv, uu]  # [F, P]
+    xyz_cam = rays * depth[..., None]
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    xyz = np.einsum("fij,fpj->fpi", R, xyz_cam) + t[:, None, :]
+    keep = ~np.isnan(depth) & (depth > 0) & (depth < max_depth)
+    return xyz[keep].astype(np.float32)
 
 
 def percentile_bounds(xyz, trunc_m, lo=1.0, hi=99.0):
