@@ -806,10 +806,15 @@ class KmaxSegmenter:
     def run_on_batch(self, rgbs) -> np.ndarray:
         return self.run_on_batch_panoptic(rgbs)[0]
 
-    def run_on_batch_fused_labels(self, rgbs, dilate: int = 2) -> np.ndarray:
+    def run_on_batch_fused_labels(self, rgbs, dilate: int = 2,
+                                  as_numpy: bool = True):
         """Batched labels ready for instance-aware fusion: panoptic inference
         with same-class instance seams nulled, computed on device in one
-        program — one [F, H, W] transfer instead of cat+seg+host dilation."""
+        program — one [F, H, W] transfer instead of cat+seg+host dilation.
+
+        as_numpy=False returns the DEVICE array (no transfer, no sync): the
+        fusion pipeline consumes labels on device anyway, so the panoptic
+        chunk stays fully async behind the integration dispatch."""
         if not isinstance(rgbs, jnp.ndarray):
             rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
@@ -826,4 +831,4 @@ class KmaxSegmenter:
         cat = self._infer_fused_labels(
             self.params, imgs, -(-new_h // 4), -(-new_w // 4), H, W, dilate
         )
-        return np.asarray(cat)
+        return np.asarray(cat) if as_numpy else cat

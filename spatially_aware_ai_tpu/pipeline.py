@@ -325,10 +325,12 @@ def fuse_scan(
                 and batch_seg is not None
                 and hasattr(batch_seg, "run_on_batch_fused_labels")
             ):
-                # device-fused path: one program, one [F, H, W] transfer
+                # device-fused path: one program, labels stay ON DEVICE (no
+                # transfer, no sync — the chunk pipelines fully async)
                 labels = batch_seg.run_on_batch_fused_labels(
-                    rgb_chunk, dilate=config.instance_boundary_dilate
-                ).astype(np.int32)
+                    rgb_chunk, dilate=config.instance_boundary_dilate,
+                    as_numpy=False,
+                )
             elif (
                 config.split_instances
                 and batch_seg is not None
