@@ -71,6 +71,11 @@ class FusionConfig:
     # handy_utils.py:135)
     split_instances: bool = True
     instance_boundary_dilate: int = 2
+    # quantized host->device transfer: rgb as uint8 (real scan data is 8-bit
+    # at the source), depth as uint16 millimeters (the iPhone sensor's
+    # native format; 1 mm resolution vs 40 mm voxels). 4x/2x less transfer —
+    # the dominant per-chunk cost over a slow host<->device link.
+    quantize_transfer: bool = True
 
     @property
     def trunc_m(self) -> float:
@@ -282,7 +287,19 @@ def fuse_scan(
         # the integration batch all read this same device buffer (RGB is
         # ~100 MB/chunk at the iPhone operating point; the tunnel made
         # triple uploads a measurable cost)
-        rgb_chunk = jnp.asarray(rgb_chunk)
+        depth_host = pad_tail(stack["depth"])
+        if config.quantize_transfer:
+            rgb_u8 = np.clip(
+                np.rint(rgb_chunk * 255.0), 0, 255
+            ).astype(np.uint8)
+            rgb_chunk = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
+            depth_u16 = np.clip(
+                np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
+            ).astype(np.uint16)
+            depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
+        else:
+            rgb_chunk = jnp.asarray(rgb_chunk)
+            depth_dev = jnp.asarray(depth_host)
 
         # NOTE: feature images stay on device (no host round trip); chunks
         # are dispatched asynchronously and only synced at finalize time
@@ -350,7 +367,7 @@ def fuse_scan(
         t_inference += time.perf_counter() - t1
 
         batch = FrameBatch(
-            depth=jnp.asarray(pad_tail(stack["depth"])),
+            depth=depth_dev,
             rgb=jnp.asarray(rgb_chunk),
             pose=jnp.asarray(pad_tail(stack["pose"])),
             K=jnp.asarray(pad_tail(stack["K"])),

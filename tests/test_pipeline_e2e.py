@@ -37,9 +37,13 @@ def fused():
 
     def segmenter(rgb):
         # ground-truth labels from the renderer, by matching the frame
+        # (atol covers the pipeline's uint8 transfer quantization)
+        rgb = np.asarray(rgb)
         for i in range(len(ds)):
             f = ds[i]
-            if f.rgb.shape == rgb.shape and np.allclose(f.rgb, rgb):
+            if f.rgb.shape == rgb.shape and np.allclose(
+                f.rgb, rgb, atol=1.0 / 254
+            ):
                 lab = ds.render_labels(i).copy()
                 lab[lab < 0] = NULL_CLASS_ID
                 return lab
