@@ -356,7 +356,11 @@ def main_full():
     print(
         json.dumps(
             {
-                "kmax_fps_per_chip": round(kmax_fps, 2),
+                # synchronous single-call path incl. f32 upload + cat/seg
+                # download each call (the production pipeline runs the
+                # quantized async fused-label path; jitted forward alone is
+                # ~38 ms/frame bf16)
+                "kmax_sync_roundtrip_fps_per_chip": round(kmax_fps, 2),
                 "full_pipeline_fps_per_chip": round(full_fps, 2),
                 "fuse_wall_s": round(fuse_wall, 2),
                 "postproc_s": round(postproc_s, 2),
