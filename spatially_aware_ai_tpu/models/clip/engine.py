@@ -23,11 +23,19 @@ from .tokenizer import ClipTokenizer
 
 class ClipEngine:
     def __init__(self, cfg: CLIPConfig, params, bpe_path: Optional[str] = None,
-                 compute_dtype=jnp.float32):
-        """compute_dtype=jnp.bfloat16 runs the towers' matmuls in bf16 on the
-        MXU (params stay f32; embeddings are cast back to f32)."""
+                 compute_dtype=None):
+        """compute_dtype None = bfloat16 on TPU, float32 elsewhere (bf16
+        measured ~8% faster tiled encode on v5e; embeddings are
+        cosine-normalized downstream so bf16 activations are safe). Params
+        stay f32; embeddings are cast back to f32. Pass jnp.float32 to force
+        full precision."""
         import os
 
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu"
+                else jnp.float32
+            )
         self.cfg = cfg
         self.model = CLIP(cfg, dtype=compute_dtype)
         self.compute_dtype = compute_dtype
@@ -58,7 +66,7 @@ class ClipEngine:
     @classmethod
     def random(cls, cfg: CLIPConfig = None, seed: int = 0,
                bpe_path: Optional[str] = None,
-               compute_dtype=jnp.float32) -> "ClipEngine":
+               compute_dtype=None) -> "ClipEngine":
         """Randomly initialized engine (tests / environments w/o weights)."""
         cfg = cfg or VIT_B_32_QUICKGELU
         model = CLIP(cfg)
@@ -81,7 +89,7 @@ class ClipEngine:
     @classmethod
     def from_checkpoint(cls, path: str, cfg: CLIPConfig = None,
                         bpe_path: Optional[str] = None,
-                        compute_dtype=jnp.float32,
+                        compute_dtype=None,
                         allow_fallback_vocab: bool = False) -> "ClipEngine":
         """Load converted params (pickle produced by cli/convert_clip).
 
