@@ -379,3 +379,33 @@ def test_kmax_detectron2_conversion_parity():
     np.testing.assert_allclose(
         np.asarray(masks_j), masks_t.numpy(), atol=2e-3
     )
+
+
+def test_convert_kmax_cli_roundtrip(tmp_path, capsys):
+    """Full conversion-day rehearsal: torch mirror -> .pth -> CLI convert ->
+    KmaxSegmenter.from_checkpoint -> forward parity; --list-missing reports
+    zero unconsumed keys (the converter covers the whole checkpoint)."""
+    from spatially_aware_ai_tpu.cli import convert_kmax
+    from spatially_aware_ai_tpu.models.kmax.model import KmaxSegmenter
+
+    torch.manual_seed(2)
+    gen = torch.Generator().manual_seed(3)
+    cfg = KMAX_TINY_TEST
+    tm = D2KMax(cfg).eval()
+    randomize_bn_stats(tm, gen)
+
+    ckpt = tmp_path / "kmax_tiny.pth"
+    torch.save({"model": tm.state_dict()}, ckpt)
+    out = tmp_path / "kmax_params.pkl"
+    convert_kmax.main([str(ckpt), str(out), "--config", "tiny",
+                       "--list-missing"])
+    printed = capsys.readouterr().out
+    assert "unconsumed" not in printed, printed
+    seg = KmaxSegmenter.from_checkpoint(str(out), cfg=cfg)
+    x = np.random.default_rng(4).normal(size=(1, 64, 64, 3)).astype(
+        np.float32
+    )
+    cls_j, masks_j = seg.model.apply(seg.params, jnp.asarray(x))
+    with torch.no_grad():
+        cls_t, masks_t = tm(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(cls_j), cls_t.numpy(), atol=2e-3)
