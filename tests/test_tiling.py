@@ -104,3 +104,34 @@ def test_batch_fast_prep_matches_slow():
         )
     expect = np.stack(feats)
     np.testing.assert_allclose(out, expect, atol=5e-3)
+
+
+def test_get_patches_fast_slices_match_naive():
+    """The k^2-slice unfold (patch_size % stride == 0) and the gather
+    fallback must both equal a naive python unfold."""
+    rng = np.random.default_rng(0)
+
+    def naive(img, ps, st):
+        H, W, C = img.shape
+        ny = (H - ps) // st + 1
+        nx = (W - ps) // st + 1
+        out = np.zeros((ny, nx, ps, ps, C), img.dtype)
+        for i in range(ny):
+            for j in range(nx):
+                out[i, j] = img[i * st:i * st + ps, j * st:j * st + ps]
+        return out
+
+    cases = [
+        (224, 448, 224, 112),  # fast, k=2 (production geometry scaled)
+        (96, 120, 48, 24),     # fast, k=2
+        (72, 96, 40, 8),       # fast, k=5
+        (96, 144, 48, 16),     # fast, k=3
+        (60, 80, 40, 20),      # fast, k=2
+        (66, 90, 42, 12),      # gather fallback (42 % 12 != 0)
+    ]
+    for H, W, ps, st in cases:
+        img = rng.normal(size=(H, W, 3)).astype(np.float32)
+        got = np.asarray(get_patches(jnp.asarray(img), ps, st))
+        np.testing.assert_array_equal(
+            got, naive(img, ps, st), err_msg=f"{H}x{W} ps={ps} st={st}"
+        )
