@@ -183,3 +183,26 @@ def test_empty_dataset_raises():
 
     with pytest.raises(ValueError, match="no frames"):
         fuse_scan(Empty(num_frames=1, width=32, height=24), ClipEngine.tiny())
+
+
+def test_quantize_transfer_close_to_float_path():
+    """uint8 RGB / uint16-mm depth uploads must track the float path within
+    quantization error (and the flag must actually switch paths)."""
+    ds = SyntheticSceneDataset(num_frames=4, width=64, height=48)
+    engine = ClipEngine.tiny()
+    base = dict(voxel_size=0.08, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=2)
+    r_q = fuse_scan(ds, engine, FusionConfig(**base, quantize_transfer=True))
+    r_f = fuse_scan(ds, engine, FusionConfig(**base, quantize_transfer=False))
+    # 1 mm depth quantization may flip voxels sitting exactly on validity
+    # boundaries — but only a handful
+    wq, wf = r_q.values["weight"], r_f.values["weight"]
+    occ = (wf > 0) & (wq == wf)
+    n_flipped = int((wq != wf).sum())
+    assert n_flipped <= max(5, 0.01 * (wf > 0).sum()), n_flipped
+    # where observations agree: colors within uint8 quantization +
+    # interpolation effects, tsdf within depth quantization / trunc
+    diff = np.abs(r_q.values["rgb"][occ] - r_f.values["rgb"][occ])
+    assert diff.max() < 0.02, diff.max()
+    tdiff = np.abs(r_q.values["tsdf"][occ] - r_f.values["tsdf"][occ])
+    assert tdiff.max() < 0.02, tdiff.max()
