@@ -35,7 +35,7 @@ def main():
 
     W, H = 1024, 768
     PATCH, STRIDE = 256, 128
-    F = 8  # frames per integration chunk
+    F = int(os.environ.get("SAI_BENCH_CHUNK", "8"))  # frames per chunk
     REPEATS = 6  # timed chunks (after warmup)
 
     # --- build a realistic frame chunk (render small, upsample like the
