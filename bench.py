@@ -265,18 +265,20 @@ def main_full():
         np.stack(Ks).astype(np.float32),
     )
 
+    voxel = float(os.environ.get("SAI_BENCH_FULL_VOXEL",
+                                  "0.06" if tiny else "0.04"))
     if tiny:
         engine = ClipEngine.tiny()
         seg = KmaxSegmenter.tiny()
         cfg = FusionConfig(
-            voxel_size=0.06, with_labels=True, frame_chunk=CHUNK,
+            voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=64, clip_patch_stride=32,
         )
     else:
         engine = ClipEngine.random(seed=0)
         seg = KmaxSegmenter(compute_dtype=dtype)  # ConvNeXt-L @ 1281
         cfg = FusionConfig(
-            voxel_size=0.04, with_labels=True, frame_chunk=CHUNK,
+            voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=256, clip_patch_stride=128,
         )
 
@@ -379,6 +381,8 @@ def main_full():
                 "n_verts": int(len(mesh["verts_world"])),
                 "frames": T,
                 "chunk": CHUNK,
+                "voxel_size": voxel,
+                "nvox": list(nvox),
                 "kmax_dtype": str(
                     getattr(seg, "compute_dtype", np.float32).__name__
                 ),

@@ -165,3 +165,35 @@ def test_trilinear_sample_flat_matches_volume_sampler():
         )
         np.testing.assert_allclose(out, ref, atol=1e-5, err_msg=mode)
         assert (out[-8:] == 0).all()
+
+
+def test_mesh_sampling_jit_stable_across_scan_sizes():
+    """Vertex-attribute sampling programs must be reused across scans with
+    different grid dims and vertex counts (bucketed shapes + traced nvox) —
+    on the TPU sandbox each recompile costs seconds through a serialized
+    remote-compile helper."""
+    from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+    from spatially_aware_ai_tpu.meshing import extract
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
+
+    engine = ClipEngine.tiny()
+
+    def run(nf, w, h, vx):
+        ds = SyntheticSceneDataset(num_frames=nf, width=w, height=h)
+        cfg = FusionConfig(
+            voxel_size=vx, trunc_vox=2.0, clip_patch_size=32,
+            clip_patch_stride=16, frame_chunk=2,
+            grid_size_bucket=65536,  # the TPU default bucket
+        )
+        result = fuse_scan(ds, engine, cfg)
+        result.extract_mesh()
+
+    run(4, 64, 48, 0.08)
+    after_first = extract._sample_flat_jit._cache_size()
+    run(4, 80, 64, 0.06)  # different nvox AND vertex count
+    after_second = extract._sample_flat_jit._cache_size()
+    assert after_second == after_first, (
+        f"mesh sampling recompiled across scan sizes "
+        f"({after_first} -> {after_second} cached programs)"
+    )
