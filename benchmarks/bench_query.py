@@ -1,8 +1,9 @@
 """Text-query latency benchmark: the north-star query path is one
 text-embedding x vertex-feature similarity on device (SURVEY.md §3.3).
 
-Measures (a) softmax-relevance query and (b) CLIP-Surgery with a 60-label
-bank over V vertices. Prints one JSON line per configuration.
+Measures (a) softmax-relevance query and (b) CLIP-Surgery (the production
+matmul formulation, clip_feature_surgery_fast) with a 60-label bank over V
+vertices. Prints one JSON line per configuration.
 """
 import json
 import os
@@ -18,7 +19,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from spatially_aware_ai_tpu.query import run_query, clip_feature_surgery
+    from spatially_aware_ai_tpu.query import run_query
+    from spatially_aware_ai_tpu.query.text import clip_feature_surgery_fast
 
     rng = np.random.default_rng(0)
     C = 512
@@ -43,7 +45,7 @@ def main():
         sync(out)
         t_soft = (time.perf_counter() - t0) / 10
 
-        cs = jax.jit(clip_feature_surgery)
+        cs = clip_feature_surgery_fast  # already jitted
         sync(cs(feats[None], bank))
         t0 = time.perf_counter()
         for _ in range(10):
