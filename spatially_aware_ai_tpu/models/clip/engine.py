@@ -172,6 +172,7 @@ class ClipEngine:
             patch_size=patch_size,
             patch_stride=patch_stride,
             encode_fn=self._encode_image,
+            prep_dtype=self.compute_dtype,
         )
 
     # -- text side -----------------------------------------------------------

@@ -65,18 +65,27 @@ def get_patches(img, patch_size: int, patch_stride: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("patch_size", "patch_stride", "encode_fn")
+    jax.jit,
+    static_argnames=("patch_size", "patch_stride", "encode_fn", "prep_dtype"),
 )
 def tiled_image_features_batch(
-    params, imgs, *, patch_size, patch_stride, encode_fn
+    params, imgs, *, patch_size, patch_stride, encode_fn, prep_dtype=None
 ):
     """Whole-chunk tiled CLIP features: [F, H, W, 3] -> [F, ny, nx, C].
 
     All F * ny * nx patches are encoded in ONE forward batch — the batch
     dimension feeding the MXU is the product of frames and patches, not the
     reference's micro-batches of 8 (clipfusion.py:826-833).
+
+    prep_dtype: run the normalize/resize/unfold preprocessing in this dtype
+    (the engine passes its compute dtype — bf16 halves the memory traffic of
+    the patch tensors, which dominates prep cost on TPU; sources are 8-bit).
     """
-    imgs = (imgs - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    if prep_dtype is not None:
+        imgs = imgs.astype(prep_dtype)
+    imgs = (imgs - jnp.asarray(OPENAI_CLIP_MEAN, imgs.dtype)) / jnp.asarray(
+        OPENAI_CLIP_STD, imgs.dtype
+    )
     F, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
     ny = num_patches(H, patch_size, patch_stride)
     nx = num_patches(W, patch_size, patch_stride)
