@@ -123,3 +123,40 @@ def test_fuse_cli_then_scannet_eval_chain(scannet_dir, tmp_path):
     assert 0.0 <= stats["miou"] <= 1.0
     assert (out_root / "scene_cmats.json").exists()
     assert (pred_dir / "transferred.ply").exists()
+
+
+def test_fuse_cli_then_hypersim_eval_chain(tmp_path):
+    """Same rehearsal for Hypersim: an HDF5-format scan through the batch
+    CLI, then evals.hypersim.main over the reconstruction dir."""
+    from test_hypersim_loader import write_hypersim_scan
+
+    from spatially_aware_ai_tpu.evals import hypersim as hyp
+
+    scans_root = tmp_path / "hypersim"
+    os.makedirs(scans_root)
+    write_hypersim_scan(scans_root, scan_name="ai_001_001", n_frames=3,
+                        W=64, H=48)
+    out_root = tmp_path / "recon"
+    fuse_cli.main([
+        str(scans_root), str(out_root), "--dataset", "hypersim",
+        "--voxel-size", "0.2", "--tiny-clip",
+        "--clip-patch-size", "32", "--clip-patch-stride", "16",
+        "--frame-chunk", "2",
+    ])
+    pred = out_root / "ai_001_001"
+    assert (pred / "vertex_clip_feats.npy").exists()
+
+    csv_path = tmp_path / "labels.csv"
+    csv_path.write_text(
+        "scene_name,frame,label,x,y\n"
+        "ai_001_001,0,a chair,1,2\n"
+        "ai_001_001,1,a lamp,3,4\n"
+    )
+    out = tmp_path / "hyp.json"
+    stats = hyp.main(
+        [str(out_root), "--labels-csv", str(csv_path), "--out", str(out)],
+        clip_engine=ClipEngine.tiny(),
+    )
+    assert stats["scenes_evaluated"] == 1
+    assert len(stats["precision"]) == 101
+    assert out.exists()
