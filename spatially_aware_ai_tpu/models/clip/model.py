@@ -70,6 +70,10 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
+        # NOTE: jax.nn.dot_product_attention measured faster in an isolated
+        # transformer microbench (30.7 vs 35.4 ms/chunk) but 11% SLOWER in
+        # the full tiled-encode program on v5e (125 vs 140 fused fps) — the
+        # hand-rolled formulation fuses better with the surrounding program.
         B, T, _ = x.shape
         hd = self.width // self.heads
         qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="in_proj")(x)
