@@ -75,6 +75,10 @@ def main(argv=None):
 
     r = sub.add_parser("reprocess")
     r.add_argument("--version", type=int, required=True)
+    r.add_argument("--background", action="store_true",
+                   help="non-blocking /reprocess_scan_async + progress poll")
+
+    sub.add_parser("status")
 
     mg = sub.add_parser("merge")
     mg.add_argument("objects", nargs="+")
@@ -131,7 +135,24 @@ def main(argv=None):
                         ),
                     )
     elif args.cmd == "reprocess":
-        print(post(s, "/reprocess_scan", {"version": args.version}))
+        if args.background:
+            import time
+
+            print(post(s, "/reprocess_scan_async",
+                       {"version": args.version}))
+            while True:
+                status, job = get(s, "/scan_status")
+                print(f"  {job.get('state')} phase={job.get('phase')} "
+                      f"frames={job.get('frames_done')}/"
+                      f"{job.get('frames_total')} "
+                      f"elapsed={job.get('elapsed_s')}s")
+                if job.get("state") != "running":
+                    break
+                time.sleep(2)
+        else:
+            print(post(s, "/reprocess_scan", {"version": args.version}))
+    elif args.cmd == "status":
+        print(get(s, "/scan_status")[1])
     elif args.cmd == "merge":
         print(post(
             s, "/merge_objects",

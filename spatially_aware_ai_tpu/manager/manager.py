@@ -146,6 +146,14 @@ class InSituManager:
         )
         self._save_future = None
 
+        # background reprocess jobs (one at a time): the scene rebuild runs
+        # off-lock on this executor while queries keep serving the installed
+        # version; see reprocess_scan_async / scan_status
+        self._fusion_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="scan-fusion"
+        )
+        self._fusion_job = None
+
         self.update_config(target_version=curr_ver)
 
         self.scan_versions = sorted(
@@ -246,118 +254,193 @@ class InSituManager:
         curr_ver: int = 0,
     ):
         """Full reconstruction of the current scan version
-        (reference clip_seem_fusion.py:247-437)."""
+        (reference clip_seem_fusion.py:247-437). Blocking: holds the manager
+        lock for the whole rebuild, exactly like the reference. For a
+        non-blocking rebuild that keeps the previous version queryable, use
+        reprocess_scan_async()."""
         with self.lock:
-            t0 = time.time()
-            cfg = self.config
-            scene_inputdir = get_path(cfg, curr_ver, "scene_inputdir")
-            dataset = make_dataset(
-                cfg.dataset,
-                scan_dir or scene_inputdir,
-                views_limit if views_limit is not None else self.views_limit,
+            state = self._build_scene(
+                self.config,
+                curr_ver,
+                scene_knowledge_base=self.scene_knowledge,
+                scene_knowledge_prev=self.scene_knowledge_prev,
+                scan_dir=scan_dir,
+                views_limit=views_limit,
+            )
+            self._install_scene(state, curr_ver)
+            return state["result"]
+
+    def _build_scene(
+        self,
+        cfg,
+        curr_ver: int,
+        scene_knowledge_base: Optional[dict],
+        scene_knowledge_prev: Optional[dict],
+        scan_dir: Optional[str] = None,
+        views_limit: Optional[int] = None,
+        on_dispatch=None,
+        phase=None,
+    ) -> dict:
+        """The heavy reconstruction: fusion + flood fill + meshes.
+
+        Does NOT touch manager state (reads only the injected engines, which
+        are safe for concurrent use) and does NOT require the manager lock —
+        the async reprocess path runs it on a worker thread while queries
+        keep hitting the installed scene. Returns the complete new-scene
+        state for _install_scene."""
+        say = phase or (lambda s: None)
+        t0 = time.time()
+        scene_inputdir = get_path(cfg, curr_ver, "scene_inputdir")
+        scene_outputdir = get_path(cfg, curr_ver, "scene_outputdir")
+        os.makedirs(scene_outputdir, exist_ok=True)
+        dataset = make_dataset(
+            cfg.dataset,
+            scan_dir or scene_inputdir,
+            views_limit if views_limit is not None else self.views_limit,
+        )
+
+        fusion_cfg = FusionConfig(
+            voxel_size=cfg.voxel_size,
+            trunc_vox=cfg.trunc_vox,
+            clip_patch_size=cfg.clip_patch_size,
+            clip_patch_stride=cfg.clip_patch_stride,
+            frame_chunk=self.frame_chunk,
+            with_labels=True,
+            rgb_mode="bilinear",
+        )
+        say("fusing")
+        result = fuse_scan(
+            dataset,
+            self.clip_model,
+            fusion_cfg,
+            segmenter=self.seg_model.run_on_image,
+            on_dispatch=on_dispatch,
+        )
+        nvox = result.nvox
+
+        # sparse point-cloud preview of the scan (reference exports
+        # point_cloud_preview.ply, clip_seem_fusion.py:273-276)
+        try:
+            from ..core.bounds import backproject_sparse_cloud
+
+            sub = dataset.stacked(
+                range(0, len(dataset), max(1, len(dataset) // 16))
+            )
+            cloud = backproject_sparse_cloud(
+                sub["depth"], sub["pose"], sub["K"], max_depth=4.0
+            )
+            write_ply(
+                os.path.join(scene_outputdir, "point_cloud_preview.ply"),
+                cloud,
+            )
+        except Exception:
+            pass  # preview is best-effort
+
+        # feat stays a (bucket-padded) device array; slice to the
+        # logical grid for per-object gathers + persistence
+        say("objects")
+        voxel_clip_feats = result.values["feat"][
+            : int(np.prod(nvox))
+        ].reshape(*nvox, -1)
+        voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
+        class_grid = result.values["class_id"].reshape(nvox)
+
+        scene_knowledge, voxel_obj_idx = flood_fill_3d(
+            class_grid,
+            scene_knowledge_base,
+            voxel_clip_feats,
+            voxel_rgb,
+            self.insitu_model,
+            scene_knowledge_prev,
+        )
+        scene_knowledge["scan_version"] = curr_ver
+
+        # colorize each object instance in a segmentation-color grid
+        seg_color = voxel_rgb.reshape(-1, 3).copy()
+        seg_color = seg_color.reshape(*nvox, 3)
+        for obj_key, info in scene_knowledge["unique_objects"].items():
+            vox = np.asarray(info["voxels"], np.int64)
+            seg_color[tuple(vox.T)] = (
+                np.asarray(info["color"], np.float32) / 255.0
             )
 
-            fusion_cfg = FusionConfig(
-                voxel_size=cfg.voxel_size,
-                trunc_vox=cfg.trunc_vox,
-                clip_patch_size=cfg.clip_patch_size,
-                clip_patch_stride=cfg.clip_patch_stride,
-                frame_chunk=self.frame_chunk,
-                with_labels=True,
-                rgb_mode="bilinear",
+        say("meshing")
+        mesh = result.extract_mesh(
+            voxel_obj_idx=voxel_obj_idx.reshape(-1),
+            segmentation_color=seg_color.reshape(-1, 3),
+        )
+
+        verts = mesh["verts_world"]
+        faces = mesh["faces"]
+        vertex_colors = mesh["colors"]
+        vertex_obj_idx = mesh["obj_idx"]
+
+        # attach per-object meshes to the knowledge
+        for obj_key, info in scene_knowledge["unique_objects"].items():
+            ov, of, oc = extract_mesh_by_object(
+                verts, faces, vertex_colors, vertex_obj_idx,
+                info["object_index"],
             )
-            result = fuse_scan(
-                dataset,
-                self.clip_model,
-                fusion_cfg,
-                segmenter=self.seg_model.run_on_image,
-            )
-            self.nvox = result.nvox
-            nvox = result.nvox
+            if len(of) < 10:
+                info["mesh"] = None
+                continue
+            info["mesh"] = {
+                "vertices": ov.tolist(),
+                "faces": of.tolist(),
+                "colors": oc.tolist(),
+            }
 
-            # sparse point-cloud preview of the scan (reference exports
-            # point_cloud_preview.ply, clip_seem_fusion.py:273-276)
-            try:
-                from ..core.bounds import backproject_sparse_cloud
+        return {
+            "result": result,
+            "nvox": nvox,
+            "voxel_clip_feats": voxel_clip_feats,
+            "voxel_rgb": voxel_rgb,
+            "scene_knowledge": scene_knowledge,
+            "verts": verts,
+            "faces": faces,
+            "vertex_colors": vertex_colors,
+            "segmentation_color": mesh["seg_colors"],
+            "vert_clip_feat": mesh["clip_feats"],
+            "vertex_obj_idx": vertex_obj_idx,
+            "elapsed_s": time.time() - t0,
+        }
 
-                sub = dataset.stacked(
-                    range(0, len(dataset), max(1, len(dataset) // 16))
+    def _install_scene(self, state: dict, curr_ver: int,
+                       adopt_config=None):
+        """Atomically swap the built scene in as the served state.
+
+        adopt_config: version-pathed config from an async job; when given,
+        the manager also switches its current version (the sync path already
+        did this via update_config before building)."""
+        with self.lock:
+            if adopt_config is not None:
+                self._wait_for_save()
+                if curr_ver != self.curr_ver and self.scene_knowledge:
+                    self.scene_knowledge_prev = dict(self.scene_knowledge)
+                adopt_config.curr_ver = curr_ver
+                self.curr_ver = curr_ver
+                self.config = adopt_config
+                os.makedirs(adopt_config.scene_outputdir, exist_ok=True)
+                _dump_yaml(
+                    dict(adopt_config),
+                    os.path.join(adopt_config.scene_outputdir, "config.yml"),
                 )
-                cloud = backproject_sparse_cloud(
-                    sub["depth"], sub["pose"], sub["K"], max_depth=4.0
-                )
-                write_ply(
-                    os.path.join(cfg.scene_outputdir,
-                                 "point_cloud_preview.ply"),
-                    cloud,
-                )
-            except Exception:
-                pass  # preview is best-effort
-
-            # feat stays a (bucket-padded) device array; slice to the
-            # logical grid for per-object gathers + persistence
-            self.voxel_clip_feats = result.values["feat"][
-                : int(np.prod(nvox))
-            ].reshape(*nvox, -1)
-            self.voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
-            class_grid = result.values["class_id"].reshape(nvox)
-
-            scene_knowledge, voxel_obj_idx = flood_fill_3d(
-                class_grid,
-                self.scene_knowledge,
-                self.voxel_clip_feats,
-                self.voxel_rgb,
-                self.insitu_model,
-                self.scene_knowledge_prev,
-            )
-            scene_knowledge["scan_version"] = curr_ver
-            self.scene_knowledge = scene_knowledge
-
-            # colorize each object instance in a segmentation-color grid
-            seg_color = self.voxel_rgb.reshape(-1, 3).copy()
-            seg_color = seg_color.reshape(*nvox, 3)
-            for obj_key, info in scene_knowledge["unique_objects"].items():
-                vox = np.asarray(info["voxels"], np.int64)
-                seg_color[tuple(vox.T)] = (
-                    np.asarray(info["color"], np.float32) / 255.0
-                )
-
-            mesh = result.extract_mesh(
-                voxel_obj_idx=voxel_obj_idx.reshape(-1),
-                segmentation_color=seg_color.reshape(-1, 3),
-            )
-
-            verts = mesh["verts_world"]
-            faces = mesh["faces"]
-            vertex_colors = mesh["colors"]
-            vertex_obj_idx = mesh["obj_idx"]
-
-            # attach per-object meshes to the knowledge
-            for obj_key, info in scene_knowledge["unique_objects"].items():
-                ov, of, oc = extract_mesh_by_object(
-                    verts, faces, vertex_colors, vertex_obj_idx,
-                    info["object_index"],
-                )
-                if len(of) < 10:
-                    info["mesh"] = None
-                    continue
-                info["mesh"] = {
-                    "vertices": ov.tolist(),
-                    "faces": of.tolist(),
-                    "colors": oc.tolist(),
-                }
-
-            self.verts = verts.tolist()
-            self.faces = faces.tolist()
-            self.vertex_colors = vertex_colors.tolist()
-            self.segmentation_color = mesh["seg_colors"]
-            self.vert_clip_feat = mesh["clip_feats"]
+            result = state["result"]
+            self.nvox = state["nvox"]
+            self.voxel_clip_feats = state["voxel_clip_feats"]
+            self.voxel_rgb = state["voxel_rgb"]
+            self.scene_knowledge = state["scene_knowledge"]
+            self.verts = state["verts"].tolist()
+            self.faces = state["faces"].tolist()
+            self.vertex_colors = state["vertex_colors"].tolist()
+            self.segmentation_color = state["segmentation_color"]
+            self.vert_clip_feat = state["vert_clip_feat"]
             self._vert_feat_dev = None
-            self.vertex_obj_idx = vertex_obj_idx
+            self.vertex_obj_idx = state["vertex_obj_idx"]
 
             self.save_files_and_broadcast(new_scene=True, asynchronous=True)
             self.scene_reconstructed = True
-            self.last_fusion_seconds = time.time() - t0
+            self.last_fusion_seconds = state["elapsed_s"]
             self.last_fusion_timings = result.timings
             # peak device memory (reference prints
             # torch.cuda.max_memory_allocated, clip_seem_fusion.py:428-430)
@@ -370,7 +453,105 @@ class InSituManager:
                     print(f"Peak device memory: {peak} bytes")
             except Exception:
                 pass
-            return result
+
+    # -- background reprocess -------------------------------------------------
+
+    def reprocess_scan_async(self, version: int) -> dict:
+        """Start a full rebuild of `version` on a background thread.
+
+        Unlike the blocking /reprocess_scan (which holds the manager lock for
+        the whole fusion, so every query waits), the job builds the new scene
+        off to the side while queries keep hitting the CURRENTLY INSTALLED
+        version; the finished scene is swapped in atomically. Scene mutations
+        (merge/rename/memorize) made while the job runs apply to the old
+        version and do not carry into the in-flight rebuild's
+        re-identification pass.
+
+        Returns the initial job status dict; poll scan_status() for progress.
+        """
+        with self.lock:
+            job = self._fusion_job
+            if job is not None and job["state"] == "running":
+                out = dict(job, already_running=True)
+                out.pop("started_at", None)
+                return out
+            import copy
+
+            cfg = get_path(dotdict(dict(self.config)), version)
+            sk_base = copy.deepcopy(self.scene_knowledge)
+            sk_prev = copy.deepcopy(
+                dict(self.scene_knowledge)
+                if (version != self.curr_ver and self.scene_knowledge)
+                else self.scene_knowledge_prev
+            )
+            job = {
+                "state": "running",
+                "version": version,
+                "phase": "starting",
+                "frames_done": 0,
+                "frames_total": 0,
+                "started_at": time.time(),
+                "elapsed_s": 0.0,
+            }
+            self._fusion_job = job
+
+        def on_dispatch(done, total):
+            job["frames_done"] = int(done)
+            job["frames_total"] = int(total)
+
+        def set_phase(p):
+            job["phase"] = p
+
+        def worker():
+            try:
+                state = self._build_scene(
+                    cfg,
+                    version,
+                    scene_knowledge_base=sk_base,
+                    scene_knowledge_prev=sk_prev,
+                    on_dispatch=on_dispatch,
+                    phase=set_phase,
+                )
+                job["phase"] = "installing"
+                self._install_scene(state, version, adopt_config=cfg)
+                job["state"] = "done"
+                job["phase"] = "done"
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                job["state"] = "error"
+                job["error"] = f"{type(e).__name__}: {e}"
+            finally:
+                job["elapsed_s"] = round(time.time() - job["started_at"], 3)
+
+        self._fusion_executor.submit(worker)
+        out = dict(job)
+        out.pop("started_at", None)
+        return out
+
+    def scan_status(self) -> dict:
+        """Status of the background reprocess job (idle if none ever ran)."""
+        job = self._fusion_job
+        if job is None:
+            return {"state": "idle", "current_version": self.curr_ver}
+        out = dict(job)
+        if job["state"] == "running":
+            out["elapsed_s"] = round(time.time() - job["started_at"], 3)
+        out["current_version"] = self.curr_ver
+        out.pop("started_at", None)
+        return out
+
+    def wait_for_reprocess(self, timeout: Optional[float] = None) -> dict:
+        """Block until the current background reprocess (if any) finishes."""
+        deadline = None if timeout is None else time.time() + timeout
+        while True:
+            job = self._fusion_job
+            if job is None or job["state"] != "running":
+                return self.scan_status()
+            if deadline is not None and time.time() > deadline:
+                return self.scan_status()
+            time.sleep(0.05)
 
     # -- mesh / knowledge requests -------------------------------------------
 

@@ -180,6 +180,7 @@ def fuse_scan(
     segmenter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     progress: Optional[Callable[[str], None]] = None,
     on_chunk: Optional[Callable[[FusionGrid, int], None]] = None,
+    on_dispatch: Optional[Callable[[int, int], None]] = None,
 ) -> FusionResult:
     """Run the full fusion over a FrameDataset.
 
@@ -188,6 +189,9 @@ def fuse_scan(
     on_chunk: called with (grid, last_frame_index) after each integrated
     chunk — e.g. for incremental mesh previews (the reference's
     write_incremental_meshes, clipfusion.py:1122-1166).
+    on_dispatch: called with (frames_dispatched, frames_total) after each
+    chunk is ENQUEUED on the device (no sync forced, unlike on_chunk) —
+    cheap live progress for background reprocess jobs.
     """
     config = config or FusionConfig()
     if config.with_labels and segmenter is None:
@@ -406,6 +410,8 @@ def fuse_scan(
             grid.tsdf_sum.block_until_ready()
         t_integrate += time.perf_counter() - t1
         say(f"integrated frames {idx[0]}..{idx[-1]}")
+        if on_dispatch is not None:
+            on_dispatch(min(start + F, n), n)
         if on_chunk is not None:
             on_chunk(grid, idx[-1])
 

@@ -14,6 +14,13 @@ Endpoint map (reference app_unity.py:27-194):
   POST /copy_object             {obj_id}   (implemented here; broken upstream)
   POST /reset_insitu_model
 
+Beyond parity:
+  POST /reprocess_scan_async    {version}  non-blocking rebuild; the previous
+                                           version stays queryable meanwhile
+  GET  /scan_status                        background-job progress
+  POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
+       aliases for the typo'd contract endpoints
+
 Default port 3291 like the reference (app_unity.py:198).
 """
 from __future__ import annotations
@@ -41,6 +48,19 @@ def create_app(manager) -> App:
         return {"message": "success",
                 "processing_time_s": round(time.time() - start, 3)}, 200
 
+    @app.route("/reprocess_scan_async", methods=["POST"])
+    def reprocess_scan_async(req):
+        """Non-blocking reprocess (beyond parity): starts the rebuild on a
+        background thread; the previous version stays queryable until the new
+        scene is swapped in. Poll GET /scan_status."""
+        version = int(req.form["version"])
+        job = manager.reprocess_scan_async(version)
+        return job, (409 if job.get("already_running") else 200)
+
+    @app.route("/scan_status", methods=["GET"])
+    def scan_status(req):
+        return manager.scan_status(), 200
+
     @app.route("/text_query", methods=["POST"])
     def text_query(req):
         text = req.form["text_query"]
@@ -52,6 +72,7 @@ def create_app(manager) -> App:
         return mesh_json, 200
 
     @app.route("/requset_scene_mesh", methods=["POST"])
+    @app.route("/request_scene_mesh", methods=["POST"])  # spelled alias
     def requset_scene_mesh(req):
         scan_version = int(req.form["scan_version"])
         obj_key = req.form["obj_key"]
@@ -62,6 +83,7 @@ def create_app(manager) -> App:
         return mesh_dict, 200
 
     @app.route("/requset_scene_knowledge", methods=["POST"])
+    @app.route("/request_scene_knowledge", methods=["POST"])  # spelled alias
     def requset_scene_knowledge(req):
         scan_version = int(req.form["scan_version"])
         json_path = get_path(manager.config, scan_version, "scene_knowledge")

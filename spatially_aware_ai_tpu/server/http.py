@@ -56,6 +56,7 @@ _STATUS = {
     400: "400 Bad Request",
     404: "404 Not Found",
     405: "405 Method Not Allowed",
+    409: "409 Conflict",
     500: "500 Internal Server Error",
 }
 
