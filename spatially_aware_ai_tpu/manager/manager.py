@@ -128,7 +128,12 @@ class InSituManager:
         if seg_model is None:
             from ..models.kmax import KmaxSegmenter
 
-            seg_model = KmaxSegmenter()
+            kmax_ckpt = os.environ.get("SAI_KMAX_CHECKPOINT")
+            seg_model = (
+                KmaxSegmenter.from_checkpoint(kmax_ckpt)
+                if kmax_ckpt
+                else KmaxSegmenter()
+            )
         self.seg_model = seg_model
 
         self.control_objects = None
