@@ -350,14 +350,19 @@ class InSituManager:
         voxel_rgb = result.values["rgb"].reshape(*nvox, 3)
         class_grid = result.values["class_id"].reshape(nvox)
 
-        scene_knowledge, voxel_obj_idx = flood_fill_3d(
-            class_grid,
-            scene_knowledge_base,
-            voxel_clip_feats,
-            voxel_rgb,
-            self.insitu_model,
-            scene_knowledge_prev,
-        )
+        # the in-situ model is consulted for re-identification; take the
+        # manager lock for just this step so a concurrent /insitu_learn
+        # (which trains the model under the lock) cannot race the background
+        # build (the sync path already holds the RLock — reentrant)
+        with self.lock:
+            scene_knowledge, voxel_obj_idx = flood_fill_3d(
+                class_grid,
+                scene_knowledge_base,
+                voxel_clip_feats,
+                voxel_rgb,
+                self.insitu_model,
+                scene_knowledge_prev,
+            )
         scene_knowledge["scan_version"] = curr_ver
 
         # colorize each object instance in a segmentation-color grid
