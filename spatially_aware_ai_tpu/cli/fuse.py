@@ -59,6 +59,7 @@ def run_one(scan_dir: str, output_dir: str, config: dict, engine,
         frame_chunk=frame_chunk,
         with_labels=False,
         rgb_mode="nearest",  # ClipFusion's (batch CLI) rgb sampling mode
+        integrator=config.get("integrator"),
     )
     on_chunk = None
     if incremental_meshes:
@@ -117,6 +118,10 @@ def main(argv=None):
                         help="small random CLIP (tests / smoke runs)")
     parser.add_argument("--incremental-meshes", action="store_true",
                         help="dump a mesh PLY after every chunk")
+    parser.add_argument("--integrator",
+                        choices=["scan", "einsum", "pallas", "sparse"],
+                        help="grid integrator override (default: auto — "
+                             "sparse on TPU, scan elsewhere)")
     parser.add_argument("--profile-dir",
                         help="write a jax.profiler device trace here")
     args = parser.parse_args(argv)
@@ -155,6 +160,7 @@ def main(argv=None):
         "trunc_vox": defaults["trunc_vox"],
         "voxel_size": args.voxel_size,
         "dataset": dataset_name,
+        "integrator": args.integrator,
     }
     if args.notes:
         config["notes"] = args.notes

@@ -33,6 +33,13 @@ from .meshing.extract import extract_mesh
 from .scene.colors import NULL_CLASS_ID, NUM_CLASSES_WITH_SPARE
 
 
+# adaptive sparse-capacity controller constants (see fuse_scan): initial
+# auto capacity and the bucket granularity growth rounds to (each bucket is
+# one compiled executable, persistent-cached)
+_SPARSE_CAP_START = 65536
+_SPARSE_CAP_ROUND = 65536
+
+
 @dataclasses.dataclass
 class FusionConfig:
     voxel_size: float = 0.04
@@ -50,7 +57,10 @@ class FusionConfig:
     # exact with dense fallback; see grid/fusion.py)
     integrator: Optional[str] = None
     pallas_tile: int = 512
-    sparse_capacity: int = 0  # 0 = auto (quarter of the grid buffer)
+    # sparse integrator active-set slots: 0 = adaptive (start at
+    # min(N//4, 64Ki), grow from observed per-chunk union counts); explicit
+    # value = fixed. Overflow is exact either way (in-jit dense fallback).
+    sparse_capacity: int = 0
     # round the flat voxel buffer up to this multiple so scans with similar
     # bounds reuse one compiled executable (grid dims are traced data, only
     # the buffer SIZE is baked into the compile). None = auto: 65536 on TPU
@@ -241,6 +251,22 @@ def fuse_scan(
     t_inference = 0.0
     t_integrate = 0.0
 
+    # adaptive sparse capacity: phase-2 cost in the sparse integrator scales
+    # with the CAPACITY (static slot count), not the actual active union, so
+    # start small and grow from observed per-chunk counts (read two chunks
+    # behind — already computed, so the readback does not stall the async
+    # pipeline). Overflowing a too-small capacity is exact (in-jit dense
+    # fallback), only slower, so growth lag is safe.
+    sparse_cap = 0
+    sparse_adaptive = False
+    sparse_counts: list = []
+    if integrator == "sparse":
+        n_buf = grid.tsdf_sum.shape[0]
+        sparse_cap = config.sparse_capacity or min(
+            max(1024, n_buf // 4), _SPARSE_CAP_START
+        )
+        sparse_adaptive = config.sparse_capacity == 0
+
     start_frame = 0
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
         from .grid.checkpoint import load_grid
@@ -393,10 +419,22 @@ def fuse_scan(
         elif integrator == "sparse":
             from .grid.fusion import integrate_frames_sparse
 
-            grid = integrate_frames_sparse(
+            grid, cnt = integrate_frames_sparse(
                 grid, batch, rgb_mode=config.rgb_mode,
-                capacity=config.sparse_capacity,
+                capacity=sparse_cap, with_count=True,
             )
+            if sparse_adaptive:
+                sparse_counts.append(cnt)
+                if len(sparse_counts) > 2:
+                    c = int(np.asarray(sparse_counts.pop(0)))
+                    if c > sparse_cap - sparse_cap // 4:
+                        sparse_cap = min(
+                            -(-(2 * c) // _SPARSE_CAP_ROUND)
+                            * _SPARSE_CAP_ROUND,
+                            n_buf,
+                        )
+                        say(f"sparse capacity -> {sparse_cap} "
+                            f"(union {c})")
         else:
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
         # only force completion when someone needs to observe the grid now;
@@ -427,6 +465,8 @@ def fuse_scan(
 
     timings["inference_s"] = t_inference
     timings["integrate_s"] = t_integrate
+    if integrator == "sparse":
+        timings["sparse_capacity"] = sparse_cap
 
     prefetcher.shutdown(wait=False)
 

@@ -211,3 +211,26 @@ def test_sparse_integration_overflow_falls_back_dense():
     np.testing.assert_allclose(
         np.asarray(out.rgb_sum)[:n], np.asarray(ref.rgb_sum), atol=1e-5
     )
+
+
+def test_sparse_with_count_reports_union_size():
+    """with_count returns the chunk's active-voxel union — the feedback
+    signal for the pipeline's adaptive capacity controller. The count is
+    exact in both the sparse branch and the dense-fallback branch."""
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_sparse
+
+    scene = make_scene(num_frames=4)
+    batch = build_batch_local(scene)
+    n = int(np.prod(scene["nvox"]))
+    g_args = dict(grid_args(scene), pad_to=8, min_padding=1)
+
+    out, cnt = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=n, with_count=True
+    )
+    expect = int((np.asarray(out.w) > 0).sum())
+    assert int(np.asarray(cnt)) == expect
+
+    out2, cnt2 = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=8, with_count=True
+    )  # overflows -> dense fallback; count still the true union
+    assert int(np.asarray(cnt2)) == expect

@@ -206,3 +206,30 @@ def test_quantize_transfer_close_to_float_path():
     assert diff.max() < 0.02, diff.max()
     tdiff = np.abs(r_q.values["tsdf"][occ] - r_f.values["tsdf"][occ])
     assert tdiff.max() < 0.02, tdiff.max()
+
+
+def test_sparse_adaptive_capacity_grows_and_stays_exact(monkeypatch):
+    """With sparse_capacity=0 the pipeline starts at a small capacity and
+    grows it from observed union counts; results match the scan integrator
+    bit-for-bit on the integer channels regardless of where growth lands."""
+    from spatially_aware_ai_tpu import pipeline as P
+
+    monkeypatch.setattr(P, "_SPARSE_CAP_START", 64)
+    monkeypatch.setattr(P, "_SPARSE_CAP_ROUND", 64)
+
+    ds = SyntheticSceneDataset(num_frames=12, width=64, height=48)
+    engine = ClipEngine.tiny()
+    base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=3)
+    r_scan = fuse_scan(ds, engine, FusionConfig(**base, integrator="scan"))
+    r_sparse = fuse_scan(
+        ds, engine, FusionConfig(**base, integrator="sparse")
+    )
+    assert r_sparse.timings["sparse_capacity"] > 64  # growth happened
+    np.testing.assert_array_equal(
+        r_sparse.values["weight"], r_scan.values["weight"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_sparse.feat_grid), np.asarray(r_scan.feat_grid),
+        atol=1e-4,
+    )
