@@ -320,7 +320,8 @@ def main_full():
     flood_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    mesh = result.extract_mesh(voxel_obj_idx=voxel_obj_idx.reshape(-1))
+    mesh = result.extract_mesh(voxel_obj_idx=voxel_obj_idx.reshape(-1),
+                               feats_on_device=True)  # production path
     mesh_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()

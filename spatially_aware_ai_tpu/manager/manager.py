@@ -37,6 +37,18 @@ from .paths import dotdict, get_path
 import jax.numpy as jnp
 
 
+import jax
+
+
+@jax.jit
+def _normalize_feats(x):
+    """L2-normalize [Vb, C] vertex features on device (zero rows -> zeros).
+    Bucket-padded input keeps this one executable across scan sizes."""
+    x = x.astype(jnp.float32)
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return jnp.nan_to_num(x / jnp.maximum(norm, 1e-12))
+
+
 def _dump_yaml(data: dict, path: str):
     import yaml
 
@@ -378,6 +390,9 @@ class InSituManager:
         mesh = result.extract_mesh(
             voxel_obj_idx=voxel_obj_idx.reshape(-1),
             segmentation_color=seg_color.reshape(-1, 3),
+            feats_on_device=True,  # vertex CLIP feats stay on device: the
+            # query path consumes them there; persistence slices on the
+            # async writer thread (two ~100 MB critical-path transfers saved)
         )
 
         verts = mesh["verts_world"]
@@ -618,21 +633,27 @@ class InSituManager:
 
     def _query_feats_device(self):
         """Normalized vertex CLIP features as a cached, bucket-padded device
-        array [1, Vb, C] (uploads ~tens of MB once per scene instead of per
-        query; the bucket keeps the query jit shape-stable across scans).
-        Returns (device_feats, n_real_vertices)."""
+        array [1, Vb, C]. When the scene was just reconstructed the features
+        are ALREADY a bucket-padded device array (extract_mesh
+        feats_on_device) and only a jitted normalize runs; scenes reloaded
+        from disk upload once per scene (the bucket keeps the query jit
+        shape-stable across scans). Returns (device_feats, n_real_vertices)."""
+        n = len(self.verts)
         feats = self._vert_feat_dev
-        if feats is not None and feats[1] == len(self.vert_clip_feat):
+        if feats is not None and feats[1] == n:
             return feats[0], feats[1]
-        clip_feat = np.asarray(self.vert_clip_feat, np.float32)
-        n = len(clip_feat)
-        norm = np.linalg.norm(clip_feat, axis=-1, keepdims=True)
-        clip_feat = np.nan_to_num(clip_feat / np.maximum(norm, 1e-12))
-        vb = max(self._QUERY_V_BUCKET,
-                 -(-n // self._QUERY_V_BUCKET) * self._QUERY_V_BUCKET)
-        if vb != n:
-            clip_feat = np.pad(clip_feat, ((0, vb - n), (0, 0)))
-        dev = jnp.asarray(clip_feat[None])
+        vcf = self.vert_clip_feat
+        if not isinstance(vcf, np.ndarray):
+            dev = _normalize_feats(vcf)[None]  # [1, Vb, C], device resident
+        else:
+            clip_feat = np.asarray(vcf, np.float32)
+            norm = np.linalg.norm(clip_feat, axis=-1, keepdims=True)
+            clip_feat = np.nan_to_num(clip_feat / np.maximum(norm, 1e-12))
+            vb = max(self._QUERY_V_BUCKET,
+                     -(-n // self._QUERY_V_BUCKET) * self._QUERY_V_BUCKET)
+            if vb != n:
+                clip_feat = np.pad(clip_feat, ((0, vb - n), (0, 0)))
+            dev = jnp.asarray(clip_feat[None])
         self._vert_feat_dev = (dev, n)
         return dev, n
 
@@ -730,7 +751,9 @@ class InSituManager:
                     )
                     np.save(
                         get_path(cfg, ver, "vertex_clip_feats"),
-                        np.asarray(vert_clip_feat),
+                        # device arrays are bucket-padded; the artifact keeps
+                        # the reference's exact [V, C] shape
+                        np.asarray(vert_clip_feat)[: len(verts)],
                     )
                     np.save(
                         get_path(cfg, ver, "vertex_obj_idx"), vertex_obj_idx

@@ -73,11 +73,20 @@ def extract_mesh(
     voxel_size: float,
     voxel_obj_idx: Optional[np.ndarray] = None,
     segmentation_color: Optional[np.ndarray] = None,
+    feats_on_device: bool = False,
 ):
     """grid_values: output of grid.finalize_grid (flat [N, ...] arrays).
 
     Returns a dict with verts_world [V, 3], faces [F, 3], colors [V, 3],
     clip_feats [V, C], and (when inputs given) obj_idx [V], seg_colors [V, 3].
+
+    feats_on_device=True keeps "clip_feats" as the DEVICE array, bucket-
+    padded to [Vb >= V, C] (rows past V are zeros): the [V, 512] feature
+    block is by far the largest vertex attribute (~100+ MB at 50K verts) and
+    the scan->queryable path consumes it on device (query matmuls), so
+    reading it back here only to re-upload would put two large transfers on
+    the critical path. Persistence slices np.asarray(...)[:V] on the async
+    writer thread.
     """
     nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
     tsdf = np.asarray(grid_values["tsdf"], np.float32).reshape(nvox).copy()
@@ -108,9 +117,15 @@ def extract_mesh(
     )
     feat = grid_values["feat"]
     feat_dim = feat.shape[-1] if feat.ndim > 1 else 1
-    clip_feats = _sample_verts(
-        to_flat(feat, feat_dim), nvox, coords_p, "bilinear", n_real
-    )
+    if feats_on_device:
+        clip_feats = _sample_flat_jit(
+            _bucket_flat(to_flat(feat, feat_dim)),
+            jnp.asarray(nvox, jnp.int32), coords_p, "bilinear",
+        )  # [vb, C] device; padded rows sample at -10 -> zeros
+    else:
+        clip_feats = _sample_verts(
+            to_flat(feat, feat_dim), nvox, coords_p, "bilinear", n_real
+        )
 
     out = {
         "verts_world": verts * voxel_size + np.asarray(origin, np.float32),

@@ -10,6 +10,10 @@ TPU notes: the kNN graph build is one [B, N, N] pairwise-distance matmul on
 the MXU followed by top_k (N=30 points — tiny); EdgeConv MLPs are dense
 matmuls over [B, N, k] neighborhoods. Everything is static-shaped: the label
 space is padded to `output_channels` so adding user labels never recompiles.
+A custom Pallas kNN/EdgeConv kernel (SURVEY.md §7.1-4c's suggestion) would
+LOSE here: at N=30 the whole graph build is a single sub-tile matmul, far
+below kernel launch + Mosaic padding overheads — XLA's fusion of the
+distance matrix into top_k is already optimal at this size.
 """
 from __future__ import annotations
 

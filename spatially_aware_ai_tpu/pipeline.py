@@ -109,7 +109,8 @@ class FusionResult:
         n = int(np.prod(self.nvox))
         return self.values["feat"][:n].reshape(*self.nvox, -1)
 
-    def extract_mesh(self, voxel_obj_idx=None, segmentation_color=None):
+    def extract_mesh(self, voxel_obj_idx=None, segmentation_color=None,
+                     feats_on_device: bool = False):
         return extract_mesh(
             self.values,
             self.nvox,
@@ -117,6 +118,7 @@ class FusionResult:
             self.config.voxel_size,
             voxel_obj_idx=voxel_obj_idx,
             segmentation_color=segmentation_color,
+            feats_on_device=feats_on_device,
         )
 
 

@@ -197,3 +197,29 @@ def test_mesh_sampling_jit_stable_across_scan_sizes():
         f"mesh sampling recompiled across scan sizes "
         f"({after_first} -> {after_second} cached programs)"
     )
+
+
+def test_extract_mesh_feats_on_device_matches_host():
+    """feats_on_device=True returns the vertex CLIP features as a bucket-
+    padded device array: first-V rows equal the host path exactly, padding
+    rows are zeros (they feed zero-similarity query rows that get sliced)."""
+    import jax.numpy as jnp
+
+    nvox = (16, 16, 16)
+    n = int(np.prod(nvox))
+    rng = np.random.RandomState(0)
+    tsdf = sphere_sdf(nvox, radius=5.0) / 3.0
+    gv = {
+        "tsdf": np.clip(tsdf.reshape(-1), -1, 1),
+        "weight": np.ones(n, np.int32),
+        "rgb": rng.rand(n, 3).astype(np.float32),
+        "feat": jnp.asarray(rng.randn(n, 8).astype(np.float32)),
+    }
+    host = extract_mesh(gv, nvox, origin=np.zeros(3), voxel_size=0.1)
+    dev = extract_mesh(gv, nvox, origin=np.zeros(3), voxel_size=0.1,
+                       feats_on_device=True)
+    v = len(host["verts_world"])
+    feats = np.asarray(dev["clip_feats"])
+    assert feats.shape[0] >= v and feats.shape[0] % 16384 == 0
+    np.testing.assert_allclose(feats[:v], host["clip_feats"], atol=1e-5)
+    assert np.abs(feats[v:]).sum() == 0

@@ -272,8 +272,11 @@ def test_processed_scene_reloads_from_artifacts(env):
     assert m2.scene_knowledge["unique_objects"].keys() == (
         manager.scene_knowledge["unique_objects"].keys()
     )
+    # the live manager keeps vertex feats as a bucket-padded DEVICE array
+    # (extract_mesh feats_on_device); the artifact holds the exact [V, C]
     np.testing.assert_allclose(
-        np.asarray(m2.vert_clip_feat), np.asarray(manager.vert_clip_feat),
+        np.asarray(m2.vert_clip_feat),
+        np.asarray(manager.vert_clip_feat)[: len(m2.verts)],
         atol=1e-6,
     )
     # text query works off the reloaded artifacts
