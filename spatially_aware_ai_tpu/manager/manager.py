@@ -41,6 +41,14 @@ import jax
 
 
 @jax.jit
+def _preview_finalize(grid):
+    """Light finalize for mid-scan previews: TSDF + feature weight only
+    (skips the heavy [N, C] feature division)."""
+    tsdf = grid.tsdf_sum / jnp.maximum(grid.tsdf_w, 1).astype(jnp.float32)
+    return tsdf, grid.w
+
+
+@jax.jit
 def _normalize_feats(x):
     """L2-normalize [Vb, C] vertex features on device (zero rows -> zeros).
     Bucket-padded input keeps this one executable across scan sizes."""
@@ -297,6 +305,8 @@ class InSituManager:
         views_limit: Optional[int] = None,
         on_dispatch=None,
         phase=None,
+        on_preview=None,
+        preview_every_chunks: int = 4,
     ) -> dict:
         """The heavy reconstruction: fusion + flood fill + meshes.
 
@@ -326,12 +336,21 @@ class InSituManager:
             rgb_mode="bilinear",
         )
         say("fusing")
+        on_chunk = None
+        if on_preview is not None:
+            def on_chunk(g, last_idx):  # noqa: E306 — fuse_scan hook
+                try:
+                    on_preview(self._preview_mesh_from_grid(g))
+                except Exception:
+                    pass  # previews are best-effort
         result = fuse_scan(
             dataset,
             self.clip_model,
             fusion_cfg,
             segmenter=self.seg_model.run_on_image,
             on_dispatch=on_dispatch,
+            on_chunk=on_chunk,
+            on_chunk_every=preview_every_chunks,
         )
         nvox = result.nvox
 
@@ -479,9 +498,32 @@ class InSituManager:
             except Exception:
                 pass
 
+    def _preview_mesh_from_grid(self, grid) -> dict:
+        """Coarse geometry-only mesh JSON from a mid-scan grid (gray
+        vertices; no feature sampling — the light _preview_finalize)."""
+        tsdf_dev, w_dev = _preview_finalize(grid)
+        nvox = tuple(int(v) for v in np.asarray(grid.nvox))
+        n = int(np.prod(nvox))
+        tsdf = np.asarray(tsdf_dev, np.float32)[:n].reshape(nvox).copy()
+        w = np.asarray(w_dev)[:n].reshape(nvox)
+        tsdf[w == 0] = np.nan
+
+        from ..meshing.extract import run_marching_tetrahedra
+
+        verts, faces = run_marching_tetrahedra(tsdf, 0.0)
+        verts_world = verts * float(np.asarray(grid.voxel_size)) + np.asarray(
+            grid.origin, np.float32
+        )
+        return {
+            "vertices": verts_world.tolist(),
+            "faces": faces.tolist(),
+            "colors": [[0.7, 0.7, 0.7]] * len(verts_world),
+        }
+
     # -- background reprocess -------------------------------------------------
 
-    def reprocess_scan_async(self, version: int) -> dict:
+    def reprocess_scan_async(self, version: int,
+                             preview_every_chunks: int = 4) -> dict:
         """Start a full rebuild of `version` on a background thread.
 
         Unlike the blocking /reprocess_scan (which holds the manager lock for
@@ -527,6 +569,10 @@ class InSituManager:
         def set_phase(p):
             job["phase"] = p
 
+        def on_preview(mesh_json):
+            job["preview"] = mesh_json
+            job["preview_frames"] = job["frames_done"]
+
         def worker():
             try:
                 state = self._build_scene(
@@ -536,6 +582,10 @@ class InSituManager:
                     scene_knowledge_prev=sk_prev,
                     on_dispatch=on_dispatch,
                     phase=set_phase,
+                    on_preview=(
+                        on_preview if preview_every_chunks > 0 else None
+                    ),
+                    preview_every_chunks=preview_every_chunks,
                 )
                 job["phase"] = "installing"
                 self._install_scene(state, version, adopt_config=cfg)
@@ -565,7 +615,24 @@ class InSituManager:
             out["elapsed_s"] = round(time.time() - job["started_at"], 3)
         out["current_version"] = self.curr_ver
         out.pop("started_at", None)
+        out.pop("preview", None)  # large mesh JSON: served by scan_preview
+        out["has_preview"] = "preview" in job
         return out
+
+    def scan_preview(self) -> dict:
+        """Latest mid-scan preview mesh of the background rebuild (coarse,
+        geometry-only, refreshed every few chunks). mesh=None until the
+        first preview lands; once state != running, fetch the real mesh via
+        the normal endpoints."""
+        job = self._fusion_job
+        if job is None:
+            return {"state": "idle", "mesh": None}
+        return {
+            "state": job["state"],
+            "frames_done": job.get("preview_frames", 0),
+            "frames_total": job.get("frames_total", 0),
+            "mesh": job.get("preview"),
+        }
 
     def wait_for_reprocess(self, timeout: Optional[float] = None) -> dict:
         """Block until the current background reprocess (if any) finishes."""

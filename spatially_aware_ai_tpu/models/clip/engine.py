@@ -201,6 +201,13 @@ class ClipEngine:
         shape-stable across scans (per-scan vertex counts would otherwise
         recompile through the slow remote-compile path on every scan)."""
         text_feats = self.text_inference(labels)
+        if (not isinstance(img_feats, np.ndarray)
+                and img_feats.shape[0] % self._QUERY_V_BUCKET == 0):
+            # already a bucket-padded DEVICE array (extract_mesh
+            # feats_on_device): query it in place — coercing to numpy here
+            # would put a ~100 MB download + re-upload on the query path
+            out = self._run_query_jit(img_feats, jnp.asarray(text_feats))
+            return np.asarray(out)
         img_feats = np.asarray(img_feats, np.float32)
         n = len(img_feats)
         vb = max(self._QUERY_V_BUCKET,

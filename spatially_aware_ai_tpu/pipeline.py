@@ -193,14 +193,17 @@ def fuse_scan(
     progress: Optional[Callable[[str], None]] = None,
     on_chunk: Optional[Callable[[FusionGrid, int], None]] = None,
     on_dispatch: Optional[Callable[[int, int], None]] = None,
+    on_chunk_every: int = 1,
 ) -> FusionResult:
     """Run the full fusion over a FrameDataset.
 
     segmenter: rgb [H, W, 3] in [0,1] -> per-pixel class-id mask [H, W] i32
     (null = 133). Required when config.with_labels.
-    on_chunk: called with (grid, last_frame_index) after each integrated
-    chunk — e.g. for incremental mesh previews (the reference's
-    write_incremental_meshes, clipfusion.py:1122-1166).
+    on_chunk: called with (grid, last_frame_index) after each
+    on_chunk_every-th integrated chunk — e.g. for incremental mesh previews
+    (the reference's write_incremental_meshes, clipfusion.py:1122-1166).
+    Forces a device sync at each call, so throttle via on_chunk_every when
+    the pipeline should stay async.
     on_dispatch: called with (frames_dispatched, frames_total) after each
     chunk is ENQUEUED on the device (no sync forced, unlike on_chunk) —
     cheap live progress for background reprocess jobs.
@@ -441,7 +444,10 @@ def fuse_scan(
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
         # only force completion when someone needs to observe the grid now;
         # otherwise chunks pipeline asynchronously on device
-        needs_sync = on_chunk is not None or (
+        chunk_due = on_chunk is not None and (
+            (chunk_counter + 1) % max(1, on_chunk_every) == 0
+        )
+        needs_sync = chunk_due or (
             config.checkpoint_path
             and config.checkpoint_every_chunks > 0
             and (chunk_counter + 1) % config.checkpoint_every_chunks == 0
@@ -452,7 +458,7 @@ def fuse_scan(
         say(f"integrated frames {idx[0]}..{idx[-1]}")
         if on_dispatch is not None:
             on_dispatch(min(start + F, n), n)
-        if on_chunk is not None:
+        if chunk_due:
             on_chunk(grid, idx[-1])
 
         chunk_counter += 1

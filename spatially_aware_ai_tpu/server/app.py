@@ -18,6 +18,7 @@ Beyond parity:
   POST /reprocess_scan_async    {version}  non-blocking rebuild; the previous
                                            version stays queryable meanwhile
   GET  /scan_status                        background-job progress
+  GET  /scan_preview                       coarse mid-scan preview mesh
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -60,6 +61,11 @@ def create_app(manager) -> App:
     @app.route("/scan_status", methods=["GET"])
     def scan_status(req):
         return manager.scan_status(), 200
+
+    @app.route("/scan_preview", methods=["GET"])
+    def scan_preview(req):
+        """Coarse mid-scan preview mesh of a running background rebuild."""
+        return manager.scan_preview(), 200
 
     @app.route("/text_query", methods=["POST"])
     def text_query(req):

@@ -63,7 +63,7 @@ def test_async_reprocess_serves_old_version_meanwhile(manager):
 
     manager._build_scene = gated_build
     try:
-        job = manager.reprocess_scan_async(1)
+        job = manager.reprocess_scan_async(1, preview_every_chunks=1)
         assert job["state"] == "running"
         assert not job.get("already_running")
 
@@ -84,6 +84,12 @@ def test_async_reprocess_serves_old_version_meanwhile(manager):
         assert st["version"] == 1
         assert st["frames_total"] == 6
         assert st["frames_done"] == 6  # all chunks dispatched before gate
+        # mid-scan preview: coarse geometry mesh, status stays lightweight
+        assert st["has_preview"] and "preview" not in st
+        pv = manager.scan_preview()
+        assert pv["state"] == "running"
+        assert len(pv["mesh"]["vertices"]) > 0
+        assert len(pv["mesh"]["colors"]) == len(pv["mesh"]["vertices"])
     finally:
         manager._build_scene = orig
         gate.set()
