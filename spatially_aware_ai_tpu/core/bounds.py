@@ -14,6 +14,42 @@ from __future__ import annotations
 import numpy as np
 
 
+def subsample_grid(width: int, height: int, uv_size: int = 7):
+    """The reference's uv_size x uv_size bounds subsample grid
+    (clipfusion.py:517-529): rounded linspace over each axis. Returns
+    flattened (uu, vv) int32 pixel coords, xy meshgrid order."""
+    u = np.round(np.linspace(0, width - 1, uv_size)).astype(np.int32)
+    v = np.round(np.linspace(0, height - 1, uv_size)).astype(np.int32)
+    uu, vv = np.meshgrid(u, v, indexing="xy")
+    return uu.reshape(-1), vv.reshape(-1)
+
+
+def backproject_sparse_samples(depth, uu, vv, poses, Ks, max_depth=np.inf):
+    """[M, 3] world cloud from per-frame depth SAMPLES.
+
+    depth [F, P] meters at pixel coords (uu, vv) [P]; invalid / beyond-max
+    samples removed (reference clipfusion.py:517-551, max_depth=4)."""
+    depth = np.asarray(depth, np.float32)
+    poses = np.asarray(poses, np.float32)
+    Ks = np.asarray(Ks, np.float32)
+
+    # rays = K^-1 @ [u, v, 1] at the sampled pixels (get_pix_vecs math)
+    uv1 = np.stack(
+        [uu.astype(np.float32), vv.astype(np.float32),
+         np.ones_like(uu, np.float32)],
+        axis=-1,
+    )  # [P, 3]
+    Kinv = np.linalg.inv(Ks)  # [F, 3, 3]
+    rays = np.einsum("fij,pj->fpi", Kinv, uv1)  # [F, P, 3]
+
+    xyz_cam = rays * depth[..., None]
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    xyz = np.einsum("fij,fpj->fpi", R, xyz_cam) + t[:, None, :]
+    keep = ~np.isnan(depth) & (depth > 0) & (depth < max_depth)
+    return xyz[keep].astype(np.float32)
+
+
 def backproject_sparse_cloud(depth_imgs, poses, Ks, max_depth=np.inf, uv_size=7):
     """Returns an [M, 3] numpy world point cloud from a 7x7 subsample of every
     frame, with invalid/beyond-max depths removed (reference
@@ -24,30 +60,11 @@ def backproject_sparse_cloud(depth_imgs, poses, Ks, max_depth=np.inf, uv_size=7)
     uploaded every full depth frame (1.5 GB for a 500-frame iPhone scan)
     just to gather 49 samples each."""
     depth_imgs = np.asarray(depth_imgs)
-    poses = np.asarray(poses, np.float32)
-    Ks = np.asarray(Ks, np.float32)
     F, H, W = depth_imgs.shape
-    u = np.round(np.linspace(0, W - 1, uv_size)).astype(np.int32)
-    v = np.round(np.linspace(0, H - 1, uv_size)).astype(np.int32)
-    uu, vv = np.meshgrid(u, v, indexing="xy")
-    uu = uu.reshape(-1)
-    vv = vv.reshape(-1)
-
-    # rays = K^-1 @ [u, v, 1] at the sampled pixels (get_pix_vecs math)
-    uv1 = np.stack(
-        [uu.astype(np.float32), vv.astype(np.float32), np.ones_like(uu, np.float32)],
-        axis=-1,
-    )  # [P, 3]
-    Kinv = np.linalg.inv(Ks)  # [F, 3, 3]
-    rays = np.einsum("fij,pj->fpi", Kinv, uv1)  # [F, P, 3]
-
-    depth = depth_imgs[:, vv, uu]  # [F, P]
-    xyz_cam = rays * depth[..., None]
-    R = poses[:, :3, :3]
-    t = poses[:, :3, 3]
-    xyz = np.einsum("fij,fpj->fpi", R, xyz_cam) + t[:, None, :]
-    keep = ~np.isnan(depth) & (depth > 0) & (depth < max_depth)
-    return xyz[keep].astype(np.float32)
+    uu, vv = subsample_grid(W, H, uv_size)
+    return backproject_sparse_samples(
+        depth_imgs[:, vv, uu], uu, vv, poses, Ks, max_depth
+    )
 
 
 def percentile_bounds(xyz, trunc_m, lo=1.0, hi=99.0):

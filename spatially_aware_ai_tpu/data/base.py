@@ -54,3 +54,22 @@ class FrameDataset:
             "K": np.stack([f.K for f in frames]),
             "index": np.array([f.index for f in frames]),
         }
+
+    def bounds_samples(self, uv_size: int = 7):
+        """Subsampled depth for the scene-bounds pass: (depth [F, P],
+        uu [P], vv [P], pose [F, 4, 4], K [F, 3, 3]).
+
+        Default loads full frames ONE AT A TIME and keeps only uv_size^2
+        depth samples each — the bounds pass never stacks whole-scan
+        RGB/depth. Loaders whose depth is stored separately should override
+        to skip RGB decode entirely (iphone.py saves one JPEG decode per
+        frame — hundreds per scan on a 1-vCPU host)."""
+        from ..core.bounds import subsample_grid
+
+        uu, vv = subsample_grid(self.imwidth, self.imheight, uv_size)
+        depths, poses, Ks = [], [], []
+        for f in self:
+            depths.append(f.depth[vv, uu])
+            poses.append(f.pose)
+            Ks.append(f.K)
+        return np.stack(depths), uu, vv, np.stack(poses), np.stack(Ks)

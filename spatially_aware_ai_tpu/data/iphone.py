@@ -86,3 +86,30 @@ class IPhone3DScannerDataset(FrameDataset):
         Ki[0] *= self.imwidth / self.rgb_w
         Ki[1] *= self.imheight / self.rgb_h
         return Frame(rgb=rgb, depth=depth, pose=pose, K=Ki, index=i)
+
+    def bounds_samples(self, uv_size: int = 7):
+        """Depth-only bounds pass: decode just the small 16-bit depth PNGs
+        (RGB JPEGs are never touched — one saved decode per frame). The
+        exact 4x-cubic upsample from __getitem__ is reproduced before
+        subsampling so the bounds match the full-frame path bit-for-bit."""
+        import cv2
+
+        from ..core.bounds import subsample_grid
+
+        uu, vv = subsample_grid(self.imwidth, self.imheight, uv_size)
+        depths, poses, Ks = [], [], []
+        for i, ((_, depth_file, _), (K, pose)) in enumerate(
+            zip(self.entries, self.metas)
+        ):
+            depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
+            depth = cv2.resize(
+                depth, (self.imwidth, self.imheight), None, 0, 0,
+                cv2.INTER_CUBIC,
+            ).astype(np.float32) / 1000.0
+            depths.append(depth[vv, uu])
+            poses.append(pose)
+            Ki = K.copy()
+            Ki[0] *= self.imwidth / self.rgb_w
+            Ki[1] *= self.imheight / self.rgb_h
+            Ks.append(Ki)
+        return np.stack(depths), uu, vv, np.stack(poses), np.stack(Ks)

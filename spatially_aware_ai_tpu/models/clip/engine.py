@@ -58,8 +58,32 @@ class ClipEngine:
             out = self.model.apply(p, token_ids, method=CLIP.encode_text)
             return out.astype(jnp.float32)
 
+        @jax.jit
+        def _encode_tokens(p, tokens):
+            out = self.model.apply(
+                p, tokens.astype(compute_dtype),
+                method=CLIP.encode_image_tokens,
+            )
+            return out.astype(jnp.float32)
+
+        def _conv_kernel(p):
+            return p["params"]["visual"]["conv1"]["kernel"]
+
         self._encode_image = _encode_image
         self._encode_text = _encode_text
+        self._encode_tokens = _encode_tokens
+        self._conv_kernel = _conv_kernel
+        # fused conv stem (tiling.py): opt-in via SAI_FUSED_STEM=1.
+        # Measured NEGATIVE on v5e-1 at the default operating point (encode
+        # 207-190 fps vs 223 unfused) in both formulations tried — a dense
+        # strided conv1 over the frame, and a channels-first unfold + matmul
+        # — because prep is no longer the encode bottleneck after the
+        # bf16-prep + k^2-slice-unfold rounds; kept for parity testing and
+        # for hardware where the patch-tensor materialization dominates.
+        self._use_fused_stem = (
+            cfg.image_size == 224
+            and os.environ.get("SAI_FUSED_STEM", "0") == "1"
+        )
 
     # -- constructors -------------------------------------------------------
 
@@ -166,6 +190,7 @@ class ClipEngine:
         """Whole frame chunk [F, H, W, 3] -> [F, ny, nx, C] in one batch."""
         from .tiling import tiled_image_features_batch
 
+        fused = self._use_fused_stem
         return tiled_image_features_batch(
             self.params,
             jnp.asarray(imgs),
@@ -173,6 +198,9 @@ class ClipEngine:
             patch_stride=patch_stride,
             encode_fn=self._encode_image,
             prep_dtype=self.compute_dtype,
+            conv_kernel_fn=self._conv_kernel if fused else None,
+            encode_tokens_fn=self._encode_tokens if fused else None,
+            conv_patch=self.cfg.patch_size if fused else None,
         )
 
     # -- text side -----------------------------------------------------------

@@ -125,46 +125,91 @@ class Transformer(nn.Module):
         return x
 
 
+class PatchifyConv(nn.Module):
+    """The ViT patch-embedding conv, applicable at an arbitrary stride.
+
+    Same param tree as `nn.Conv(name="conv1", use_bias=False)` (one HWIO
+    `kernel`). The stride call argument supports dense-token-grid
+    experiments; the production fused stem (tiling.py) instead reads this
+    kernel directly (engine._conv_kernel) and applies it as a matmul
+    straight out of a channels-first unfold — a dense strided conv here
+    measured slower (XLA im2cols 3-channel input poorly)."""
+
+    width: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, stride: Optional[int] = None):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.patch, self.patch, 3, self.width),
+        )
+        s = stride or self.patch
+        return jax.lax.conv_general_dilated(
+            images.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(s, s),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class VisionTower(nn.Module):
     cfg: CLIPConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, images):
-        """images: [B, H, W, 3] already channel-normalized. -> [B, embed_dim]"""
+    def setup(self):
         c = self.cfg
-        x = nn.Conv(
-            c.vision_width,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(images)
-        B = x.shape[0]
-        x = x.reshape(B, -1, c.vision_width)  # [B, grid*grid, W]
-        cls = self.param(
+        self.conv1 = PatchifyConv(c.vision_width, c.patch_size, self.dtype)
+        self.class_embedding = self.param(
             "class_embedding", nn.initializers.normal(0.02), (c.vision_width,)
         )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, c.vision_width)), x], axis=1
-        )
-        pos = self.param(
+        n_tok = (c.image_size // c.patch_size) ** 2 + 1
+        self.positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.normal(0.02),
-            (x.shape[1], c.vision_width),
+            (n_tok, c.vision_width),
         )
-        x = x + pos.astype(x.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
-        x = Transformer(
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.transformer = Transformer(
             c.vision_width, c.vision_layers, c.vision_heads, c.quick_gelu,
-            self.dtype, name="transformer",
-        )(x)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
-        proj = self.param(
-            "proj", nn.initializers.normal(0.02), (c.vision_width, c.embed_dim)
+            self.dtype,
         )
-        return x @ proj.astype(x.dtype)
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+        self.proj = self.param(
+            "proj", nn.initializers.normal(0.02),
+            (c.vision_width, c.embed_dim),
+        )
+
+    def __call__(self, images):
+        """images: [B, H, W, 3] already channel-normalized. -> [B, embed_dim]"""
+        x = self.conv1(images)
+        B = x.shape[0]
+        x = x.reshape(B, -1, self.cfg.vision_width)  # [B, grid*grid, W]
+        return self.encode_tokens(x)
+
+    def dense_tokens(self, images, stride: int):
+        """conv1 at `stride` over a whole (resized) frame: [B, H, W, 3] ->
+        [B, gh, gw, vision_width] dense token grid (fused tiled-CLIP stem)."""
+        return self.conv1(images, stride)
+
+    def encode_tokens(self, x):
+        """Post-conv1 patch tokens [B, grid*grid, vision_width] (row-major
+        over the token grid) -> [B, embed_dim]."""
+        B = x.shape[0]
+        c = self.cfg
+        cls = self.class_embedding
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(x.dtype), (B, 1, c.vision_width)), x],
+            axis=1,
+        )
+        x = x + self.positional_embedding.astype(x.dtype)
+        x = self.ln_pre(x)
+        x = self.transformer(x)
+        x = self.ln_post(x[:, 0])
+        return x @ self.proj.astype(x.dtype)
 
 
 class TextTower(nn.Module):
@@ -225,6 +270,16 @@ class CLIP(nn.Module):
 
     def encode_image(self, images):
         return self.visual(images)
+
+    def image_dense_tokens(self, images, stride: int):
+        """Fused tiled-CLIP stem, part 1: conv1 at `stride` over whole
+        frames -> [B, gh, gw, vision_width] dense token grid."""
+        return self.visual.dense_tokens(images, stride)
+
+    def encode_image_tokens(self, tokens):
+        """Fused tiled-CLIP stem, part 2: per-patch token grids
+        [B, grid*grid, vision_width] -> [B, embed_dim]."""
+        return self.visual.encode_tokens(tokens)
 
     def encode_text(self, token_ids):
         return self.text(token_ids)

@@ -64,12 +64,52 @@ def get_patches(img, patch_size: int, patch_stride: int):
     return img[rows[:, None, :, None], cols[None, :, None, :], :]
 
 
+def get_patches_cf(img, patch_size: int, patch_stride: int):
+    """Channels-FIRST unfold: [..., H, W] -> [ny, nx, ..., ps, ps].
+
+    Same k^2-slice decomposition as get_patches but over the trailing two
+    axes, so every copy keeps W on the minor (lane) dim — the
+    channels-last unfold's 3-wide minor dim wastes 125/128 TPU lanes in
+    each concat. Requires patch_size % patch_stride == 0."""
+    H, W = img.shape[-2], img.shape[-1]
+    lead = img.shape[:-2]
+    ny = num_patches(H, patch_size, patch_stride)
+    nx = num_patches(W, patch_size, patch_stride)
+    s = patch_stride
+    if patch_size % s != 0:
+        raise ValueError("get_patches_cf requires patch_size % stride == 0")
+    k = patch_size // s
+    my, mx = H // s, W // s
+    # [my, mx, ..., s, s] tile view
+    nlead = len(lead)
+    tiles = img.reshape(*lead, my, s, mx, s)
+    perm = (nlead, nlead + 2) + tuple(range(nlead)) + (nlead + 1, nlead + 3)
+    tiles = tiles.transpose(*perm)  # [my, mx, ..., s, s]
+    rows = []
+    for a in range(k):
+        row = [tiles[a : a + ny, b : b + nx] for b in range(k)]
+        rows.append(jnp.stack(row, axis=2))  # [ny, nx, k, ..., s, s]
+    blocks = jnp.stack(rows, axis=2)  # [ny, nx, ka, kb, ..., s, s]
+    # -> [ny, nx, ..., ka, s, kb, s] -> [ny, nx, ..., ps, ps]
+    perm2 = (
+        (0, 1)
+        + tuple(4 + i for i in range(nlead))
+        + (2, 4 + nlead, 3, 5 + nlead)
+    )
+    blocks = blocks.transpose(*perm2)
+    return blocks.reshape(*((ny, nx) + lead + (patch_size, patch_size)))
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_size", "patch_stride", "encode_fn", "prep_dtype"),
+    static_argnames=(
+        "patch_size", "patch_stride", "encode_fn", "prep_dtype",
+        "conv_kernel_fn", "encode_tokens_fn", "conv_patch",
+    ),
 )
 def tiled_image_features_batch(
-    params, imgs, *, patch_size, patch_stride, encode_fn, prep_dtype=None
+    params, imgs, *, patch_size, patch_stride, encode_fn, prep_dtype=None,
+    conv_kernel_fn=None, encode_tokens_fn=None, conv_patch=None,
 ):
     """Whole-chunk tiled CLIP features: [F, H, W, 3] -> [F, ny, nx, C].
 
@@ -80,6 +120,21 @@ def tiled_image_features_batch(
     prep_dtype: run the normalize/resize/unfold preprocessing in this dtype
     (the engine passes its compute dtype — bf16 halves the memory traffic of
     the patch tensors, which dominates prep cost on TPU; sources are 8-bit).
+
+    conv_kernel_fn / encode_tokens_fn / conv_patch: when provided (the
+    engine passes a conv1-kernel accessor, its jitted
+    CLIP.encode_image_tokens, and the model's ViT patch size), the
+    resize-once path uses the FUSED CONV STEM: the unfold runs
+    CHANNELS-FIRST (every big copy keeps the image W on the minor/lane dim
+    instead of the 3-wide channel dim that wastes 125/128 lanes) and conv1
+    is applied as one [**, 3*cp*cp] @ [3*cp*cp, D] matmul straight out of
+    the unfold — the channels-LAST [F*n_patches, 224, 224, 3] patch tensor
+    is never materialized. Token values are identical to unfold-then-conv
+    (same pixels under the same kernel). A dense-stride-conv variant of
+    this stem (conv1 at stride gcd over the whole frame + embedding-space
+    slicing) measured 15% SLOWER than the baseline on v5e — XLA's strided
+    conv lowering with 3 input channels im2cols poorly; keep the explicit
+    matmul formulation.
     """
     if prep_dtype is not None:
         imgs = imgs.astype(prep_dtype)
@@ -110,6 +165,29 @@ def tiled_image_features_batch(
         small = jax.image.resize(
             imgs, (F, H2, W2, 3), method="bilinear", antialias=False
         )
+        if (
+            conv_kernel_fn is not None
+            and encode_tokens_fn is not None
+            and conv_patch is not None
+            and 224 % conv_patch == 0
+            and 224 % stride2 == 0
+        ):
+            gh = 224 // conv_patch  # tokens per patch side
+            cp = conv_patch
+            cf = jnp.moveaxis(small, -1, 1)  # [F, 3, H2, W2], W minor
+            p = get_patches_cf(cf, 224, stride2)  # [ny, nx, F, 3, 224, 224]
+            p = p.reshape(ny, nx, F, 3, gh, cp, gh, cp)
+            p = p.transpose(2, 0, 1, 4, 6, 3, 5, 7)  # [F,ny,nx,a,b,3,cp,cp]
+            flat = p.reshape(F * ny * nx * gh * gh, 3 * cp * cp)
+            kernel = conv_kernel_fn(params)  # [cp, cp, 3, D]
+            kmat = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+                3 * cp * cp, -1
+            )
+            tokens = (flat @ kmat.astype(flat.dtype)).reshape(
+                F * ny * nx, gh * gh, -1
+            )
+            feats = encode_tokens_fn(params, tokens)
+            return feats.reshape(F, ny, nx, -1)
         patches = jax.vmap(lambda im: get_patches(im, 224, stride2))(small)
         flat = patches.reshape(F * ny * nx, 224, 224, 3)
     else:

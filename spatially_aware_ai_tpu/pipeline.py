@@ -165,21 +165,33 @@ def null_instance_boundaries(
 
 def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):
     """Pass 1: sparse backprojection of every frame -> percentile bounds
-    (reference clipfusion.py:1063, 1100-1106)."""
-    clouds = []
+    (reference clipfusion.py:1063, 1100-1106).
+
+    Datasets exposing bounds_samples (all FrameDataset subclasses) stream
+    one frame at a time and never stack whole-scan RGB/depth; loaders with
+    separately-stored depth skip RGB decode entirely (data/base.py)."""
     n = len(dataset)
     if n == 0:
         raise ValueError("dataset has no frames")
-    for start in range(0, n, chunk):
-        idx = range(start, min(n, start + chunk))
-        stack = dataset.stacked(idx)
-        clouds.append(
-            backproject_sparse_cloud(
-                stack["depth"], stack["pose"], stack["K"],
-                max_depth=config.max_depth,
-            )
+    if hasattr(dataset, "bounds_samples"):
+        from .core.bounds import backproject_sparse_samples
+
+        depth, uu, vv, poses, Ks = dataset.bounds_samples()
+        xyz = backproject_sparse_samples(
+            depth, uu, vv, poses, Ks, max_depth=config.max_depth
         )
-    xyz = np.concatenate(clouds, axis=0)
+    else:  # minimal ad-hoc datasets (len + stacked only)
+        clouds = []
+        for start in range(0, n, chunk):
+            idx = range(start, min(n, start + chunk))
+            stack = dataset.stacked(idx)
+            clouds.append(
+                backproject_sparse_cloud(
+                    stack["depth"], stack["pose"], stack["K"],
+                    max_depth=config.max_depth,
+                )
+            )
+        xyz = np.concatenate(clouds, axis=0)
     minbound, maxbound = percentile_bounds(xyz, config.trunc_m)
     nvox = compute_grid_dims(minbound, maxbound, config.voxel_size)
     return minbound, maxbound, nvox

@@ -64,6 +64,50 @@ def test_iphone_loader(tmp_path):
     np.testing.assert_allclose(f.K[1, 2], 720 * 768 / 1440, rtol=1e-6)
 
 
+def test_iphone_bounds_samples_skip_rgb(tmp_path):
+    """The depth-only bounds override must equal the full-frame default
+    bit-for-bit (it reproduces the 4x-cubic upsample), without touching the
+    RGB JPEGs."""
+    from spatially_aware_ai_tpu.data.base import FrameDataset
+
+    write_iphone_scan(tmp_path)
+    ds = IPhone3DScannerDataset(str(tmp_path))
+    d_fast, uu, vv, poses, Ks = ds.bounds_samples()
+    d_ref, uu2, vv2, poses2, Ks2 = FrameDataset.bounds_samples(ds)
+    np.testing.assert_array_equal(uu, uu2)
+    np.testing.assert_array_equal(vv, vv2)
+    np.testing.assert_array_equal(d_fast, d_ref)
+    np.testing.assert_array_equal(poses, poses2)
+    np.testing.assert_array_equal(Ks, Ks2)
+
+    # and it must not read the JPEGs
+    for f in os.listdir(tmp_path):
+        if f.endswith(".jpg"):
+            os.rename(tmp_path / f, tmp_path / (f + ".hidden"))
+    d_again = ds.bounds_samples()[0]
+    np.testing.assert_array_equal(d_again, d_fast)
+
+
+def test_bounds_samples_matches_stacked_path():
+    """compute_scene_bounds via bounds_samples == the chunked stacked
+    fallback (same cloud, same percentile bounds)."""
+    from spatially_aware_ai_tpu.core.bounds import (
+        backproject_sparse_cloud,
+        backproject_sparse_samples,
+    )
+
+    ds = SyntheticSceneDataset(num_frames=5, width=64, height=48)
+    depth, uu, vv, poses, Ks = ds.bounds_samples()
+    cloud_new = backproject_sparse_samples(
+        depth, uu, vv, poses, Ks, max_depth=4.0
+    )
+    stack = ds.stacked(range(len(ds)))
+    cloud_old = backproject_sparse_cloud(
+        stack["depth"], stack["pose"], stack["K"], max_depth=4.0
+    )
+    np.testing.assert_allclose(cloud_new, cloud_old, atol=1e-6)
+
+
 def test_scannet_loader(tmp_path):
     os.makedirs(tmp_path / "color")
     os.makedirs(tmp_path / "depth")

@@ -106,6 +106,63 @@ def test_batch_fast_prep_matches_slow():
     np.testing.assert_allclose(out, expect, atol=5e-3)
 
 
+def test_get_patches_cf_matches_channels_last():
+    from spatially_aware_ai_tpu.models.clip.tiling import get_patches_cf
+
+    rng = np.random.default_rng(7)
+    for H, W, ps, st in [(448, 672, 224, 112), (96, 120, 48, 24),
+                         (64, 64, 32, 32)]:
+        img = rng.normal(size=(H, W, 3)).astype(np.float32)
+        want = np.asarray(get_patches(jnp.asarray(img), ps, st))
+        # lead axes (F=2, C=3)
+        cf = jnp.asarray(
+            np.stack([img, img * 2.0]).transpose(0, 3, 1, 2)
+        )  # [2, 3, H, W]
+        got = np.asarray(get_patches_cf(cf, ps, st))  # [ny,nx,2,3,ps,ps]
+        np.testing.assert_array_equal(
+            got[:, :, 0].transpose(0, 1, 3, 4, 2), want
+        )
+        np.testing.assert_array_equal(
+            got[:, :, 1].transpose(0, 1, 3, 4, 2), want * 2.0
+        )
+
+
+def test_fused_conv_stem_matches_unfused():
+    """The fused conv stem (dense conv1 at stride gcd + embedding-space
+    slicing) must match the materialize-patches path exactly, including the
+    non-trivial g=16 case where per-patch token grids step by 2 through the
+    dense grid (ViT patch 32, scaled stride 112)."""
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.models.clip.model import CLIPConfig
+    from spatially_aware_ai_tpu.models.clip.tiling import (
+        tiled_image_features_batch,
+    )
+
+    cfg = CLIPConfig(
+        embed_dim=32, image_size=224, patch_size=32, vision_width=64,
+        vision_layers=2, vision_heads=4, vocab_size=49408,
+        context_length=77, text_width=64, text_heads=4, text_layers=2,
+    )
+    engine = ClipEngine.random(cfg)  # stem is opt-in (SAI_FUSED_STEM=1);
+    # this test drives the fused path explicitly through tiling
+    imgs = RNG.uniform(size=(2, 512, 512, 3)).astype(np.float32)
+    kw = dict(patch_size=256, patch_stride=128,
+              encode_fn=engine._encode_image)
+    unfused = np.asarray(
+        tiled_image_features_batch(engine.params, jnp.asarray(imgs), **kw)
+    )
+    fused = np.asarray(
+        tiled_image_features_batch(
+            engine.params, jnp.asarray(imgs), **kw,
+            conv_kernel_fn=engine._conv_kernel,
+            encode_tokens_fn=engine._encode_tokens,
+            conv_patch=cfg.patch_size,
+        )
+    )
+    assert fused.shape == unfused.shape == (2, 3, 3, 32)
+    np.testing.assert_allclose(fused, unfused, atol=2e-4)
+
+
 def test_get_patches_fast_slices_match_naive():
     """The k^2-slice unfold (patch_size % stride == 0) and the gather
     fallback must both equal a naive python unfold."""
