@@ -158,6 +158,22 @@ def main():
     sync(grid)
     integrate_s = time.perf_counter() - t0
 
+    # tunnel-health probe: the axon host<->device link's bandwidth varies
+    # run to run (measured 17-200 MB/s down); publishing it with every
+    # bench makes cross-run comparisons honest
+    probe = np.zeros((4 * 1024 * 1024,), np.float32)  # 16 MB
+    t0 = time.perf_counter()
+    probe_d = jnp.asarray(probe)
+    float(probe_d[0])
+    up_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = np.asarray(probe_d)
+    down_s = time.perf_counter() - t0
+    link = {
+        "upload_mb_s": round(16.0 / up_s, 1),
+        "download_mb_s": round(16.0 / down_s, 1),
+    }
+
     baseline_fps_per_chip = 500.0 / 30.0 / 8.0  # north star pro-rated per chip
     result = {
         "metric": "fusion_frames_per_sec_per_chip",
@@ -177,6 +193,7 @@ def main():
         "device": str(jax.devices()[0]),
         "phase_encode_fps": round(REPEATS * F / encode_s, 1),
         "phase_integrate_fps": round(REPEATS * F / integrate_s, 1),
+        "link": link,
         "est_500frame_scan_s_on_8chips_clip_only": round(500.0 / (fps * 8), 2),
     }
     # memory: memory_stats() returns nothing over the axon tunnel; publish a

@@ -34,6 +34,9 @@ class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float
     dtype: Any = jnp.float32
+    # None = auto (fused LN->MLP Pallas kernel on TPU); True forces the
+    # fused path (interpret mode off-TPU, for tests); False forces unfused
+    fused_mlp: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -41,13 +44,43 @@ class ConvNeXtBlock(nn.Module):
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
         )(x)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
+        norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+        pw1 = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")
+        pw2 = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
         )
+        from ..pallas_mlp import use_fused_mlp
+
+        if (
+            not self.is_initializing()
+            and use_fused_mlp(self.dim, self.fused_mlp)
+        ):
+            # fused LN->pw1->gelu->pw2->scale->residual: the 4x hidden
+            # tensor stays in VMEM instead of round-tripping HBM (the
+            # os16/os32 stages are HBM-bound; see models/pallas_mlp.py).
+            # Submodules above registered the params; read them directly.
+            import jax as _jax
+
+            from ..pallas_mlp import fused_ln_mlp
+
+            v = self.variables["params"]
+            B, H, W, C = h.shape
+            out = fused_ln_mlp(
+                h.reshape(B * H * W, C),
+                x.reshape(B * H * W, C),
+                v["norm"]["scale"], v["norm"]["bias"],
+                v["pwconv1"]["kernel"], v["pwconv1"]["bias"],
+                v["pwconv2"]["kernel"], v["pwconv2"]["bias"],
+                gamma,
+                act="gelu", eps=1e-6,
+                interpret=_jax.default_backend() != "tpu",
+            )
+            return out.reshape(B, H, W, C)
+        h = norm(h)
+        h = pw1(h)
+        h = nn.gelu(h, approximate=False)
+        h = pw2(h)
         return x + h * gamma.astype(h.dtype)
 
 
