@@ -55,6 +55,26 @@ class FrameDataset:
             "index": np.array([f.index for f in frames]),
         }
 
+    def stacked_u8(self, indices=None):
+        """stacked() in transfer-quantized form: rgb as uint8 [0, 255] and
+        depth either float32 meters or uint16 millimeters.
+
+        The fusion pipeline uploads quantized chunks (uint8 rgb / uint16 mm
+        depth — pipeline.py quantize_transfer); most loaders decode 8-bit
+        images and 16-bit depth PNGs to begin with, so converting to f32
+        [0,1] per frame only for the pipeline to round back costs ~450 MB
+        of host memory traffic per chunk on a 1-vCPU host. Loaders with
+        native 8/16-bit sources override this to pass them through;
+        this default converts from stacked() (same total work, but on the
+        prefetch thread)."""
+        out = self.stacked(indices)
+        rgb = out["rgb"]
+        if rgb.dtype != np.uint8:
+            out["rgb"] = np.clip(
+                np.rint(rgb * 255.0), 0, 255
+            ).astype(np.uint8)
+        return out
+
     def bounds_samples(self, uv_size: int = 7):
         """Subsampled depth for the scene-bounds pass: (depth [F, P],
         uu [P], vv [P], pose [F, 4, 4], K [F, 3, 3]).

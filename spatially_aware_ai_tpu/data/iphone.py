@@ -87,6 +87,46 @@ class IPhone3DScannerDataset(FrameDataset):
         Ki[1] *= self.imheight / self.rgb_h
         return Frame(rgb=rgb, depth=depth, pose=pose, K=Ki, index=i)
 
+    def stacked_u8(self, indices=None):
+        """Native-uint8 stacking for the quantized-transfer pipeline: RGB is
+        decoded and INTER_AREA-resized in uint8 and passed through — the
+        f32/255 -> rint*255 round-trip the default path performs is the
+        identity on these values, so this is bit-exact and skips four
+        full-frame conversions per chunk. Depth keeps the exact f32 cubic
+        upsample from __getitem__ (the pipeline quantizes it to u16 mm)."""
+        if indices is None:
+            indices = range(len(self))
+        rgbs, depths, poses, Ks, idxs = [], [], [], [], []
+        for i in indices:
+            img_file, depth_file, _ = self.entries[i]
+            K, pose = self.metas[i]
+            rgb = cv2.cvtColor(cv2.imread(img_file), cv2.COLOR_BGR2RGB)
+            rgbs.append(
+                cv2.resize(
+                    rgb, (self.imwidth, self.imheight), None, 0, 0,
+                    cv2.INTER_AREA,
+                )
+            )
+            depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
+            depth = cv2.resize(
+                depth, (self.imwidth, self.imheight), None, 0, 0,
+                cv2.INTER_CUBIC,
+            ).astype(np.float32) / 1000.0
+            depths.append(depth)
+            poses.append(pose)
+            Ki = K.copy()
+            Ki[0] *= self.imwidth / self.rgb_w
+            Ki[1] *= self.imheight / self.rgb_h
+            Ks.append(Ki)
+            idxs.append(i)
+        return {
+            "rgb": np.stack(rgbs),
+            "depth": np.stack(depths),
+            "pose": np.stack(poses),
+            "K": np.stack(Ks),
+            "index": np.array(idxs),
+        }
+
     def bounds_samples(self, uv_size: int = 7):
         """Depth-only bounds pass: decode just the small 16-bit depth PNGs
         (RGB JPEGs are never touched — one saved decode per frame). The

@@ -79,3 +79,35 @@ class ScanNetDataset(FrameDataset):
             rgb=rgb, depth=depth, pose=self.poses[i], K=self.K,
             index=int(self.kf_idx[i]),
         )
+
+    def stacked_u8(self, indices=None):
+        """Native-precision stacking for the quantized-transfer pipeline:
+        rgb stays uint8 (resized in fixed-point; within 1/255 of the f32
+        round-trip), depth stays the sensor's uint16 millimeters — the
+        pipeline's own u16 quantization of the f32 path is the identity on
+        these values, so this skips four full-frame conversions per chunk."""
+        if indices is None:
+            indices = range(len(self))
+        rgbs, depths, poses, idxs = [], [], [], []
+        for i in indices:
+            rgb = cv2.cvtColor(
+                cv2.imread(self.rgb_files[i]), cv2.COLOR_BGR2RGB
+            )
+            if rgb.shape[:2] != (self.imheight, self.imwidth):
+                rgb = cv2.resize(
+                    rgb, (self.imwidth, self.imheight), None, 0, 0,
+                    cv2.INTER_LINEAR,
+                )
+            rgbs.append(rgb)
+            depths.append(
+                cv2.imread(self.depth_files[i], cv2.IMREAD_ANYDEPTH)
+            )
+            poses.append(self.poses[i])
+            idxs.append(int(self.kf_idx[i]))
+        return {
+            "rgb": np.stack(rgbs),
+            "depth": np.stack(depths).astype(np.uint16),
+            "pose": np.stack(poses),
+            "K": np.stack([self.K] * len(rgbs)),
+            "index": np.array(idxs),
+        }

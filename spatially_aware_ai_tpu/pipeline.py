@@ -309,9 +309,17 @@ def fuse_scan(
     chunk_starts = list(range(start_frame, n, F))
     prefetcher = ThreadPoolExecutor(max_workers=1)
 
+    # quantized transfers read the loader's native-precision form when it
+    # has one (uint8 rgb / uint16 mm depth pass-through, data/base.py) —
+    # the generic fallback converts on the prefetch thread
+    use_u8 = config.quantize_transfer and hasattr(dataset, "stacked_u8")
+
     def load_chunk(start):
         idx = list(range(start, min(n, start + F)))
-        return idx, dataset.stacked(idx)
+        stack = (
+            dataset.stacked_u8(idx) if use_u8 else dataset.stacked(idx)
+        )
+        return idx, stack
 
     pending = prefetcher.submit(load_chunk, chunk_starts[0]) if chunk_starts else None
 
@@ -336,13 +344,19 @@ def fuse_scan(
         # triple uploads a measurable cost)
         depth_host = pad_tail(stack["depth"])
         if config.quantize_transfer:
-            rgb_u8 = np.clip(
-                np.rint(rgb_chunk * 255.0), 0, 255
-            ).astype(np.uint8)
+            if rgb_chunk.dtype == np.uint8:  # native pass-through
+                rgb_u8 = rgb_chunk
+            else:
+                rgb_u8 = np.clip(
+                    np.rint(rgb_chunk * 255.0), 0, 255
+                ).astype(np.uint8)
             rgb_chunk = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
-            depth_u16 = np.clip(
-                np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
-            ).astype(np.uint16)
+            if depth_host.dtype == np.uint16:  # native mm pass-through
+                depth_u16 = depth_host
+            else:
+                depth_u16 = np.clip(
+                    np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
+                ).astype(np.uint16)
             depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
         else:
             rgb_chunk = jnp.asarray(rgb_chunk)
@@ -353,6 +367,8 @@ def fuse_scan(
         t1 = time.perf_counter()
         if config.scale_patches_by_depth:
             depth_chunk = pad_tail(stack["depth"])
+            if depth_chunk.dtype == np.uint16:
+                depth_chunk = depth_chunk.astype(np.float32) / 1000.0
             K_chunk = pad_tail(stack["K"])
             feat_imgs = jnp.stack(
                 [

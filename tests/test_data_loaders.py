@@ -88,6 +88,47 @@ def test_iphone_bounds_samples_skip_rgb(tmp_path):
     np.testing.assert_array_equal(d_again, d_fast)
 
 
+def test_stacked_u8_native_roundtrip(tmp_path):
+    """iphone/scannet stacked_u8 must equal the quantization the pipeline
+    would apply to the f32 stacked() output (bit-exact for iphone rgb and
+    scannet depth; within 1 LSB for scannet's fixed-point u8 resize)."""
+    write_iphone_scan(tmp_path)
+    ds = IPhone3DScannerDataset(str(tmp_path))
+    f32 = ds.stacked([0, 1])
+    u8 = ds.stacked_u8([0, 1])
+    assert u8["rgb"].dtype == np.uint8
+    want_rgb = np.clip(np.rint(f32["rgb"] * 255.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8["rgb"], want_rgb)
+    np.testing.assert_array_equal(u8["depth"], f32["depth"])
+    np.testing.assert_array_equal(u8["pose"], f32["pose"])
+    np.testing.assert_array_equal(u8["K"], f32["K"])
+
+    # generic fallback (synthetic renders f32): conversion matches pipeline
+    sds = SyntheticSceneDataset(num_frames=2, width=32, height=24)
+    sf32 = sds.stacked([0, 1])
+    su8 = sds.stacked_u8([0, 1])
+    np.testing.assert_array_equal(
+        su8["rgb"],
+        np.clip(np.rint(sf32["rgb"] * 255.0), 0, 255).astype(np.uint8),
+    )
+
+
+def test_scannet_stacked_u8(tmp_path):
+    _write_scannet(tmp_path)
+    ds = ScanNetDataset(str(tmp_path))
+    f32 = ds.stacked(range(len(ds)))
+    u8 = ds.stacked_u8(range(len(ds)))
+    assert u8["depth"].dtype == np.uint16
+    want_d16 = np.clip(
+        np.rint(np.nan_to_num(f32["depth"]) * 1000.0), 0, 65535
+    ).astype(np.uint16)
+    np.testing.assert_array_equal(u8["depth"], want_d16)
+    want_rgb = np.clip(np.rint(f32["rgb"] * 255.0), 0, 255).astype(np.int32)
+    # u8 fixed-point resize vs f32 resize: within 1 LSB
+    assert np.abs(u8["rgb"].astype(np.int32) - want_rgb).max() <= 1
+    np.testing.assert_array_equal(u8["index"], f32["index"])
+
+
 def test_bounds_samples_matches_stacked_path():
     """compute_scene_bounds via bounds_samples == the chunked stacked
     fallback (same cloud, same percentile bounds)."""
@@ -108,7 +149,7 @@ def test_bounds_samples_matches_stacked_path():
     np.testing.assert_allclose(cloud_new, cloud_old, atol=1e-6)
 
 
-def test_scannet_loader(tmp_path):
+def _write_scannet(tmp_path):
     os.makedirs(tmp_path / "color")
     os.makedirs(tmp_path / "depth")
     os.makedirs(tmp_path / "pose")
@@ -130,6 +171,11 @@ def test_scannet_loader(tmp_path):
         if i == 4:
             pose[1, 3] = np.inf
         np.savetxt(tmp_path / "pose" / f"{i}.txt", pose)
+    return K
+
+
+def test_scannet_loader(tmp_path):
+    K = _write_scannet(tmp_path)
     ds = ScanNetDataset(str(tmp_path))
     # frame 4 dropped (inf), keyframes = 0 and 3
     assert len(ds) == 2
