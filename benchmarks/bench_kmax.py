@@ -127,6 +127,39 @@ def main():
     print(json.dumps({"bench": "depthwise7x7_os16_27x", "frames": F,
                       "ms_per_frame": round(dw_s / F * 1e3, 1)}))
 
+    # (e) os4 stage (3 blocks at 248x328, dim 192 — NOT a 128 multiple):
+    # fused-kernel candidate if Mosaic tolerates the 192-lane layout
+    for fused in (False, True):
+        blk4 = ConvNeXtBlock(192, 1e-6, dtype=jnp.bfloat16,
+                             fused_mlp=fused)
+        x4 = jnp.asarray(
+            rng.normal(size=(F, 248, 328, 192)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        bp4 = blk4.init(jax.random.PRNGKey(3), x4)
+
+        @jax.jit
+        def stage4(p, x, blk4=blk4):
+            for _ in range(3):
+                x = blk4.apply(p, x)
+            return x
+
+        try:
+            sync(stage4(bp4, x4))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = stage4(bp4, x4)
+            sync(o)
+            s4 = (time.perf_counter() - t0) / reps
+            print(json.dumps({
+                "bench": f"convnext_os4_stage_3blocks_fused{int(fused)}",
+                "frames": F, "ms_per_frame": round(s4 / F * 1e3, 1),
+            }))
+        except Exception as e:
+            print(json.dumps({
+                "bench": f"convnext_os4_stage_3blocks_fused{int(fused)}",
+                "error": str(e)[:200],
+            }))
+
 
 if __name__ == "__main__":
     main()

@@ -41,21 +41,22 @@ DEFAULT_TH = 512
 
 
 def use_fused_mlp(dim: int, override=None, default_on: bool = True) -> bool:
-    """Fused-kernel gate: 128-multiple channel dims only (Mosaic lane
-    alignment). Resolution order: SAI_FUSED_MLP=0 kills it everywhere,
-    explicit module override wins next, SAI_FUSED_MLP=1 forces it on, then
-    `default_on` decides whether this call site uses it on TPU by default
-    (measured: ConvNeXt blocks win 17-27%, the CLIP transformer MLP is
-    neutral-to-slightly-negative, so CLIP passes default_on=False)."""
+    """Fused-kernel gate: 64-multiple channel dims (Mosaic pads the lane
+    dim; measured a 32% win even at the os4 stage's dim 192). Resolution
+    order: SAI_FUSED_MLP=0 kills it everywhere, explicit module override
+    wins next, SAI_FUSED_MLP=1 forces it on, then `default_on` decides
+    whether this call site uses it on TPU by default (measured: ConvNeXt
+    blocks win 17-32%, the CLIP transformer MLP is neutral-to-slightly-
+    negative, so CLIP passes default_on=False)."""
     import os
 
     env = os.environ.get("SAI_FUSED_MLP")
     if env == "0":
         return False
-    if dim % 128 != 0:
-        return False
-    if override is not None:
+    if override is not None:  # explicit force bypasses the lane gate too
         return override
+    if dim % 64 != 0:
+        return False
     if env == "1":
         return True
     if not default_on:
@@ -165,8 +166,10 @@ def fused_ln_mlp(
     M, D = x.shape
     H = w1.shape[1]
     th = min(th, H)
+    while H % th != 0 and th > 128:
+        th -= 128  # largest 128-multiple block dividing H (H=4D cases)
     if H % th != 0:
-        raise ValueError(f"hidden dim {H} must be a multiple of {th=}")
+        raise ValueError(f"no 128-multiple hidden block divides {H=}")
     nh = H // th
     tm = min(tm, max(8, M))
     m_pad = (-M) % tm

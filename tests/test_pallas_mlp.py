@@ -87,7 +87,7 @@ def test_clip_residual_block_fused_vs_unfused():
 def test_use_fused_mlp_gate():
     from spatially_aware_ai_tpu.models.pallas_mlp import use_fused_mlp
 
-    assert not use_fused_mlp(192)          # not a 128 multiple
+    assert not use_fused_mlp(100)          # not a 64 multiple
     assert use_fused_mlp(768, True)
     assert not use_fused_mlp(768, False)
     import os
