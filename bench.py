@@ -161,7 +161,11 @@ def main():
     # tunnel-health probe: the axon host<->device link's bandwidth varies
     # run to run (measured 17-200 MB/s down); publishing it with every
     # bench makes cross-run comparisons honest
-    probe = np.zeros((4 * 1024 * 1024,), np.float32)  # 16 MB
+    # incompressible payload: a zeros probe would overstate link health if
+    # any transport layer compresses
+    probe = np.random.default_rng(0).integers(
+        0, 256, 16 * 1024 * 1024, dtype=np.uint8
+    ).view(np.float32)  # 16 MB
     t0 = time.perf_counter()
     probe_d = jnp.asarray(probe)
     float(probe_d[0])

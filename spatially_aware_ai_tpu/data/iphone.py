@@ -66,26 +66,36 @@ class IPhone3DScannerDataset(FrameDataset):
     def __len__(self):
         return len(self.entries)
 
-    def __getitem__(self, i: int) -> Frame:
-        img_file, depth_file, _ = self.entries[i]
-        K, pose = self.metas[i]
-
+    # single definitions of the decode/rescale steps — __getitem__,
+    # stacked_u8, and bounds_samples all share them, so their documented
+    # bit-exactness relative to each other is structural
+    def _load_rgb_u8(self, img_file: str) -> np.ndarray:
         rgb = cv2.cvtColor(cv2.imread(img_file), cv2.COLOR_BGR2RGB)
-        rgb = cv2.resize(
+        return cv2.resize(
             rgb, (self.imwidth, self.imheight), None, 0, 0, cv2.INTER_AREA
         )
-        rgb = rgb.astype(np.float32) / 255.0
 
+    def _load_depth(self, depth_file: str) -> np.ndarray:
         depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
         depth = cv2.resize(
             depth, (self.imwidth, self.imheight), None, 0, 0, cv2.INTER_CUBIC
         )
-        depth = depth.astype(np.float32) / 1000.0
+        return depth.astype(np.float32) / 1000.0
 
+    def _scaled_K(self, K: np.ndarray) -> np.ndarray:
         Ki = K.copy()
         Ki[0] *= self.imwidth / self.rgb_w
         Ki[1] *= self.imheight / self.rgb_h
-        return Frame(rgb=rgb, depth=depth, pose=pose, K=Ki, index=i)
+        return Ki
+
+    def __getitem__(self, i: int) -> Frame:
+        img_file, depth_file, _ = self.entries[i]
+        K, pose = self.metas[i]
+        rgb = self._load_rgb_u8(img_file).astype(np.float32) / 255.0
+        return Frame(
+            rgb=rgb, depth=self._load_depth(depth_file), pose=pose,
+            K=self._scaled_K(K), index=i,
+        )
 
     def stacked_u8(self, indices=None):
         """Native-uint8 stacking for the quantized-transfer pipeline: RGB is
@@ -100,24 +110,10 @@ class IPhone3DScannerDataset(FrameDataset):
         for i in indices:
             img_file, depth_file, _ = self.entries[i]
             K, pose = self.metas[i]
-            rgb = cv2.cvtColor(cv2.imread(img_file), cv2.COLOR_BGR2RGB)
-            rgbs.append(
-                cv2.resize(
-                    rgb, (self.imwidth, self.imheight), None, 0, 0,
-                    cv2.INTER_AREA,
-                )
-            )
-            depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
-            depth = cv2.resize(
-                depth, (self.imwidth, self.imheight), None, 0, 0,
-                cv2.INTER_CUBIC,
-            ).astype(np.float32) / 1000.0
-            depths.append(depth)
+            rgbs.append(self._load_rgb_u8(img_file))
+            depths.append(self._load_depth(depth_file))
             poses.append(pose)
-            Ki = K.copy()
-            Ki[0] *= self.imwidth / self.rgb_w
-            Ki[1] *= self.imheight / self.rgb_h
-            Ks.append(Ki)
+            Ks.append(self._scaled_K(K))
             idxs.append(i)
         return {
             "rgb": np.stack(rgbs),
@@ -130,26 +126,14 @@ class IPhone3DScannerDataset(FrameDataset):
     def bounds_samples(self, uv_size: int = 7):
         """Depth-only bounds pass: decode just the small 16-bit depth PNGs
         (RGB JPEGs are never touched — one saved decode per frame). The
-        exact 4x-cubic upsample from __getitem__ is reproduced before
-        subsampling so the bounds match the full-frame path bit-for-bit."""
-        import cv2
-
+        exact 4x-cubic upsample from __getitem__ is shared (_load_depth) so
+        the bounds match the full-frame path bit-for-bit."""
         from ..core.bounds import subsample_grid
 
         uu, vv = subsample_grid(self.imwidth, self.imheight, uv_size)
         depths, poses, Ks = [], [], []
-        for i, ((_, depth_file, _), (K, pose)) in enumerate(
-            zip(self.entries, self.metas)
-        ):
-            depth = cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH)
-            depth = cv2.resize(
-                depth, (self.imwidth, self.imheight), None, 0, 0,
-                cv2.INTER_CUBIC,
-            ).astype(np.float32) / 1000.0
-            depths.append(depth[vv, uu])
+        for (_, depth_file, _), (K, pose) in zip(self.entries, self.metas):
+            depths.append(self._load_depth(depth_file)[vv, uu])
             poses.append(pose)
-            Ki = K.copy()
-            Ki[0] *= self.imwidth / self.rgb_w
-            Ki[1] *= self.imheight / self.rgb_h
-            Ks.append(Ki)
+            Ks.append(self._scaled_K(K))
         return np.stack(depths), uu, vv, np.stack(poses), np.stack(Ks)

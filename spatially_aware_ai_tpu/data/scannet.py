@@ -65,19 +65,26 @@ class ScanNetDataset(FrameDataset):
     def __len__(self):
         return len(self.depth_files)
 
-    def __getitem__(self, i: int) -> Frame:
+    def _load_rgb(self, i: int, as_u8: bool) -> np.ndarray:
+        """Shared decode+resize. as_u8 resizes in fixed-point uint8 (within
+        1 LSB of the f32 path); f32 matches the reference's resize-on-float
+        exactly."""
         rgb = cv2.cvtColor(cv2.imread(self.rgb_files[i]), cv2.COLOR_BGR2RGB)
-        rgb = rgb.astype(np.float32) / 255.0
+        if not as_u8:
+            rgb = rgb.astype(np.float32) / 255.0
         if rgb.shape[:2] != (self.imheight, self.imwidth):
             rgb = cv2.resize(
                 rgb, (self.imwidth, self.imheight), None, 0, 0,
                 cv2.INTER_LINEAR,
             )
+        return rgb
+
+    def __getitem__(self, i: int) -> Frame:
         depth = cv2.imread(self.depth_files[i], cv2.IMREAD_ANYDEPTH)
         depth = depth.astype(np.float32) / 1000.0
         return Frame(
-            rgb=rgb, depth=depth, pose=self.poses[i], K=self.K,
-            index=int(self.kf_idx[i]),
+            rgb=self._load_rgb(i, as_u8=False), depth=depth,
+            pose=self.poses[i], K=self.K, index=int(self.kf_idx[i]),
         )
 
     def stacked_u8(self, indices=None):
@@ -90,15 +97,7 @@ class ScanNetDataset(FrameDataset):
             indices = range(len(self))
         rgbs, depths, poses, idxs = [], [], [], []
         for i in indices:
-            rgb = cv2.cvtColor(
-                cv2.imread(self.rgb_files[i]), cv2.COLOR_BGR2RGB
-            )
-            if rgb.shape[:2] != (self.imheight, self.imwidth):
-                rgb = cv2.resize(
-                    rgb, (self.imwidth, self.imheight), None, 0, 0,
-                    cv2.INTER_LINEAR,
-                )
-            rgbs.append(rgb)
+            rgbs.append(self._load_rgb(i, as_u8=True))
             depths.append(
                 cv2.imread(self.depth_files[i], cv2.IMREAD_ANYDEPTH)
             )

@@ -696,7 +696,13 @@ class InSituManager:
 
     # -- language query --------------------------------------------------------
 
-    _QUERY_V_BUCKET = 16384
+    @property
+    def _QUERY_V_BUCKET(self):
+        # shared with meshing/extract (the producer of bucket-padded device
+        # feats) and ClipEngine.run_query's device-path detection
+        from ..meshing.extract import VERT_BUCKET
+
+        return VERT_BUCKET
 
     def _query_feats_device(self):
         """Normalized vertex CLIP features as a cached, bucket-padded device

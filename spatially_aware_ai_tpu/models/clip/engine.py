@@ -220,7 +220,13 @@ class ClipEngine:
             prompt_templates,
         )
 
-    _QUERY_V_BUCKET = 16384
+    @property
+    def _QUERY_V_BUCKET(self):
+        # the SAME bucket meshing/extract pads device vertex features to —
+        # the device-path detection below keys on it, so they must agree
+        from ...meshing.extract import VERT_BUCKET
+
+        return VERT_BUCKET
 
     def run_query(self, img_feats, labels: Sequence[str]) -> np.ndarray:
         """softmax(100 * img @ text^T) relevance (clipfusion.py:899-904).
@@ -230,6 +236,8 @@ class ClipEngine:
         recompile through the slow remote-compile path on every scan)."""
         text_feats = self.text_inference(labels)
         if (not isinstance(img_feats, np.ndarray)
+                and hasattr(img_feats, "shape")
+                and img_feats.ndim == 2
                 and img_feats.shape[0] % self._QUERY_V_BUCKET == 0):
             # already a bucket-padded DEVICE array (extract_mesh
             # feats_on_device): query it in place — coercing to numpy here

@@ -172,6 +172,7 @@ def fused_ln_mlp(
         raise ValueError(f"no 128-multiple hidden block divides {H=}")
     nh = H // th
     tm = min(tm, max(8, M))
+    tm = -(-tm // 8) * 8  # sublane multiple (Mosaic rejects e.g. (77, D))
     m_pad = (-M) % tm
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))

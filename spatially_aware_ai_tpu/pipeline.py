@@ -471,9 +471,13 @@ def fuse_scan(
         else:
             grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
         # only force completion when someone needs to observe the grid now;
-        # otherwise chunks pipeline asynchronously on device
+        # otherwise chunks pipeline asynchronously on device. The LAST chunk
+        # always fires on_chunk (scans shorter than on_chunk_every chunks
+        # would otherwise never produce a preview; finalize syncs right
+        # after anyway so the extra sync is ~free)
         chunk_due = on_chunk is not None and (
             (chunk_counter + 1) % max(1, on_chunk_every) == 0
+            or ci == len(chunk_starts) - 1
         )
         needs_sync = chunk_due or (
             config.checkpoint_path

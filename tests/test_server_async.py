@@ -109,6 +109,19 @@ def test_async_reprocess_serves_old_version_meanwhile(manager):
     assert mesh is not None and len(mesh["vertices"]) > 0
 
 
+def test_preview_fires_even_on_short_scans(manager):
+    """With the DEFAULT preview cadence (every 4 chunks) a 2-chunk scan
+    must still produce a preview: the pipeline always fires on_chunk at the
+    last chunk."""
+    manager.wait_for_reprocess(timeout=120)
+    job = manager.reprocess_scan_async(0)  # 6 frames / chunk 3 = 2 chunks
+    assert not job.get("already_running")
+    st = manager.wait_for_reprocess(timeout=120)
+    assert st["state"] == "done", st
+    pv = manager.scan_preview()
+    assert pv["mesh"] is not None and len(pv["mesh"]["vertices"]) > 0
+
+
 def test_async_reprocess_error_keeps_old_scene(manager):
     """A failed rebuild reports state=error and leaves the installed scene
     untouched (the job thread must never die silently)."""
