@@ -97,6 +97,17 @@ def main(argv=None):
     c = sub.add_parser("copy")
     c.add_argument("obj_id")
 
+    lv = sub.add_parser(
+        "live", help="stream a scan directory to the live endpoints"
+    )
+    lv.add_argument("scan_dir")
+    lv.add_argument("--dataset", default="synthetic")
+    lv.add_argument("--chunk", type=int, default=4,
+                    help="frames per HTTP push")
+    lv.add_argument("--voxel-size", type=float, default=None)
+    lv.add_argument("--preview-out", default=None,
+                    help="write the final live preview mesh to this PLY")
+
     args = parser.parse_args(argv)
     s = args.server
 
@@ -175,6 +186,42 @@ def main(argv=None):
         print(post(s, "/reset_insitu_model", {}))
     elif args.cmd == "copy":
         print(post(s, "/copy_object", {"obj_id": args.obj_id})[0])
+    elif args.cmd == "live":
+        import io
+
+        from ..data import make_dataset
+
+        ds = make_dataset(args.dataset, args.scan_dir)
+        begin = {} if args.voxel_size is None else {
+            "voxel_size": args.voxel_size
+        }
+        print("begin:", post(s, "/live_begin", begin)[1])
+        n = len(ds)
+        for start in range(0, n, args.chunk):
+            stack = (
+                ds.stacked_u8(range(start, min(n, start + args.chunk)))
+                if hasattr(ds, "stacked_u8")
+                else ds.stacked(range(start, min(n, start + args.chunk)))
+            )
+            buf = io.BytesIO()
+            np.savez(
+                buf, rgb=stack["rgb"], depth=stack["depth"],
+                pose=stack["pose"], K=stack["K"],
+            )
+            req = urllib.request.Request(
+                s + "/live_push", data=buf.getvalue(), method="POST",
+                headers={"Content-Type": "application/octet-stream"},
+            )
+            with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
+                st = json.loads(resp.read().decode())
+            print(f"  pushed {st['frames_seen']}/{n} "
+                  f"integrated={st['frames_integrated']} "
+                  f"clipped={st['clipped_fraction']}")
+        if args.preview_out:
+            pv = get(s, "/live_preview")[1]
+            if pv.get("mesh"):
+                save_mesh_json(pv["mesh"], args.preview_out)
+        print("end:", post(s, "/live_end", {})[1])
 
 
 if __name__ == "__main__":

@@ -4,6 +4,7 @@ from .iphone import IPhone3DScannerDataset
 from .scannet import ScanNetDataset
 from .lerf import LERFDataset
 from .magicleap2 import MagicLeap2Dataset
+from .live import LiveScanDataset, is_live_scan_dir
 
 
 def HypersimDataset(scan_dir):
@@ -29,4 +30,6 @@ def make_dataset(name: str, scan_dir: str, views_limit: int = 0):
         return LERFDataset(scan_dir)
     if name == "synthetic":
         return SyntheticSceneDataset.from_dir(scan_dir)
+    if name == "live":
+        return LiveScanDataset(scan_dir, views_limit)
     raise NotImplementedError(f"unknown dataset: {name}")

@@ -1,0 +1,84 @@
+"""Persisted live-scan loader.
+
+A streamed scan (manager.live_begin / live_push / live_end — no reference
+equivalent; the reference only reconstructs completed scan directories,
+clip_seem_fusion.py:247-437) is persisted by live_end as ONE
+`live_frames.npz` in the version directory:
+
+  rgb   [F, H, W, 3] uint8
+  depth [F, H, W]    uint16 millimeters (0 = invalid)
+  pose  [F, 4, 4]    float32 camera-to-world (right-down-forward)
+  K     [F, 3, 3]    float32
+
+so the standard version-control flow (reprocess_scan, evals, batch CLI)
+can rebuild a streamed scan exactly like a disk scan. The manager
+autodetects the file regardless of its configured dataset type.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .base import Frame, FrameDataset
+
+LIVE_FRAMES_FILE = "live_frames.npz"
+
+
+def is_live_scan_dir(scan_dir: str) -> bool:
+    return os.path.exists(os.path.join(scan_dir, LIVE_FRAMES_FILE))
+
+
+def save_live_frames(scan_dir: str, rgb_u8, depth_u16, pose, K) -> str:
+    os.makedirs(scan_dir, exist_ok=True)
+    path = os.path.join(scan_dir, LIVE_FRAMES_FILE)
+    np.savez(
+        path,
+        rgb=np.asarray(rgb_u8, np.uint8),
+        depth=np.asarray(depth_u16, np.uint16),
+        pose=np.asarray(pose, np.float32),
+        K=np.asarray(K, np.float32),
+    )
+    return path
+
+
+class LiveScanDataset(FrameDataset):
+    def __init__(self, scan_dir: str, views_limit: int = 0):
+        self.dataset_name = "live"
+        self.scan_dir = scan_dir
+        with np.load(os.path.join(scan_dir, LIVE_FRAMES_FILE)) as z:
+            self._rgb = z["rgb"]
+            self._depth = z["depth"]
+            self._pose = z["pose"]
+            self._K = z["K"]
+        if views_limit > 0:
+            self._rgb = self._rgb[:views_limit]
+            self._depth = self._depth[:views_limit]
+            self._pose = self._pose[:views_limit]
+            self._K = self._K[:views_limit]
+        self.imheight, self.imwidth = self._rgb.shape[1:3]
+
+    def __len__(self):
+        return len(self._rgb)
+
+    def __getitem__(self, i: int) -> Frame:
+        return Frame(
+            rgb=self._rgb[i].astype(np.float32) / 255.0,
+            depth=self._depth[i].astype(np.float32) / 1000.0,
+            pose=self._pose[i],
+            K=self._K[i],
+            index=i,
+        )
+
+    def stacked_u8(self, indices=None):
+        """Native pass-through: the persisted arrays ARE the pipeline's
+        quantized-transfer format."""
+        idx = list(indices) if indices is not None else range(len(self))
+        idx = list(idx)
+        return {
+            "rgb": self._rgb[idx],
+            "depth": self._depth[idx],
+            "pose": self._pose[idx],
+            "K": self._K[idx],
+            "index": np.asarray(idx),
+        }

@@ -1,0 +1,316 @@
+"""Live streaming scan ingestion — a product capability beyond the
+reference, enabled by the TPU-first fusion design.
+
+The reference can only reconstruct a COMPLETED scan directory
+(clip_seem_fusion.py:247-437 iterates a dataset front to back). Because
+this framework's grid accumulators are order-independent weighted SUMS
+(grid/voxel_grid.py), frames can be integrated the moment they arrive:
+an AR client streams frames over HTTP while scanning, watches a coarse
+preview mesh grow, and the scene becomes queryable right after the last
+frame — no scan-then-wait round trip.
+
+Flow (manager.live_begin / live_push / live_preview / live_end):
+
+1. begin: allocates a session (config snapshot, no grid yet).
+2. push: frames buffer until `frame_chunk` are pending, then one chunk
+   runs CLIP tiled encode + panoptic labels + integration, dispatched
+   asynchronously on the device (same per-chunk program as fuse_scan).
+   The grid is created lazily at the first full chunk: bounds come from
+   the sparse 7x7 backprojection of the frames seen so far, padded by
+   `margin_m` on every side so the scene can grow beyond the first
+   chunk's view. Out-of-bounds samples are tracked per push — the
+   response carries `clipped_fraction` so clients know when the margin
+   was too small (the persisted frames allow an exact offline rebuild).
+3. preview: coarse geometry-only mesh of the current grid (same
+   _preview_finalize path the async-reprocess preview uses).
+4. end: the partial tail chunk integrates with masked padding frames,
+   the grid finalizes into a FusionResult, the frames are persisted as
+   a new scan VERSION (data/live.py live_frames.npz — reprocess_scan
+   and the batch CLI can rebuild it like any disk scan), and the
+   standard post-processing (flood fill, meshes, in-situ re-id) +
+   atomic install make it the served version.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.bounds import (
+    backproject_sparse_samples,
+    compute_grid_dims,
+    percentile_bounds,
+    subsample_grid,
+)
+from ..grid.voxel_grid import FrameBatch, create_grid, finalize_grid
+from ..pipeline import FusionConfig, FusionResult, null_instance_boundaries
+
+
+class LiveScanSession:
+    def __init__(
+        self,
+        clip_engine,
+        seg_model,
+        config: FusionConfig,
+        margin_m: float = 1.0,
+    ):
+        import jax
+
+        self.clip = clip_engine
+        self.seg = seg_model
+        self.cfg = config
+        self.margin_m = float(margin_m)
+        self.lock = threading.Lock()
+        self.started_at = time.time()
+
+        self.on_tpu = jax.default_backend() == "tpu"
+        self.bucket = 65536 if self.on_tpu else 1
+
+        self.pending: list = []  # per-frame dicts awaiting a full chunk
+        self.frames_seen = 0
+        self.frames_integrated = 0
+        self.grid = None
+        self.nvox = None
+        self.origin = None
+        self.maxbound = None
+        self.ended = False
+
+        # accumulated sparse bounds/clip samples
+        self._uu = None
+        self._vv = None
+        self._depth_samples: list = []
+        self._poses: list = []
+        self._Ks: list = []
+        self.clipped_samples = 0
+        self.total_samples = 0
+
+        # persisted-quantized copies of every pushed frame
+        self._rgb_u8: list = []
+        self._depth_u16: list = []
+
+        self.timings = {"inference_s": 0.0, "integrate_s": 0.0,
+                        "bounds_s": 0.0}
+
+    # -- push ---------------------------------------------------------------
+
+    def push(self, rgb, depth, pose, K) -> dict:
+        """Add frames. rgb [F, H, W, 3] uint8 or float [0,1]; depth
+        [F, H, W] uint16 mm or float meters; pose [F, 4, 4]; K [F, 3, 3].
+        Single frames may omit the leading axis. Returns progress + the
+        running clipped_fraction."""
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        pose = np.asarray(pose, np.float32)
+        K = np.asarray(K, np.float32)
+        if rgb.ndim == 3:
+            rgb, depth, pose, K = rgb[None], depth[None], pose[None], K[None]
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8)
+        if depth.dtype != np.uint16:
+            depth = np.clip(
+                np.rint(np.nan_to_num(depth) * 1000.0), 0, 65535
+            ).astype(np.uint16)
+
+        with self.lock:
+            if self.ended:
+                raise ValueError("live session already ended")
+            t0 = time.perf_counter()
+            H, W = depth.shape[1:3]
+            if self._uu is None:
+                self._uu, self._vv = subsample_grid(W, H)
+            for f in range(len(rgb)):
+                d_m = depth[f, self._vv, self._uu].astype(np.float32) / 1e3
+                self._depth_samples.append(d_m)
+                self._poses.append(pose[f])
+                self._Ks.append(K[f])
+                self._track_clipping(d_m, pose[f], K[f])
+                self._rgb_u8.append(rgb[f])
+                self._depth_u16.append(depth[f])
+                self.pending.append(
+                    {"rgb": rgb[f], "depth": depth[f], "pose": pose[f],
+                     "K": K[f]}
+                )
+                self.frames_seen += 1
+            self.timings["bounds_s"] += time.perf_counter() - t0
+
+            while len(self.pending) >= self.cfg.frame_chunk:
+                chunk = self.pending[: self.cfg.frame_chunk]
+                self.pending = self.pending[self.cfg.frame_chunk:]
+                self._integrate(chunk, n_real=len(chunk))
+            return self.status()
+
+    def status(self) -> dict:
+        return {
+            "state": "ended" if self.ended else "live",
+            "frames_seen": self.frames_seen,
+            "frames_integrated": self.frames_integrated,
+            "frames_pending": len(self.pending),
+            "grid_allocated": self.grid is not None,
+            "nvox": None if self.nvox is None else [int(v) for v in
+                                                    self.nvox],
+            "clipped_fraction": round(
+                self.clipped_samples / max(1, self.total_samples), 4
+            ),
+            "elapsed_s": round(time.time() - self.started_at, 3),
+        }
+
+    def _track_clipping(self, d_m, pose, K):
+        """Fraction of valid sparse samples falling outside the live grid —
+        the client's signal that the margin was too small."""
+        if self.origin is None:
+            return
+        xyz = backproject_sparse_samples(
+            d_m[None], self._uu, self._vv, pose[None], K[None],
+            max_depth=self.cfg.max_depth,
+        )
+        if not len(xyz):
+            return
+        out = (
+            (xyz < self.origin[None, :]) | (xyz > self.maxbound[None, :])
+        ).any(axis=1)
+        self.clipped_samples += int(out.sum())
+        self.total_samples += len(xyz)
+
+    # -- grid + integration --------------------------------------------------
+
+    def _ensure_grid(self):
+        if self.grid is not None:
+            return
+        cfg = self.cfg
+        xyz = backproject_sparse_samples(
+            np.stack(self._depth_samples), self._uu, self._vv,
+            np.stack(self._poses), np.stack(self._Ks),
+            max_depth=cfg.max_depth,
+        )
+        minb, maxb = percentile_bounds(xyz, cfg.trunc_m)
+        minb = minb - self.margin_m
+        maxb = maxb + self.margin_m
+        self.nvox = compute_grid_dims(minb, maxb, cfg.voxel_size)
+        self.origin = np.asarray(minb, np.float32)
+        self.maxbound = np.asarray(maxb, np.float32)
+        self.grid = create_grid(
+            minb, cfg.voxel_size, self.nvox, cfg.trunc_m,
+            feature_dim=self.clip.feature_dim,
+            with_labels=cfg.with_labels,
+            num_classes=cfg.num_classes,
+            pad_to=self.bucket,
+            min_padding=0,
+        )
+
+    def _labels_for(self, rgb_dev, n_real):
+        """Panoptic labels for a device rgb chunk — same priority order as
+        fuse_scan (pipeline.py): device-fused > host panoptic+nulling >
+        batch > per-frame."""
+        cfg = self.cfg
+        seg = self.seg
+        if seg is None or not cfg.with_labels:
+            return None
+        if cfg.split_instances and hasattr(seg, "run_on_batch_fused_labels"):
+            return seg.run_on_batch_fused_labels(
+                rgb_dev, dilate=cfg.instance_boundary_dilate, as_numpy=False
+            )
+        if cfg.split_instances and hasattr(seg, "run_on_batch_panoptic"):
+            cat, segm = seg.run_on_batch_panoptic(rgb_dev)
+            return null_instance_boundaries(
+                cat, segm, dilate=cfg.instance_boundary_dilate
+            )
+        if hasattr(seg, "run_on_batch"):
+            return seg.run_on_batch(rgb_dev).astype(np.int32)
+        rgb_host = np.asarray(rgb_dev)
+        out = [seg.run_on_image(rgb_host[i]) for i in range(n_real)]
+        null = np.full(rgb_host.shape[1:3], 133, np.int32)
+        out += [null] * (len(rgb_host) - n_real)
+        return np.stack(out).astype(np.int32)
+
+    def _integrate(self, chunk, n_real: int):
+        import jax.numpy as jnp
+
+        from ..grid.fusion import integrate_frames, integrate_frames_einsum
+
+        cfg = self.cfg
+        self._ensure_grid()
+        F = cfg.frame_chunk
+        pad = F - len(chunk)
+        chunk = chunk + [chunk[-1]] * pad
+
+        rgb_u8 = np.stack([c["rgb"] for c in chunk])
+        depth_u16 = np.stack([c["depth"] for c in chunk])
+        t0 = time.perf_counter()
+        rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
+        depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
+        feat_imgs = self.clip.img_inference_tiled_batch(
+            rgb_dev, cfg.clip_patch_size, cfg.clip_patch_stride
+        )
+        labels = self._labels_for(rgb_dev, n_real)
+        self.timings["inference_s"] += time.perf_counter() - t0
+
+        batch = FrameBatch(
+            depth=depth_dev,
+            rgb=rgb_dev,
+            pose=jnp.asarray(np.stack([c["pose"] for c in chunk])),
+            K=jnp.asarray(np.stack([c["K"] for c in chunk])),
+            feat_img=feat_imgs,
+            labels=None if labels is None else jnp.asarray(labels),
+            frame_valid=jnp.asarray(
+                np.array([True] * n_real + [False] * (F - n_real))
+            ),
+        )
+        t0 = time.perf_counter()
+        if self.on_tpu:
+            self.grid = integrate_frames_einsum(
+                self.grid, batch, rgb_mode=cfg.rgb_mode
+            )
+        else:
+            self.grid = integrate_frames(
+                self.grid, batch, rgb_mode=cfg.rgb_mode
+            )
+        self.timings["integrate_s"] += time.perf_counter() - t0
+        self.frames_integrated += n_real
+
+    # -- preview / end -------------------------------------------------------
+
+    def preview_grid(self):
+        """The live grid for _preview_mesh_from_grid (None before the first
+        integrated chunk)."""
+        with self.lock:
+            return self.grid
+
+    def end(self):
+        """Integrate the tail, finalize, and return
+        (FusionResult, persisted-frame arrays)."""
+        with self.lock:
+            if self.ended:
+                raise ValueError("live session already ended")
+            self.ended = True
+            if self.frames_seen == 0:
+                raise ValueError("live session received no frames")
+            if self.pending:
+                tail = self.pending
+                self.pending = []
+                self._integrate(tail, n_real=len(tail))
+            self._ensure_grid()  # < chunk frames total: build from tail
+
+            n_logical = int(np.prod([int(v) for v in self.nvox]))
+            values = {}
+            for k, v in finalize_grid(self.grid).items():
+                if k == "feat":
+                    values[k] = v  # stays device-resident, bucket-padded
+                else:
+                    values[k] = np.asarray(v)[:n_logical]
+            result = FusionResult(
+                grid=self.grid,
+                values=values,
+                nvox=tuple(int(v) for v in self.nvox),
+                origin=self.origin,
+                config=self.cfg,
+                timings=dict(self.timings),
+            )
+            persist = {
+                "rgb": np.stack(self._rgb_u8),
+                "depth": np.stack(self._depth_u16),
+                "pose": np.stack(self._poses),
+                "K": np.stack(self._Ks),
+            }
+            return result, persist

@@ -178,6 +178,7 @@ class InSituManager:
             max_workers=1, thread_name_prefix="scan-fusion"
         )
         self._fusion_job = None
+        self._live = None  # active LiveScanSession (manager/live.py)
 
         self.update_config(target_version=curr_ver)
 
@@ -320,11 +321,19 @@ class InSituManager:
         scene_inputdir = get_path(cfg, curr_ver, "scene_inputdir")
         scene_outputdir = get_path(cfg, curr_ver, "scene_outputdir")
         os.makedirs(scene_outputdir, exist_ok=True)
-        dataset = make_dataset(
-            cfg.dataset,
-            scan_dir or scene_inputdir,
-            views_limit if views_limit is not None else self.views_limit,
-        )
+        inputdir = scan_dir or scene_inputdir
+        from ..data.live import LiveScanDataset, is_live_scan_dir
+
+        if is_live_scan_dir(inputdir):
+            # a version persisted by live_end rebuilds like any disk scan,
+            # regardless of the manager's configured dataset type
+            dataset = LiveScanDataset(inputdir)
+        else:
+            dataset = make_dataset(
+                cfg.dataset,
+                inputdir,
+                views_limit if views_limit is not None else self.views_limit,
+            )
 
         fusion_cfg = FusionConfig(
             voxel_size=cfg.voxel_size,
@@ -372,6 +381,28 @@ class InSituManager:
         except Exception:
             pass  # preview is best-effort
 
+        return self._postprocess_result(
+            result, curr_ver, scene_knowledge_base, scene_knowledge_prev,
+            phase=say, t0=t0,
+        )
+
+    def _postprocess_result(
+        self,
+        result,
+        curr_ver: int,
+        scene_knowledge_base: Optional[dict],
+        scene_knowledge_prev: Optional[dict],
+        phase=None,
+        t0: Optional[float] = None,
+    ) -> dict:
+        """Scene semantics + meshes from a finished FusionResult: flood
+        fill, per-object meshes, device-resident vertex features. Shared by
+        _build_scene (scan-directory rebuilds) and live_end (streamed
+        scans); returns the state dict _install_scene consumes."""
+        say = phase or (lambda s: None)
+        if t0 is None:
+            t0 = time.time()
+        nvox = result.nvox
         # feat stays a (bucket-padded) device array; slice to the
         # logical grid for per-object gathers + persistence
         say("objects")
@@ -633,6 +664,125 @@ class InSituManager:
             "frames_total": job.get("frames_total", 0),
             "mesh": job.get("preview"),
         }
+
+    # -- live streaming scans (manager/live.py; beyond reference parity) ----
+
+    def live_begin(self, voxel_size: Optional[float] = None,
+                   margin_m: float = 1.0) -> dict:
+        """Open a streaming-scan session: frames pushed via live_push
+        integrate as they arrive; the previous version stays queryable."""
+        from ..pipeline import FusionConfig
+        from .live import LiveScanSession
+
+        with self.lock:
+            if self._live is not None and not self._live.ended:
+                return {**self._live.status(), "already_live": True}
+            cfg = self.config
+            fusion_cfg = FusionConfig(
+                voxel_size=float(voxel_size or cfg.voxel_size),
+                trunc_vox=cfg.trunc_vox,
+                clip_patch_size=cfg.clip_patch_size,
+                clip_patch_stride=cfg.clip_patch_stride,
+                frame_chunk=self.frame_chunk,
+                with_labels=True,
+                rgb_mode="bilinear",
+            )
+            self._live = LiveScanSession(
+                self.clip_model, self.seg_model, fusion_cfg,
+                margin_m=margin_m,
+            )
+            return self._live.status()
+
+    def live_push(self, rgb, depth, pose, K) -> dict:
+        """Stream frames into the live session (chunked device dispatch;
+        does NOT hold the manager lock — queries keep serving)."""
+        sess = self._live
+        if sess is None:
+            raise ValueError("no live session; call live_begin first")
+        return sess.push(rgb, depth, pose, K)
+
+    def live_status(self) -> dict:
+        sess = self._live
+        if sess is None:
+            return {"state": "idle"}
+        return sess.status()
+
+    def live_preview(self) -> dict:
+        """Coarse geometry mesh of the live grid so far (mesh=None before
+        the first integrated chunk)."""
+        sess = self._live
+        if sess is None:
+            return {"state": "idle", "mesh": None}
+        grid = sess.preview_grid()
+        out = sess.status()
+        out["mesh"] = (
+            None if grid is None else self._preview_mesh_from_grid(grid)
+        )
+        return out
+
+    def live_end(self) -> dict:
+        """Finish the stream: integrate the tail, persist the frames as a
+        NEW scan version (live_frames.npz — reprocess/evals/CLI rebuild it
+        like a disk scan), run the standard post-processing, and install
+        the scene atomically."""
+        import copy
+
+        from ..data.live import save_live_frames
+
+        sess = self._live
+        if sess is None:
+            raise ValueError("no live session; call live_begin first")
+        result, persist = sess.end()
+
+        existing = sorted(
+            glob.glob(
+                os.path.join(self.config.scan_dir, self.config.scan_name,
+                             "v*")
+            )
+        )
+        new_ver = (
+            max(
+                (int(os.path.basename(v)[1:]) for v in existing
+                 if os.path.basename(v)[1:].isdigit()),
+                default=-1,
+            )
+            + 1
+        )
+        cfg = get_path(dotdict(dict(self.config)), new_ver)
+        save_live_frames(
+            cfg.scene_inputdir, persist["rgb"], persist["depth"],
+            persist["pose"], persist["K"],
+        )
+
+        with self.lock:
+            sk_base = copy.deepcopy(self.scene_knowledge)
+            sk_prev = copy.deepcopy(
+                dict(self.scene_knowledge) if self.scene_knowledge else None
+            )
+        state = self._postprocess_result(
+            result, new_ver, sk_base, sk_prev,
+        )
+        self._install_scene(state, new_ver, adopt_config=cfg)
+        self.scan_versions = sorted(
+            os.path.basename(v)
+            for v in glob.glob(
+                os.path.join(self.config.scan_dir, self.config.scan_name,
+                             "v*")
+            )
+        )
+        self._live = None
+        out = sess.status()
+        out.update(
+            {
+                "state": "done",
+                "version": new_ver,
+                "n_objects": len(
+                    state["scene_knowledge"]["unique_objects"]
+                ),
+                "n_vertices": int(len(state["verts"])),
+            }
+        )
+        return out
 
     def wait_for_reprocess(self, timeout: Optional[float] = None) -> dict:
         """Block until the current background reprocess (if any) finishes."""

@@ -19,6 +19,10 @@ Beyond parity:
                                            version stays queryable meanwhile
   GET  /scan_status                        background-job progress
   GET  /scan_preview                       coarse mid-scan preview mesh
+  POST /live_begin              streaming scan: frames integrate on arrival
+  POST /live_push               (npz body) push frames to the live session
+  GET  /live_status, /live_preview         live progress / growing mesh
+  POST /live_end                finish: persist + post-process + install
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -66,6 +70,49 @@ def create_app(manager) -> App:
     def scan_preview(req):
         """Coarse mid-scan preview mesh of a running background rebuild."""
         return manager.scan_preview(), 200
+
+    # -- live streaming scans (beyond parity; manager/live.py) ------------
+
+    @app.route("/live_begin", methods=["POST"])
+    def live_begin(req):
+        """Open a streaming-scan session (optional form: voxel_size,
+        margin_m)."""
+        vs = req.form.get("voxel_size")
+        margin = req.form.get("margin_m")
+        return manager.live_begin(
+            float(vs) if vs else None,
+            float(margin) if margin else 1.0,
+        ), 200
+
+    @app.route("/live_push", methods=["POST"])
+    def live_push(req):
+        """Stream frames: body = npz bytes with rgb [F,H,W,3] u8 (or f32
+        [0,1]), depth [F,H,W] u16 mm (or f32 m), pose [F,4,4], K [F,3,3]."""
+        import io
+
+        import numpy as np
+
+        if not req.body:
+            raise ValueError("empty body; expected an npz of frames")
+        with np.load(io.BytesIO(req.body)) as z:
+            return manager.live_push(
+                z["rgb"], z["depth"], z["pose"], z["K"]
+            ), 200
+
+    @app.route("/live_status", methods=["GET"])
+    def live_status(req):
+        return manager.live_status(), 200
+
+    @app.route("/live_preview", methods=["GET"])
+    def live_preview(req):
+        """Coarse geometry mesh of the scan streamed so far."""
+        return manager.live_preview(), 200
+
+    @app.route("/live_end", methods=["POST"])
+    def live_end(req):
+        """Finish the stream: the scan becomes a regular version (persisted
+        frames + full post-processing) and is installed atomically."""
+        return manager.live_end(), 200
 
     @app.route("/text_query", methods=["POST"])
     def text_query(req):

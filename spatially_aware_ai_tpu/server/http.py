@@ -41,7 +41,7 @@ class Request:
                     }
             except json.JSONDecodeError:
                 pass
-        else:
+        elif "octet-stream" not in ctype:  # binary bodies stay raw in .body
             parsed = parse_qs(body.decode("utf-8", "replace"),
                               keep_blank_values=True)
             self.form = {k: v[0] for k, v in parsed.items()}

@@ -1,0 +1,134 @@
+"""Live streaming scan ingestion (manager/live.py) — beyond-parity
+capability: frames integrate the moment they arrive (the sum-form grid is
+order-independent), the scene previews mid-stream, and live_end turns the
+stream into a regular scan version that reprocesses like a disk scan."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.data.synthetic import (
+    ColorSegmenter,
+    SyntheticScene,
+    SyntheticSceneDataset,
+)
+from spatially_aware_ai_tpu.manager import InSituManager
+from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+
+
+def make_manager(root):
+    d = root / "scans" / "demo" / "v00"
+    os.makedirs(d, exist_ok=True)
+    with open(d / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 6, "width": 64, "height": 48}, f)
+    return InSituManager(
+        scan_dir=str(root / "scans"),
+        scan_name="demo",
+        dataset="synthetic",
+        output_dir=str(root / "out"),
+        voxel_size=0.08,
+        trunc_vox=2,
+        clip_patch_size=32,
+        clip_patch_stride=16,
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        frame_chunk=3,
+    )
+
+
+@pytest.fixture(scope="module")
+def manager(tmp_path_factory):
+    return make_manager(tmp_path_factory.mktemp("live_scene"))
+
+
+def _frames(n=8):
+    ds = SyntheticSceneDataset(num_frames=n, width=64, height=48)
+    stack = ds.stacked(range(n))
+    return stack["rgb"], stack["depth"], stack["pose"], stack["K"]
+
+
+def test_live_push_without_begin_raises(manager):
+    with pytest.raises(ValueError):
+        manager.live_push(*[x[:1] for x in _frames(1)])
+
+
+def test_live_scan_full_lifecycle(manager, tmp_path):
+    rgb, depth, pose, K = _frames(8)
+    before_ver = manager.curr_ver
+
+    st = manager.live_begin()
+    assert st["state"] == "live" and st["frames_seen"] == 0
+    # double-begin reports the active session instead of clobbering it
+    st2 = manager.live_begin()
+    assert st2.get("already_live")
+
+    # push one frame: buffered, no grid yet (chunk = 3)
+    st = manager.live_push(rgb[0], depth[0], pose[0], K[0])
+    assert st["frames_pending"] == 1 and not st["grid_allocated"]
+    assert manager.live_preview()["mesh"] is None
+
+    # push a batch crossing the chunk boundary: grid allocates + integrates
+    st = manager.live_push(rgb[1:5], depth[1:5], pose[1:5], K[1:5])
+    assert st["grid_allocated"]
+    assert st["frames_integrated"] == 3
+    assert st["frames_pending"] == 2
+    pv = manager.live_preview()
+    assert pv["mesh"] is not None and len(pv["mesh"]["vertices"]) > 0
+
+    # quantized inputs are accepted too (u8 rgb / u16 mm depth)
+    rgb_u8 = np.clip(np.rint(rgb[5:] * 255), 0, 255).astype(np.uint8)
+    d_u16 = np.clip(np.rint(depth[5:] * 1000), 0, 65535).astype(np.uint16)
+    st = manager.live_push(rgb_u8, d_u16, pose[5:], K[5:])
+    assert st["frames_seen"] == 8
+    assert st["clipped_fraction"] < 0.05  # margin covers the room
+
+    out = manager.live_end()
+    assert out["state"] == "done"
+    ver = out["version"]
+    assert ver == before_ver + 1
+    assert out["n_objects"] > 0 and out["n_vertices"] > 0
+
+    # the live scan became the installed, queryable version
+    assert manager.curr_ver == ver
+    assert manager.scene_knowledge["scan_version"] == ver
+    mesh = manager.clip_text_query("the table")
+    assert mesh is not None and len(mesh["vertices"]) > 0
+
+    # frames persisted as a regular version: the live dataset loads them
+    from spatially_aware_ai_tpu.data.live import LiveScanDataset
+    from spatially_aware_ai_tpu.manager.paths import get_path
+
+    inputdir = get_path(manager.config, ver, "scene_inputdir")
+    ds = LiveScanDataset(inputdir)
+    assert len(ds) == 8
+    f = ds[0]
+    assert f.rgb.dtype == np.float32 and f.rgb.max() <= 1.0
+    np.testing.assert_allclose(f.pose, pose[0], atol=1e-6)
+    u8 = ds.stacked_u8([0, 1])
+    assert u8["rgb"].dtype == np.uint8 and u8["depth"].dtype == np.uint16
+
+    # session is closed
+    with pytest.raises(ValueError):
+        manager.live_push(rgb[0], depth[0], pose[0], K[0])
+    assert manager.live_status()["state"] == "idle"
+
+
+def test_live_version_reprocesses_like_disk_scan(manager):
+    """The persisted live version rebuilds through the STANDARD path
+    (autodetected live_frames.npz), producing an equivalent scene."""
+    ver = manager.curr_ver
+    assert ver >= 1  # the live version from the lifecycle test
+    job = manager.reprocess_scan_async(ver)
+    assert not job.get("already_running")
+    st = manager.wait_for_reprocess(timeout=240)
+    assert st["state"] == "done", st
+    assert manager.scene_knowledge["scan_version"] == ver
+    assert len(manager.scene_knowledge["unique_objects"]) > 0
+
+
+def test_live_end_without_frames_raises(manager):
+    manager.live_begin()
+    with pytest.raises(ValueError):
+        manager.live_end()
+    manager._live = None

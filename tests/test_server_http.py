@@ -118,3 +118,54 @@ def test_http_malformed_input_is_400(server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         post(server_url, "/reprocess_scan", {"version": "notanint"})
     assert exc.value.code == 400
+
+
+def test_http_live_scan_lifecycle(server_url):
+    """The live streaming endpoints over a real socket: begin -> npz pushes
+    -> preview -> end installs a new queryable version."""
+    import io
+    import urllib.error
+
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+
+    ds = SyntheticSceneDataset(num_frames=6, width=64, height=48)
+    status, st = post(server_url, "/live_begin", {})
+    assert status == 200 and st["state"] == "live"
+
+    for start in (0, 3):
+        stack = ds.stacked(range(start, start + 3))
+        buf = io.BytesIO()
+        np.savez(buf, rgb=stack["rgb"], depth=stack["depth"],
+                 pose=stack["pose"], K=stack["K"])
+        req = urllib.request.Request(
+            server_url + "/live_push", data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            st = json.loads(resp.read().decode())
+    assert st["frames_seen"] == 6 and st["frames_integrated"] >= 3
+
+    with urllib.request.urlopen(server_url + "/live_preview",
+                                timeout=120) as resp:
+        pv = json.loads(resp.read().decode())
+    assert pv["mesh"] and len(pv["mesh"]["vertices"]) > 0
+
+    status, out = post(server_url, "/live_end", {})
+    assert status == 200 and out["state"] == "done"
+    assert out["n_objects"] > 0
+
+    # the new version is immediately queryable
+    status, mesh = post(server_url, "/text_query",
+                        {"text_query": "show me the table"})
+    assert status == 200 and len(mesh["vertices"]) > 0
+
+    # empty body -> clean 400
+    req = urllib.request.Request(
+        server_url + "/live_push", data=b"", method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
