@@ -1,0 +1,103 @@
+"""Live streaming-scan throughput on one TPU chip.
+
+Streams synthetic 1024x768 RGB-D frames one at a time through
+manager/live.py's LiveScanSession at the full production operating point
+(kMaX ConvNeXt-L panoptic @1281 + tiled CLIP 256/128 + label fusion,
+voxel 0.04) and reports sustained streamed frames/sec plus the end()
+finalize latency — the time from "user stops scanning" to a finalized
+FusionResult (post-processing cost is covered by the full bench).
+
+Prints one JSON line per measurement.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    from spatially_aware_ai_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+    from spatially_aware_ai_tpu.manager.live import LiveScanSession
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.models.kmax import KmaxSegmenter
+    from spatially_aware_ai_tpu.pipeline import FusionConfig
+
+    W, H = 1024, 768
+    T = int(os.environ.get("SAI_BENCH_LIVE_FRAMES", "24"))
+    CHUNK = 8
+
+    base = SyntheticSceneDataset(num_frames=8, width=W // 4, height=H // 4)
+    rgbs, depths, poses, Ks = [], [], [], []
+    for i in range(T):
+        f = base[i % 8]
+        rgbs.append(
+            np.clip(
+                np.rint(np.kron(f.rgb, np.ones((4, 4, 1), np.float32)) * 255),
+                0, 255,
+            ).astype(np.uint8)
+        )
+        depths.append(
+            np.clip(
+                np.rint(
+                    np.kron(f.depth, np.ones((4, 4), np.float32)) * 1000
+                ),
+                0, 65535,
+            ).astype(np.uint16)
+        )
+        poses.append(f.pose)
+        K = f.K.copy()
+        K[0] *= 4
+        K[1] *= 4
+        Ks.append(K)
+
+    engine = ClipEngine.random(seed=0)
+    seg = KmaxSegmenter()
+    cfg = FusionConfig(
+        voxel_size=0.04, with_labels=True, frame_chunk=CHUNK,
+        clip_patch_size=256, clip_patch_stride=128,
+    )
+    session = LiveScanSession(engine, seg, cfg, margin_m=1.0)
+
+    # warmup: the first chunk compiles (persistent-cached across runs)
+    t0 = time.perf_counter()
+    for i in range(CHUNK):
+        session.push(rgbs[i], depths[i], poses[i], Ks[i])
+    first_chunk_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(CHUNK, T):
+        session.push(rgbs[i], depths[i], poses[i], Ks[i])
+    # the pushes dispatch asynchronously; end() forces completion
+    t_end0 = time.perf_counter()
+    result, persist = session.end()
+    float(np.asarray(result.values["weight"][0]))
+    end_s = time.perf_counter() - t_end0
+    stream_s = time.perf_counter() - t0
+
+    fps = (T - CHUNK) / stream_s
+    print(json.dumps({
+        "bench": "live_stream_fps_per_chip",
+        "frames_streamed": T - CHUNK,
+        "fps": round(fps, 2),
+        "first_chunk_s_incl_compile": round(first_chunk_s, 2),
+        "end_finalize_s": round(end_s, 3),
+        "nvox": [int(v) for v in result.nvox],
+        "clipped_fraction": round(
+            session.clipped_samples / max(1, session.total_samples), 4
+        ),
+        "timings": {k: round(v, 2) for k, v in session.timings.items()},
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
