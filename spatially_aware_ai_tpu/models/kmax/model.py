@@ -558,10 +558,18 @@ def panoptic_inference(
     )
     order = jnp.argsort(-reorder)
 
+    # pre-permute the masks into paint order on the MAJOR axis: the loop
+    # then reads binary_sorted[i] as a leading-axis dynamic slice — slicing
+    # the MINOR (lane) axis of [h, w, N] per iteration forces a relayout
+    # every pass (N=128 iterations over the full map)
+    binary_sorted = jnp.take(
+        binary.transpose(2, 0, 1), order, axis=0
+    )  # [N, h, w]
+
     def body(i, state):
         cat_map, seg_map, claimed, next_id, stuff_ids = state
         k = order[i]
-        m = binary[:, :, k]
+        m = binary_sorted[i]
         new = m & ~claimed
         mask_area = m.sum()
         new_area = new.sum()
@@ -603,6 +611,15 @@ def _resize_nearest_int(m, out_hw):
         m[..., None].astype(jnp.float32), (out_hw[0], out_hw[1], 1),
         method="nearest",
     )[..., 0].astype(jnp.int32)
+
+
+def _resize_nearest_int2(a, b, out_hw):
+    """Two int maps resized in ONE packed pass (cat+seg share indices)."""
+    packed = jnp.stack([a, b], axis=-1).astype(jnp.float32)
+    out = jax.image.resize(
+        packed, (out_hw[0], out_hw[1], 2), method="nearest"
+    ).astype(jnp.int32)
+    return out[..., 0], out[..., 1]
 
 
 def null_same_class_instance_seams(
@@ -697,10 +714,7 @@ class KmaxSegmenter:
 
             def post(c, m):
                 cat, seg = panoptic_inference(c, m, self.cfg)
-                return (
-                    _resize_nearest_int(cat, (out_h, out_w)),
-                    _resize_nearest_int(seg, (out_h, out_w)),
-                )
+                return _resize_nearest_int2(cat, seg, (out_h, out_w))
 
             return jax.vmap(post)(cls, masks)
 
@@ -722,8 +736,7 @@ class KmaxSegmenter:
                 cat, seg = panoptic_inference(c, m, self.cfg)
                 # null at OUTPUT resolution so the seam width matches the
                 # host path (pipeline.null_instance_boundaries) exactly
-                cat = _resize_nearest_int(cat, (out_h, out_w))
-                seg = _resize_nearest_int(seg, (out_h, out_w))
+                cat, seg = _resize_nearest_int2(cat, seg, (out_h, out_w))
                 return null_same_class_instance_seams(cat, seg, dilate=dilate)
 
             return jax.vmap(post)(cls, masks)

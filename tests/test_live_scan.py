@@ -127,6 +127,43 @@ def test_live_version_reprocesses_like_disk_scan(manager):
     assert len(manager.scene_knowledge["unique_objects"]) > 0
 
 
+def test_queries_serve_during_live_stream(manager):
+    """Text queries keep answering from the installed scene while a live
+    stream integrates concurrently (live_push holds only the session lock,
+    not the manager lock)."""
+    import threading
+
+    rgb, depth, pose, K = _frames(6)
+    manager.live_begin()
+    errors = []
+
+    def pusher():
+        try:
+            for i in range(6):
+                manager.live_push(rgb[i], depth[i], pose[i], K[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def querier():
+        try:
+            for _ in range(4):
+                mesh = manager.clip_text_query("the table")
+                assert mesh is not None and len(mesh["vertices"]) > 0
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=pusher)] + [
+        threading.Thread(target=querier) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    out = manager.live_end()
+    assert out["state"] == "done" and out["n_objects"] > 0
+
+
 def test_live_end_without_frames_raises(manager):
     manager.live_begin()
     with pytest.raises(ValueError):
