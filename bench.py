@@ -303,13 +303,20 @@ def main_full():
             clip_patch_size=256, clip_patch_stride=128,
         )
 
-    # --- kMaX-only throughput (one chunk, after warmup) ---
-    chunk_rgb = ds.rgb[:CHUNK]
-    _ = seg.run_on_batch(chunk_rgb)  # compile + warmup
+    # --- kMaX-only throughput: device-resident input, one sync across the
+    # reps (the old per-call f32-upload + label-download "sync roundtrip"
+    # measured the tunnel, not the model — it swung 26 -> 0.9 fps with link
+    # health while the device time was constant) ---
+    import jax.numpy as _jnp
+
+    chunk_rgb_dev = _jnp.asarray(ds.rgb[:CHUNK])
+    out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
+    float(_jnp.ravel(out)[0].astype(_jnp.float32))  # compile + warmup
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = seg.run_on_batch(chunk_rgb)
+        out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
+    float(_jnp.ravel(out)[0].astype(_jnp.float32))
     kmax_s = time.perf_counter() - t0
     kmax_fps = reps * CHUNK / kmax_s
 
@@ -380,11 +387,9 @@ def main_full():
     print(
         json.dumps(
             {
-                # synchronous single-call path incl. f32 upload + cat/seg
-                # download each call (the production pipeline runs the
-                # quantized async fused-label path; jitted forward alone is
-                # ~38 ms/frame bf16)
-                "kmax_sync_roundtrip_fps_per_chip": round(kmax_fps, 2),
+                # device-side fused-labels throughput (device-resident
+                # input, labels stay on device — the production path)
+                "kmax_device_fps_per_chip": round(kmax_fps, 2),
                 "full_pipeline_fps_per_chip": round(full_fps, 2),
                 "fuse_wall_s": round(fuse_wall, 2),
                 "postproc_s": round(postproc_s, 2),

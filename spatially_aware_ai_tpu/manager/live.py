@@ -113,11 +113,26 @@ class LiveScanSession:
                 np.rint(np.nan_to_num(depth) * 1000.0), 0, 65535
             ).astype(np.uint16)
 
+        if rgb.shape[:3] != depth.shape[:3] or rgb.shape[-1] != 3:
+            raise ValueError(
+                f"rgb {rgb.shape} / depth {depth.shape} mismatch"
+            )
+        if pose.shape[-2:] != (4, 4) or K.shape[-2:] != (3, 3):
+            raise ValueError(
+                f"pose {pose.shape} / K {K.shape}: expected [F,4,4]/[F,3,3]"
+            )
+        if not (len(rgb) == len(depth) == len(pose) == len(K)):
+            raise ValueError("frame-count mismatch across rgb/depth/pose/K")
         with self.lock:
             if self.ended:
                 raise ValueError("live session already ended")
             t0 = time.perf_counter()
             H, W = depth.shape[1:3]
+            if self._rgb_u8 and self._rgb_u8[0].shape[:2] != (H, W):
+                raise ValueError(
+                    f"frame resolution changed mid-stream: "
+                    f"{self._rgb_u8[0].shape[:2]} -> {(H, W)}"
+                )
             if self._uu is None:
                 self._uu, self._vv = subsample_grid(W, H)
             for f in range(len(rgb)):
