@@ -45,7 +45,7 @@ from ..core.bounds import (
     subsample_grid,
 )
 from ..grid.voxel_grid import FrameBatch, create_grid, finalize_grid
-from ..pipeline import FusionConfig, FusionResult, null_instance_boundaries
+from ..pipeline import FusionConfig, FusionResult
 
 
 class LiveScanSession:
@@ -150,14 +150,26 @@ class LiveScanSession:
                 self.frames_seen += 1
             self.timings["bounds_s"] += time.perf_counter() - t0
 
+            # integrate full chunks; a chunk is popped only AFTER it
+            # integrates. A transient integration failure (e.g. no valid
+            # depth yet for the grid bounds) DEFERS integration instead of
+            # failing the push: the frames were accepted and stay pending,
+            # later pushes retry, and end() surfaces a persistent error.
+            self.integrate_warning = None
             while len(self.pending) >= self.cfg.frame_chunk:
                 chunk = self.pending[: self.cfg.frame_chunk]
+                try:
+                    self._integrate(chunk, n_real=len(chunk))
+                except ValueError as e:
+                    self.integrate_warning = (
+                        f"integration deferred: {e}"
+                    )
+                    break
                 self.pending = self.pending[self.cfg.frame_chunk:]
-                self._integrate(chunk, n_real=len(chunk))
             return self.status()
 
     def status(self) -> dict:
-        return {
+        out = {
             "state": "ended" if self.ended else "live",
             "frames_seen": self.frames_seen,
             "frames_integrated": self.frames_integrated,
@@ -170,6 +182,9 @@ class LiveScanSession:
             ),
             "elapsed_s": round(time.time() - self.started_at, 3),
         }
+        if getattr(self, "integrate_warning", None):
+            out["warning"] = self.integrate_warning
+        return out
 
     def _track_clipping(self, d_m, pose, K):
         """Fraction of valid sparse samples falling outside the live grid —
@@ -214,35 +229,11 @@ class LiveScanSession:
             min_padding=0,
         )
 
-    def _labels_for(self, rgb_dev, n_real):
-        """Panoptic labels for a device rgb chunk — same priority order as
-        fuse_scan (pipeline.py): device-fused > host panoptic+nulling >
-        batch > per-frame."""
-        cfg = self.cfg
-        seg = self.seg
-        if seg is None or not cfg.with_labels:
-            return None
-        if cfg.split_instances and hasattr(seg, "run_on_batch_fused_labels"):
-            return seg.run_on_batch_fused_labels(
-                rgb_dev, dilate=cfg.instance_boundary_dilate, as_numpy=False
-            )
-        if cfg.split_instances and hasattr(seg, "run_on_batch_panoptic"):
-            cat, segm = seg.run_on_batch_panoptic(rgb_dev)
-            return null_instance_boundaries(
-                cat, segm, dilate=cfg.instance_boundary_dilate
-            )
-        if hasattr(seg, "run_on_batch"):
-            return seg.run_on_batch(rgb_dev).astype(np.int32)
-        rgb_host = np.asarray(rgb_dev)
-        out = [seg.run_on_image(rgb_host[i]) for i in range(n_real)]
-        null = np.full(rgb_host.shape[1:3], 133, np.int32)
-        out += [null] * (len(rgb_host) - n_real)
-        return np.stack(out).astype(np.int32)
-
     def _integrate(self, chunk, n_real: int):
         import jax.numpy as jnp
 
         from ..grid.fusion import integrate_frames, integrate_frames_einsum
+        from ..pipeline import labels_for_chunk, quantized_chunk_to_device
 
         cfg = self.cfg
         self._ensure_grid()
@@ -253,12 +244,20 @@ class LiveScanSession:
         rgb_u8 = np.stack([c["rgb"] for c in chunk])
         depth_u16 = np.stack([c["depth"] for c in chunk])
         t0 = time.perf_counter()
-        rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
-        depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
+        rgb_dev, depth_dev = quantized_chunk_to_device(rgb_u8, depth_u16)
         feat_imgs = self.clip.img_inference_tiled_batch(
             rgb_dev, cfg.clip_patch_size, cfg.clip_patch_stride
         )
-        labels = self._labels_for(rgb_dev, n_real)
+        # same capability-priority label chain as fuse_scan (shared helper
+        # — the two ingestion paths cannot diverge)
+        labels = (
+            None if self.seg is None
+            else labels_for_chunk(
+                self.seg,
+                getattr(self.seg, "run_on_image", None),
+                rgb_dev, n_real, cfg,
+            )
+        )
         self.timings["inference_s"] += time.perf_counter() - t0
 
         batch = FrameBatch(
@@ -274,6 +273,11 @@ class LiveScanSession:
         )
         t0 = time.perf_counter()
         if self.on_tpu:
+            # einsum (not fuse_scan's sparse default): the sparse
+            # integrator's win comes from an adaptively-sized active-set
+            # capacity tuned over a whole scan; a live stream has no scan
+            # length to amortize capacity growth against, and einsum is
+            # within ~5% at the default operating point
             self.grid = integrate_frames_einsum(
                 self.grid, batch, rgb_mode=cfg.rgb_mode
             )
@@ -298,9 +302,18 @@ class LiveScanSession:
         with self.lock:
             if self.ended:
                 raise ValueError("live session already ended")
-            self.ended = True
             if self.frames_seen == 0:
+                # validated BEFORE marking ended: a frameless end() leaves
+                # the session usable (the client can keep pushing or abort)
                 raise ValueError("live session received no frames")
+            self.ended = True
+            # deferred chunks (see push) + the partial tail; a persistent
+            # integration failure surfaces HERE, where the client expects
+            # a definitive answer
+            F = self.cfg.frame_chunk
+            while len(self.pending) >= F:
+                self._integrate(self.pending[:F], n_real=F)
+                self.pending = self.pending[F:]
             if self.pending:
                 tail = self.pending
                 self.pending = []

@@ -327,7 +327,10 @@ class InSituManager:
         if is_live_scan_dir(inputdir):
             # a version persisted by live_end rebuilds like any disk scan,
             # regardless of the manager's configured dataset type
-            dataset = LiveScanDataset(inputdir)
+            dataset = LiveScanDataset(
+                inputdir,
+                views_limit if views_limit is not None else self.views_limit,
+            )
         else:
             dataset = make_dataset(
                 cfg.dataset,
@@ -573,6 +576,15 @@ class InSituManager:
                 out = dict(job, already_running=True)
                 out.pop("started_at", None)
                 return out
+            if self._live is not None and not self._live.ended:
+                # the two heavyweight builds would race the install (and
+                # the device); stream first, rebuild after
+                return {
+                    "state": "refused",
+                    "reason": "live scan session active; finish or abort "
+                              "it first",
+                    "already_running": True,
+                }
             import copy
 
             cfg = get_path(dotdict(dict(self.config)), version)
@@ -707,6 +719,16 @@ class InSituManager:
             return {"state": "idle"}
         return sess.status()
 
+    def live_abort(self) -> dict:
+        """Discard the live session without installing anything (frames are
+        NOT persisted)."""
+        with self.lock:
+            sess = self._live
+            if sess is None:
+                return {"state": "idle", "aborted": False}
+            self._live = None
+        return {**sess.status(), "state": "aborted", "aborted": True}
+
     def live_preview(self) -> dict:
         """Coarse geometry mesh of the live grid so far (mesh=None before
         the first integrated chunk)."""
@@ -732,6 +754,14 @@ class InSituManager:
         sess = self._live
         if sess is None:
             raise ValueError("no live session; call live_begin first")
+        job = self._fusion_job
+        if job is not None and job.get("state") == "running":
+            # a finishing background reprocess would install-over the live
+            # version (last install wins); make the client sequence them
+            raise ValueError(
+                "a background reprocess is running; wait for /scan_status "
+                "state != running, then call /live_end again"
+            )
         result, persist = sess.end()
 
         existing = sorted(
@@ -759,10 +789,22 @@ class InSituManager:
             sk_prev = copy.deepcopy(
                 dict(self.scene_knowledge) if self.scene_knowledge else None
             )
-        state = self._postprocess_result(
-            result, new_ver, sk_base, sk_prev,
-        )
-        self._install_scene(state, new_ver, adopt_config=cfg)
+        try:
+            state = self._postprocess_result(
+                result, new_ver, sk_base, sk_prev,
+            )
+            self._install_scene(state, new_ver, adopt_config=cfg)
+        except Exception as e:
+            # the stream IS safe: frames were persisted above. Point the
+            # client at the recovery path and release the session.
+            with self.lock:
+                if self._live is sess:
+                    self._live = None
+            raise RuntimeError(
+                f"live post-processing failed ({type(e).__name__}: {e}); "
+                f"the streamed frames are persisted as version {new_ver} — "
+                f"POST /reprocess_scan version={new_ver} to rebuild"
+            ) from e
         self.scan_versions = sorted(
             os.path.basename(v)
             for v in glob.glob(
@@ -770,7 +812,9 @@ class InSituManager:
                              "v*")
             )
         )
-        self._live = None
+        with self.lock:
+            if self._live is sess:  # a concurrent live_begin may have
+                self._live = None   # opened a new session; don't kill it
         out = sess.status()
         out.update(
             {

@@ -163,6 +163,65 @@ def null_instance_boundaries(
     return np.where(boundary, null_id, cat).astype(np.int32)
 
 
+def quantized_chunk_to_device(rgb_host, depth_host):
+    """Upload one frame chunk in quantized form (uint8 rgb / uint16-mm
+    depth, converting only when the loader didn't already provide native
+    precision) and return device f32 (rgb [0,1], depth meters). Shared by
+    fuse_scan and the live streaming session."""
+    if rgb_host.dtype == np.uint8:  # native pass-through
+        rgb_u8 = rgb_host
+    else:
+        rgb_u8 = np.clip(
+            np.rint(rgb_host * 255.0), 0, 255
+        ).astype(np.uint8)
+    if depth_host.dtype == np.uint16:  # native mm pass-through
+        depth_u16 = depth_host
+    else:
+        depth_u16 = np.clip(
+            np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
+        ).astype(np.uint16)
+    rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
+    depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
+    return rgb_dev, depth_dev
+
+
+def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
+                     config: FusionConfig):
+    """Panoptic labels for one rgb chunk, by capability priority:
+    device-fused (labels never leave the device) > batch panoptic + host
+    seam nulling > plain batch > per-frame with null padding. Shared by
+    fuse_scan and the live streaming session so the two ingestion paths
+    cannot diverge. Returns device or host labels, or None when
+    config.with_labels is off."""
+    if not config.with_labels:
+        return None
+    if (
+        config.split_instances
+        and seg_obj is not None
+        and hasattr(seg_obj, "run_on_batch_fused_labels")
+    ):
+        return seg_obj.run_on_batch_fused_labels(
+            rgb_chunk, dilate=config.instance_boundary_dilate,
+            as_numpy=False,
+        )
+    if (
+        config.split_instances
+        and seg_obj is not None
+        and hasattr(seg_obj, "run_on_batch_panoptic")
+    ):
+        cat, seg = seg_obj.run_on_batch_panoptic(rgb_chunk)
+        return null_instance_boundaries(
+            cat, seg, dilate=config.instance_boundary_dilate
+        )
+    if seg_obj is not None and hasattr(seg_obj, "run_on_batch"):
+        return seg_obj.run_on_batch(rgb_chunk).astype(np.int32)
+    rgb_host = np.asarray(rgb_chunk)
+    out = [segmenter_fn(rgb_host[i]) for i in range(n_real)]
+    null = np.full(rgb_host.shape[1:3], NULL_CLASS_ID, np.int32)
+    out += [null] * (len(rgb_host) - n_real)
+    return np.stack(out).astype(np.int32)
+
+
 def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):
     """Pass 1: sparse backprojection of every frame -> percentile bounds
     (reference clipfusion.py:1063, 1100-1106).
@@ -344,20 +403,9 @@ def fuse_scan(
         # triple uploads a measurable cost)
         depth_host = pad_tail(stack["depth"])
         if config.quantize_transfer:
-            if rgb_chunk.dtype == np.uint8:  # native pass-through
-                rgb_u8 = rgb_chunk
-            else:
-                rgb_u8 = np.clip(
-                    np.rint(rgb_chunk * 255.0), 0, 255
-                ).astype(np.uint8)
-            rgb_chunk = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
-            if depth_host.dtype == np.uint16:  # native mm pass-through
-                depth_u16 = depth_host
-            else:
-                depth_u16 = np.clip(
-                    np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
-                ).astype(np.uint16)
-            depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
+            rgb_chunk, depth_dev = quantized_chunk_to_device(
+                rgb_chunk, depth_host
+            )
         else:
             rgb_chunk = jnp.asarray(rgb_chunk)
             depth_dev = jnp.asarray(depth_host)
@@ -397,36 +445,10 @@ def fuse_scan(
                     for i in range(F)
                 ]
             )
-        labels = None
-        if config.with_labels:
-            batch_seg = getattr(segmenter, "__self__", None)
-            if (
-                config.split_instances
-                and batch_seg is not None
-                and hasattr(batch_seg, "run_on_batch_fused_labels")
-            ):
-                # device-fused path: one program, labels stay ON DEVICE (no
-                # transfer, no sync — the chunk pipelines fully async)
-                labels = batch_seg.run_on_batch_fused_labels(
-                    rgb_chunk, dilate=config.instance_boundary_dilate,
-                    as_numpy=False,
-                )
-            elif (
-                config.split_instances
-                and batch_seg is not None
-                and hasattr(batch_seg, "run_on_batch_panoptic")
-            ):
-                cat, seg = batch_seg.run_on_batch_panoptic(rgb_chunk)
-                labels = null_instance_boundaries(
-                    cat, seg, dilate=config.instance_boundary_dilate
-                )
-            elif batch_seg is not None and hasattr(batch_seg, "run_on_batch"):
-                labels = batch_seg.run_on_batch(rgb_chunk).astype(np.int32)
-            else:
-                labels = np.stack(
-                    [segmenter(rgb_chunk[i]) for i in range(n_real)]
-                    + [np.full(rgb_chunk.shape[1:3], 133, np.int32)] * pad
-                ).astype(np.int32)
+        labels = labels_for_chunk(
+            getattr(segmenter, "__self__", None), segmenter, rgb_chunk,
+            n_real, config,
+        )
         t_inference += time.perf_counter() - t1
 
         batch = FrameBatch(

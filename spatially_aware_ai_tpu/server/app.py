@@ -23,6 +23,7 @@ Beyond parity:
   POST /live_push               (npz body) push frames to the live session
   GET  /live_status, /live_preview         live progress / growing mesh
   POST /live_end                finish: persist + post-process + install
+  POST /live_abort              discard the live session
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -87,17 +88,37 @@ def create_app(manager) -> App:
     @app.route("/live_push", methods=["POST"])
     def live_push(req):
         """Stream frames: body = npz bytes with rgb [F,H,W,3] u8 (or f32
-        [0,1]), depth [F,H,W] u16 mm (or f32 m), pose [F,4,4], K [F,3,3]."""
+        [0,1]), depth [F,H,W] u16 mm (or f32 m), pose [F,4,4], K [F,3,3].
+        Send QUANTIZED frames and small chunks: bodies over the 64 MB cap
+        are rejected (u8/u16 keeps even large chunks far under it)."""
         import io
 
         import numpy as np
 
         if not req.body:
             raise ValueError("empty body; expected an npz of frames")
-        with np.load(io.BytesIO(req.body)) as z:
+        if req.truncated:
+            raise ValueError(
+                "body exceeds the 64 MB cap; push fewer frames per "
+                "request or send quantized (uint8 rgb / uint16 mm depth) "
+                "arrays"
+            )
+        try:
+            z = np.load(io.BytesIO(req.body))
+        except Exception:
+            raise ValueError(
+                "body is not a readable npz archive of "
+                "rgb/depth/pose/K arrays"
+            )
+        with z:
             return manager.live_push(
                 z["rgb"], z["depth"], z["pose"], z["K"]
             ), 200
+
+    @app.route("/live_abort", methods=["POST"])
+    def live_abort(req):
+        """Discard the live session without installing anything."""
+        return manager.live_abort(), 200
 
     @app.route("/live_status", methods=["GET"])
     def live_status(req):

@@ -23,10 +23,14 @@ class Request:
         self.method = environ.get("REQUEST_METHOD", "GET").upper()
         self.path = environ.get("PATH_INFO", "/")
         try:
-            length = int(environ.get("CONTENT_LENGTH") or 0)
+            declared = int(environ.get("CONTENT_LENGTH") or 0)
         except ValueError:
-            length = 0
-        length = min(length, MAX_BODY_BYTES)
+            declared = 0
+        length = min(declared, MAX_BODY_BYTES)
+        # handlers consuming raw bodies must check this: a silently
+        # truncated binary payload would otherwise surface as an opaque
+        # parse failure deep inside the handler
+        self.truncated = declared > MAX_BODY_BYTES
         body = environ["wsgi.input"].read(length) if length else b""
         self.body = body
         self.form: Dict[str, str] = {}

@@ -168,4 +168,51 @@ def test_live_end_without_frames_raises(manager):
     manager.live_begin()
     with pytest.raises(ValueError):
         manager.live_end()
-    manager._live = None
+    # the failed end leaves the session usable; abort releases it
+    rgb, depth, pose, K = _frames(1)
+    st = manager.live_push(rgb[0], depth[0], pose[0], K[0])
+    assert st["frames_seen"] == 1
+    out = manager.live_abort()
+    assert out["aborted"]
+    assert manager.live_status()["state"] == "idle"
+
+
+def test_reprocess_refused_during_live(manager):
+    manager.live_begin()
+    try:
+        job = manager.reprocess_scan_async(0)
+        assert job["state"] == "refused" and job.get("already_running")
+    finally:
+        manager.live_abort()
+
+
+def test_invalid_depth_defers_integration(manager):
+    """All-invalid depth at stream start (sensor warm-up) must not fail the
+    push or drop frames: integration defers until bounds exist."""
+    rgb, depth, pose, K = _frames(6)
+    manager.live_begin()
+    try:
+        st = manager.live_push(
+            rgb[:3], np.zeros_like(depth[:3]), pose[:3], K[:3]
+        )
+        assert "warning" in st
+        assert st["frames_integrated"] == 0 and st["frames_pending"] == 3
+        st = manager.live_push(rgb[3:6], depth[3:6], pose[3:6], K[3:6])
+        assert st["frames_integrated"] == 6 and "warning" not in st
+        out = manager.live_end()
+        assert out["state"] == "done" and out["n_objects"] > 0
+    finally:
+        if manager.live_status()["state"] != "idle":
+            manager.live_abort()
+
+
+def test_live_push_shape_mismatch_rejected(manager):
+    rgb, depth, pose, K = _frames(2)
+    manager.live_begin()
+    try:
+        with pytest.raises(ValueError):
+            manager.live_push(rgb[:2], depth[:1], pose[:2], K[:2])
+        with pytest.raises(ValueError):
+            manager.live_push(rgb[0], depth[0], pose[0][:3, :3], K[0])
+    finally:
+        manager.live_abort()
