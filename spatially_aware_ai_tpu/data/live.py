@@ -42,6 +42,60 @@ def save_live_frames(scan_dir: str, rgb_u8, depth_u16, pose, K) -> str:
     return path
 
 
+# -- incremental staging (crash durability for live streams) ---------------
+#
+# Every live_push writes its frames as one part file BEFORE returning, so a
+# server crash mid-stream loses at most the in-flight request; the staged
+# parts consolidate into a regular live_frames.npz version either at
+# live_end or via manager.live_recover() after a restart.
+
+def save_staging_part(staging_dir: str, part_idx: int,
+                      rgb_u8, depth_u16, pose, K) -> str:
+    os.makedirs(staging_dir, exist_ok=True)
+    path = os.path.join(staging_dir, f"part_{part_idx:05d}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # atomic: a crash never leaves a torn part
+        np.savez(
+            f,
+            rgb=np.asarray(rgb_u8, np.uint8),
+            depth=np.asarray(depth_u16, np.uint16),
+            pose=np.asarray(pose, np.float32),
+            K=np.asarray(K, np.float32),
+        )
+    os.replace(tmp, path)
+    return path
+
+
+def staging_parts(staging_dir: str):
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(staging_dir, "part_*.npz")))
+
+
+def consolidate_staging(staging_dir: str, scan_dir: str) -> int:
+    """Merge staged parts into scan_dir/live_frames.npz (frame count
+    returned). The staging dir is left in place; the caller removes it
+    after a successful consolidation."""
+    parts = staging_parts(staging_dir)
+    if not parts:
+        raise ValueError(f"no staged live frames in {staging_dir}")
+    rgbs, depths, poses, Ks = [], [], [], []
+    for p in parts:
+        with np.load(p) as z:
+            rgbs.append(z["rgb"])
+            depths.append(z["depth"])
+            poses.append(z["pose"])
+            Ks.append(z["K"])
+    save_live_frames(
+        scan_dir,
+        np.concatenate(rgbs),
+        np.concatenate(depths),
+        np.concatenate(poses),
+        np.concatenate(Ks),
+    )
+    return sum(len(r) for r in rgbs)
+
+
 class LiveScanDataset(FrameDataset):
     def __init__(self, scan_dir: str, views_limit: int = 0):
         self.dataset_name = "live"

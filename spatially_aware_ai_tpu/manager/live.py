@@ -55,6 +55,7 @@ class LiveScanSession:
         seg_model,
         config: FusionConfig,
         margin_m: float = 1.0,
+        staging_dir: Optional[str] = None,
     ):
         import jax
 
@@ -86,9 +87,17 @@ class LiveScanSession:
         self.clipped_samples = 0
         self.total_samples = 0
 
-        # persisted-quantized copies of every pushed frame
+        # quantized copies of every pushed frame. With a staging_dir, each
+        # push writes its frames to disk as an atomic part file (crash
+        # durability: a dead server loses at most the in-flight request,
+        # and manager.live_recover() rebuilds from the parts) and only the
+        # first frame's shape is kept in RAM; without one, frames
+        # accumulate in memory and live_end persists them in one shot.
+        self.staging_dir = staging_dir
+        self._staged_parts = 0
         self._rgb_u8: list = []
         self._depth_u16: list = []
+        self._frame_hw: Optional[tuple] = None
 
         self.timings = {"inference_s": 0.0, "integrate_s": 0.0,
                         "bounds_s": 0.0}
@@ -128,21 +137,33 @@ class LiveScanSession:
                 raise ValueError("live session already ended")
             t0 = time.perf_counter()
             H, W = depth.shape[1:3]
-            if self._rgb_u8 and self._rgb_u8[0].shape[:2] != (H, W):
+            if self._frame_hw is not None and self._frame_hw != (H, W):
                 raise ValueError(
                     f"frame resolution changed mid-stream: "
-                    f"{self._rgb_u8[0].shape[:2]} -> {(H, W)}"
+                    f"{self._frame_hw} -> {(H, W)}"
                 )
+            self._frame_hw = (H, W)
             if self._uu is None:
                 self._uu, self._vv = subsample_grid(W, H)
+            if self.staging_dir is not None:
+                # durable BEFORE any bookkeeping: a crash after this point
+                # can always recover the frames
+                from ..data.live import save_staging_part
+
+                save_staging_part(
+                    self.staging_dir, self._staged_parts, rgb, depth,
+                    pose, K,
+                )
+                self._staged_parts += 1
             for f in range(len(rgb)):
                 d_m = depth[f, self._vv, self._uu].astype(np.float32) / 1e3
                 self._depth_samples.append(d_m)
                 self._poses.append(pose[f])
                 self._Ks.append(K[f])
                 self._track_clipping(d_m, pose[f], K[f])
-                self._rgb_u8.append(rgb[f])
-                self._depth_u16.append(depth[f])
+                if self.staging_dir is None:
+                    self._rgb_u8.append(rgb[f])
+                    self._depth_u16.append(depth[f])
                 self.pending.append(
                     {"rgb": rgb[f], "depth": depth[f], "pose": pose[f],
                      "K": K[f]}
@@ -335,6 +356,10 @@ class LiveScanSession:
                 config=self.cfg,
                 timings=dict(self.timings),
             )
+            if self.staging_dir is not None:
+                # frames live on disk as staged parts; the manager
+                # consolidates them into the version dir
+                return result, None
             persist = {
                 "rgb": np.stack(self._rgb_u8),
                 "depth": np.stack(self._depth_u16),

@@ -679,16 +679,39 @@ class InSituManager:
 
     # -- live streaming scans (manager/live.py; beyond reference parity) ----
 
+    def _live_staging_dir(self) -> str:
+        return os.path.join(
+            self.config.scan_dir, self.config.scan_name, ".live_staging"
+        )
+
     def live_begin(self, voxel_size: Optional[float] = None,
-                   margin_m: float = 1.0) -> dict:
+                   margin_m: float = 1.0,
+                   discard_staged: bool = False) -> dict:
         """Open a streaming-scan session: frames pushed via live_push
-        integrate as they arrive; the previous version stays queryable."""
+        integrate as they arrive; the previous version stays queryable.
+
+        Every push stages its frames to disk before returning (crash
+        durability). Leftover staged frames from a crashed session block a
+        new begin: call live_recover() to turn them into a rebuildable
+        version, or pass discard_staged=True to drop them."""
+        import shutil
+
+        from ..data.live import staging_parts
         from ..pipeline import FusionConfig
         from .live import LiveScanSession
 
         with self.lock:
             if self._live is not None and not self._live.ended:
                 return {**self._live.status(), "already_live": True}
+            staging = self._live_staging_dir()
+            if staging_parts(staging):
+                if not discard_staged:
+                    raise ValueError(
+                        "staged frames from a previous live session exist; "
+                        "POST /live_recover to persist them as a version, "
+                        "or pass discard_staged=1 to drop them"
+                    )
+                shutil.rmtree(staging, ignore_errors=True)
             cfg = self.config
             fusion_cfg = FusionConfig(
                 voxel_size=float(voxel_size or cfg.voxel_size),
@@ -701,9 +724,50 @@ class InSituManager:
             )
             self._live = LiveScanSession(
                 self.clip_model, self.seg_model, fusion_cfg,
-                margin_m=margin_m,
+                margin_m=margin_m, staging_dir=staging,
             )
             return self._live.status()
+
+    def live_recover(self) -> dict:
+        """Consolidate staged frames left by a crashed live session into a
+        NEW scan version (no post-processing — the frames are simply made
+        rebuildable; POST /reprocess_scan with the returned version to
+        reconstruct the scene)."""
+        import shutil
+
+        from ..data.live import consolidate_staging
+
+        with self.lock:
+            if self._live is not None and not self._live.ended:
+                raise ValueError(
+                    "a live session is active; finish or abort it first"
+                )
+            staging = self._live_staging_dir()
+            new_ver = self._next_scan_version()
+            cfg = get_path(dotdict(dict(self.config)), new_ver)
+            n = consolidate_staging(staging, cfg.scene_inputdir)
+            shutil.rmtree(staging, ignore_errors=True)
+            self.scan_versions = sorted(
+                os.path.basename(v)
+                for v in glob.glob(
+                    os.path.join(self.config.scan_dir,
+                                 self.config.scan_name, "v*")
+                )
+            )
+            return {"state": "recovered", "version": new_ver, "frames": n}
+
+    def _next_scan_version(self) -> int:
+        existing = glob.glob(
+            os.path.join(self.config.scan_dir, self.config.scan_name, "v*")
+        )
+        return (
+            max(
+                (int(os.path.basename(v)[1:]) for v in existing
+                 if os.path.basename(v)[1:].isdigit()),
+                default=-1,
+            )
+            + 1
+        )
 
     def live_push(self, rgb, depth, pose, K) -> dict:
         """Stream frames into the live session (chunked device dispatch;
@@ -720,13 +784,17 @@ class InSituManager:
         return sess.status()
 
     def live_abort(self) -> dict:
-        """Discard the live session without installing anything (frames are
-        NOT persisted)."""
+        """Discard the live session without installing anything (staged
+        frames are deleted too — abort means the user doesn't want them)."""
+        import shutil
+
         with self.lock:
             sess = self._live
             if sess is None:
                 return {"state": "idle", "aborted": False}
             self._live = None
+        if sess.staging_dir:
+            shutil.rmtree(sess.staging_dir, ignore_errors=True)
         return {**sess.status(), "state": "aborted", "aborted": True}
 
     def live_preview(self) -> dict:
@@ -748,8 +816,9 @@ class InSituManager:
         like a disk scan), run the standard post-processing, and install
         the scene atomically."""
         import copy
+        import shutil
 
-        from ..data.live import save_live_frames
+        from ..data.live import consolidate_staging, save_live_frames
 
         sess = self._live
         if sess is None:
@@ -764,25 +833,16 @@ class InSituManager:
             )
         result, persist = sess.end()
 
-        existing = sorted(
-            glob.glob(
-                os.path.join(self.config.scan_dir, self.config.scan_name,
-                             "v*")
-            )
-        )
-        new_ver = (
-            max(
-                (int(os.path.basename(v)[1:]) for v in existing
-                 if os.path.basename(v)[1:].isdigit()),
-                default=-1,
-            )
-            + 1
-        )
+        new_ver = self._next_scan_version()
         cfg = get_path(dotdict(dict(self.config)), new_ver)
-        save_live_frames(
-            cfg.scene_inputdir, persist["rgb"], persist["depth"],
-            persist["pose"], persist["K"],
-        )
+        if persist is None:  # staged to disk per push: consolidate
+            consolidate_staging(sess.staging_dir, cfg.scene_inputdir)
+            shutil.rmtree(sess.staging_dir, ignore_errors=True)
+        else:
+            save_live_frames(
+                cfg.scene_inputdir, persist["rgb"], persist["depth"],
+                persist["pose"], persist["K"],
+            )
 
         with self.lock:
             sk_base = copy.deepcopy(self.scene_knowledge)

@@ -23,7 +23,8 @@ Beyond parity:
   POST /live_push               (npz body) push frames to the live session
   GET  /live_status, /live_preview         live progress / growing mesh
   POST /live_end                finish: persist + post-process + install
-  POST /live_abort              discard the live session
+  POST /live_abort              discard the live session (incl. staged frames)
+  POST /live_recover            crashed-session staged frames -> new version
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -77,13 +78,21 @@ def create_app(manager) -> App:
     @app.route("/live_begin", methods=["POST"])
     def live_begin(req):
         """Open a streaming-scan session (optional form: voxel_size,
-        margin_m)."""
+        margin_m, discard_staged=1 to drop a crashed session's staged
+        frames)."""
         vs = req.form.get("voxel_size")
         margin = req.form.get("margin_m")
         return manager.live_begin(
             float(vs) if vs else None,
             float(margin) if margin else 1.0,
+            discard_staged=req.form.get("discard_staged") == "1",
         ), 200
+
+    @app.route("/live_recover", methods=["POST"])
+    def live_recover(req):
+        """Persist a crashed live session's staged frames as a new scan
+        version (then POST /reprocess_scan with that version)."""
+        return manager.live_recover(), 200
 
     @app.route("/live_push", methods=["POST"])
     def live_push(req):

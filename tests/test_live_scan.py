@@ -206,6 +206,46 @@ def test_invalid_depth_defers_integration(manager):
             manager.live_abort()
 
 
+def test_live_crash_recovery_from_staged_frames(manager):
+    """Every push stages frames to disk before returning; after a 'crash'
+    (session object lost), live_begin refuses until live_recover persists
+    the staged frames as a rebuildable version."""
+    rgb, depth, pose, K = _frames(5)
+    manager.live_begin()
+    manager.live_push(rgb[:3], depth[:3], pose[:3], K[:3])
+    manager.live_push(rgb[3:5], depth[3:5], pose[3:5], K[3:5])
+    staging = manager._live_staging_dir()
+    assert len(os.listdir(staging)) == 2  # one part per push
+
+    manager._live = None  # simulate a server crash (disk state survives)
+
+    with pytest.raises(ValueError, match="staged frames"):
+        manager.live_begin()
+
+    out = manager.live_recover()
+    assert out["state"] == "recovered" and out["frames"] == 5
+    ver = out["version"]
+    assert not os.path.exists(staging)
+
+    # the recovered version rebuilds through the standard path
+    job = manager.reprocess_scan_async(ver)
+    assert not job.get("already_running")
+    st = manager.wait_for_reprocess(timeout=240)
+    assert st["state"] == "done", st
+    assert manager.scene_knowledge["scan_version"] == ver
+    assert len(manager.scene_knowledge["unique_objects"]) > 0
+
+    # discard_staged path: stage again, then drop
+    manager.live_begin()
+    manager.live_push(rgb[0], depth[0], pose[0], K[0])
+    manager._live = None
+    st = manager.live_begin(discard_staged=True)
+    assert st["state"] == "live"
+    assert not os.path.exists(staging) or not os.listdir(staging)
+    manager.live_abort()
+    assert not os.path.exists(staging)
+
+
 def test_live_push_shape_mismatch_rejected(manager):
     rgb, depth, pose, K = _frames(2)
     manager.live_begin()
