@@ -104,11 +104,12 @@ class LiveScanSession:
 
     # -- push ---------------------------------------------------------------
 
-    def push(self, rgb, depth, pose, K) -> dict:
+    def push(self, rgb, depth, pose, K, _stage: bool = True) -> dict:
         """Add frames. rgb [F, H, W, 3] uint8 or float [0,1]; depth
         [F, H, W] uint16 mm or float meters; pose [F, 4, 4]; K [F, 3, 3].
         Single frames may omit the leading axis. Returns progress + the
-        running clipped_fraction."""
+        running clipped_fraction. _stage=False replays already-staged
+        frames (manager.live_resume) without re-writing them."""
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         pose = np.asarray(pose, np.float32)
@@ -145,7 +146,7 @@ class LiveScanSession:
             self._frame_hw = (H, W)
             if self._uu is None:
                 self._uu, self._vv = subsample_grid(W, H)
-            if self.staging_dir is not None:
+            if self.staging_dir is not None and _stage:
                 # durable BEFORE any bookkeeping: a crash after this point
                 # can always recover the frames
                 from ..data.live import save_staging_part

@@ -726,7 +726,67 @@ class InSituManager:
                 self.clip_model, self.seg_model, fusion_cfg,
                 margin_m=margin_m, staging_dir=staging,
             )
+            # session params ride along with the staged frames so a
+            # post-crash live_resume() rebuilds an identical session
+            os.makedirs(staging, exist_ok=True)
+            with open(os.path.join(staging, "session.json"), "w") as f:
+                json.dump(
+                    {"voxel_size": fusion_cfg.voxel_size,
+                     "margin_m": margin_m},
+                    f,
+                )
             return self._live.status()
+
+    def live_resume(self) -> dict:
+        """Rebuild a crashed live session from its staged frames and
+        CONTINUE streaming (vs live_recover, which persists them as an
+        offline version). The sum-form grid makes the replay exact: staged
+        parts re-integrate in order, then new pushes append as usual."""
+        from ..data.live import staging_parts
+        from ..pipeline import FusionConfig
+        from .live import LiveScanSession
+
+        with self.lock:
+            if self._live is not None and not self._live.ended:
+                raise ValueError("a live session is already active")
+            staging = self._live_staging_dir()
+            parts = staging_parts(staging)
+            if not parts:
+                raise ValueError("no staged frames to resume from")
+            params = {}
+            meta_path = os.path.join(staging, "session.json")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    params = json.load(f)
+            cfg = self.config
+            fusion_cfg = FusionConfig(
+                voxel_size=float(
+                    params.get("voxel_size", cfg.voxel_size)
+                ),
+                trunc_vox=cfg.trunc_vox,
+                clip_patch_size=cfg.clip_patch_size,
+                clip_patch_stride=cfg.clip_patch_stride,
+                frame_chunk=self.frame_chunk,
+                with_labels=True,
+                rgb_mode="bilinear",
+            )
+            sess = LiveScanSession(
+                self.clip_model, self.seg_model, fusion_cfg,
+                margin_m=float(params.get("margin_m", 1.0)),
+                staging_dir=staging,
+            )
+            sess._staged_parts = len(parts)
+            self._live = sess
+        # replay outside the manager lock (device work; the session lock
+        # serializes against any concurrent client pushes, and the
+        # order-independent accumulators make interleaving harmless)
+        for p in parts:
+            with np.load(p) as z:
+                sess.push(z["rgb"], z["depth"], z["pose"], z["K"],
+                          _stage=False)
+        out = sess.status()
+        out["resumed_frames"] = out["frames_seen"]
+        return out
 
     def live_recover(self) -> dict:
         """Consolidate staged frames left by a crashed live session into a

@@ -25,6 +25,7 @@ Beyond parity:
   POST /live_end                finish: persist + post-process + install
   POST /live_abort              discard the live session (incl. staged frames)
   POST /live_recover            crashed-session staged frames -> new version
+  POST /live_resume             crashed-session staged frames -> continue live
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -93,6 +94,12 @@ def create_app(manager) -> App:
         """Persist a crashed live session's staged frames as a new scan
         version (then POST /reprocess_scan with that version)."""
         return manager.live_recover(), 200
+
+    @app.route("/live_resume", methods=["POST"])
+    def live_resume(req):
+        """Rebuild a crashed live session from its staged frames and keep
+        streaming (exact replay — the fusion is order-independent)."""
+        return manager.live_resume(), 200
 
     @app.route("/live_push", methods=["POST"])
     def live_push(req):

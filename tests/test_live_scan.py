@@ -215,7 +215,8 @@ def test_live_crash_recovery_from_staged_frames(manager):
     manager.live_push(rgb[:3], depth[:3], pose[:3], K[:3])
     manager.live_push(rgb[3:5], depth[3:5], pose[3:5], K[3:5])
     staging = manager._live_staging_dir()
-    assert len(os.listdir(staging)) == 2  # one part per push
+    parts = [f for f in os.listdir(staging) if f.startswith("part_")]
+    assert len(parts) == 2  # one part per push
 
     manager._live = None  # simulate a server crash (disk state survives)
 
@@ -241,9 +242,38 @@ def test_live_crash_recovery_from_staged_frames(manager):
     manager._live = None
     st = manager.live_begin(discard_staged=True)
     assert st["state"] == "live"
-    assert not os.path.exists(staging) or not os.listdir(staging)
+    assert not [f for f in os.listdir(staging) if f.startswith("part_")]
     manager.live_abort()
     assert not os.path.exists(staging)
+
+
+def test_live_resume_continues_crashed_stream(manager):
+    """live_resume replays the staged frames into a fresh session and the
+    stream continues; the final version carries ALL frames."""
+    rgb, depth, pose, K = _frames(8)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    manager.live_push(rgb[:5], depth[:5], pose[:5], K[:5])
+
+    manager._live = None  # crash (disk survives)
+
+    st = manager.live_resume()
+    assert st["state"] == "live" and st["resumed_frames"] == 5
+    # session params came back from session.json
+    assert manager._live.cfg.voxel_size == pytest.approx(0.1)
+    assert manager._live.margin_m == pytest.approx(0.5)
+
+    st = manager.live_push(rgb[5:8], depth[5:8], pose[5:8], K[5:8])
+    assert st["frames_seen"] == 8
+    out = manager.live_end()
+    assert out["state"] == "done" and out["n_objects"] > 0
+
+    from spatially_aware_ai_tpu.data.live import LiveScanDataset
+    from spatially_aware_ai_tpu.manager.paths import get_path
+
+    ds = LiveScanDataset(
+        get_path(manager.config, out["version"], "scene_inputdir")
+    )
+    assert len(ds) == 8  # resumed frames + post-resume frames, once each
 
 
 def test_live_push_shape_mismatch_rejected(manager):
