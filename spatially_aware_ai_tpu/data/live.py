@@ -54,7 +54,10 @@ def save_staging_part(staging_dir: str, part_idx: int,
     os.makedirs(staging_dir, exist_ok=True)
     path = os.path.join(staging_dir, f"part_{part_idx:05d}.npz")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:  # atomic: a crash never leaves a torn part
+    # atomic AND durable: fsync before the rename, otherwise an OS-level
+    # crash can leave a present-but-torn part that breaks both recovery
+    # paths exactly when they're needed
+    with open(tmp, "wb") as f:
         np.savez(
             f,
             rgb=np.asarray(rgb_u8, np.uint8),
@@ -62,8 +65,26 @@ def save_staging_part(staging_dir: str, part_idx: int,
             pose=np.asarray(pose, np.float32),
             K=np.asarray(K, np.float32),
         )
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     return path
+
+
+def load_staging_parts(staging_dir: str):
+    """Yield (path, arrays-dict) for each readable staged part, and return
+    the unreadable ones. Torn parts (OS crash mid-write despite fsync, disk
+    trouble) are skipped so ONE bad file cannot brick recovery."""
+    good, bad = [], []
+    for p in staging_parts(staging_dir):
+        try:
+            with np.load(p) as z:
+                good.append(
+                    (p, {k: z[k] for k in ("rgb", "depth", "pose", "K")})
+                )
+        except Exception:
+            bad.append(p)
+    return good, bad
 
 
 def staging_parts(staging_dir: str):
@@ -74,26 +95,23 @@ def staging_parts(staging_dir: str):
 
 def consolidate_staging(staging_dir: str, scan_dir: str) -> int:
     """Merge staged parts into scan_dir/live_frames.npz (frame count
-    returned). The staging dir is left in place; the caller removes it
-    after a successful consolidation."""
-    parts = staging_parts(staging_dir)
-    if not parts:
-        raise ValueError(f"no staged live frames in {staging_dir}")
-    rgbs, depths, poses, Ks = [], [], [], []
-    for p in parts:
-        with np.load(p) as z:
-            rgbs.append(z["rgb"])
-            depths.append(z["depth"])
-            poses.append(z["pose"])
-            Ks.append(z["K"])
+    returned; unreadable parts are skipped — see load_staging_parts). The
+    staging dir is left in place; the caller removes it after a successful
+    consolidation."""
+    good, bad = load_staging_parts(staging_dir)
+    if not good:
+        raise ValueError(
+            f"no readable staged live frames in {staging_dir}"
+            + (f" ({len(bad)} unreadable parts)" if bad else "")
+        )
     save_live_frames(
         scan_dir,
-        np.concatenate(rgbs),
-        np.concatenate(depths),
-        np.concatenate(poses),
-        np.concatenate(Ks),
+        np.concatenate([g[1]["rgb"] for g in good]),
+        np.concatenate([g[1]["depth"] for g in good]),
+        np.concatenate([g[1]["pose"] for g in good]),
+        np.concatenate([g[1]["K"] for g in good]),
     )
-    return sum(len(r) for r in rgbs)
+    return sum(len(g[1]["rgb"]) for g in good)
 
 
 class LiveScanDataset(FrameDataset):

@@ -72,6 +72,8 @@ class LiveScanSession:
         self.pending: list = []  # per-frame dicts awaiting a full chunk
         self.frames_seen = 0
         self.frames_integrated = 0
+        self.integrate_warning = None
+        self.resuming = False  # set by manager.live_resume during replay
         self.grid = None
         self.nvox = None
         self.origin = None

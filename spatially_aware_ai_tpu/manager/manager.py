@@ -179,13 +179,13 @@ class InSituManager:
         )
         self._fusion_job = None
         self._live = None  # active LiveScanSession (manager/live.py)
+        # serializes every mutation of the live staging dir (consolidate /
+        # rmtree / recover / resume-replay) WITHOUT blocking queries on the
+        # manager lock; lock order when both are held: self.lock first
+        self._staging_lock = threading.Lock()
 
         self.update_config(target_version=curr_ver)
-
-        self.scan_versions = sorted(
-            os.path.basename(v)
-            for v in glob.glob(os.path.join(scan_dir, scan_name, "v*"))
-        )
+        self._refresh_scan_versions()
 
         if insitu_model is None:
             from ..models.dgcnn import InSituLearning
@@ -700,7 +700,7 @@ class InSituManager:
         from ..pipeline import FusionConfig
         from .live import LiveScanSession
 
-        with self.lock:
+        with self.lock, self._staging_lock:
             if self._live is not None and not self._live.ended:
                 return {**self._live.status(), "already_live": True}
             staging = self._live_staging_dir()
@@ -709,7 +709,8 @@ class InSituManager:
                     raise ValueError(
                         "staged frames from a previous live session exist; "
                         "POST /live_recover to persist them as a version, "
-                        "or pass discard_staged=1 to drop them"
+                        "POST /live_resume to continue the stream, or pass "
+                        "discard_staged=1 to drop them"
                     )
                 shutil.rmtree(staging, ignore_errors=True)
             cfg = self.config
@@ -728,13 +729,17 @@ class InSituManager:
             )
             # session params ride along with the staged frames so a
             # post-crash live_resume() rebuilds an identical session
+            # (atomic write: a crash mid-dump must not leave torn json
+            # that would break resume)
             os.makedirs(staging, exist_ok=True)
-            with open(os.path.join(staging, "session.json"), "w") as f:
+            meta = os.path.join(staging, "session.json")
+            with open(meta + ".tmp", "w") as f:
                 json.dump(
                     {"voxel_size": fusion_cfg.voxel_size,
                      "margin_m": margin_m},
                     f,
                 )
+            os.replace(meta + ".tmp", meta)
             return self._live.status()
 
     def live_resume(self) -> dict:
@@ -746,6 +751,8 @@ class InSituManager:
         from ..pipeline import FusionConfig
         from .live import LiveScanSession
 
+        from ..data.live import load_staging_parts
+
         with self.lock:
             if self._live is not None and not self._live.ended:
                 raise ValueError("a live session is already active")
@@ -755,9 +762,11 @@ class InSituManager:
                 raise ValueError("no staged frames to resume from")
             params = {}
             meta_path = os.path.join(staging, "session.json")
-            if os.path.exists(meta_path):
+            try:
                 with open(meta_path) as f:
                     params = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass  # torn/missing meta: fall back to current defaults
             cfg = self.config
             fusion_cfg = FusionConfig(
                 voxel_size=float(
@@ -776,16 +785,31 @@ class InSituManager:
                 staging_dir=staging,
             )
             sess._staged_parts = len(parts)
+            sess.resuming = True  # live_end refuses mid-replay
             self._live = sess
         # replay outside the manager lock (device work; the session lock
-        # serializes against any concurrent client pushes, and the
-        # order-independent accumulators make interleaving harmless)
-        for p in parts:
-            with np.load(p) as z:
-                sess.push(z["rgb"], z["depth"], z["pose"], z["K"],
-                          _stage=False)
+        # serializes against concurrent client pushes, and the
+        # order-independent accumulators make interleaving harmless).
+        # _staging_lock excludes concurrent rmtree/consolidation of the
+        # parts being read; unreadable (torn) parts are skipped rather
+        # than bricking the resume.
+        try:
+            with self._staging_lock:
+                good, bad = load_staging_parts(staging)
+                for _, arrays in good:
+                    sess.push(arrays["rgb"], arrays["depth"],
+                              arrays["pose"], arrays["K"], _stage=False)
+        except Exception:
+            with self.lock:
+                if self._live is sess:  # release the broken session
+                    self._live = None
+            raise
+        finally:
+            sess.resuming = False
         out = sess.status()
         out["resumed_frames"] = out["frames_seen"]
+        if bad:
+            out["unreadable_parts"] = len(bad)
         return out
 
     def live_recover(self) -> dict:
@@ -797,7 +821,7 @@ class InSituManager:
 
         from ..data.live import consolidate_staging
 
-        with self.lock:
+        with self.lock:  # cheap bookkeeping only — queries keep serving
             if self._live is not None and not self._live.ended:
                 raise ValueError(
                     "a live session is active; finish or abort it first"
@@ -805,16 +829,21 @@ class InSituManager:
             staging = self._live_staging_dir()
             new_ver = self._next_scan_version()
             cfg = get_path(dotdict(dict(self.config)), new_ver)
+        with self._staging_lock:  # the heavy I/O: excludes rmtree/replay
             n = consolidate_staging(staging, cfg.scene_inputdir)
             shutil.rmtree(staging, ignore_errors=True)
-            self.scan_versions = sorted(
-                os.path.basename(v)
-                for v in glob.glob(
-                    os.path.join(self.config.scan_dir,
-                                 self.config.scan_name, "v*")
-                )
+        with self.lock:
+            self._refresh_scan_versions()
+        return {"state": "recovered", "version": new_ver, "frames": n}
+
+    def _refresh_scan_versions(self):
+        self.scan_versions = sorted(
+            os.path.basename(v)
+            for v in glob.glob(
+                os.path.join(self.config.scan_dir, self.config.scan_name,
+                             "v*")
             )
-            return {"state": "recovered", "version": new_ver, "frames": n}
+        )
 
     def _next_scan_version(self) -> int:
         existing = glob.glob(
@@ -853,8 +882,14 @@ class InSituManager:
             if sess is None:
                 return {"state": "idle", "aborted": False}
             self._live = None
+        with sess.lock:
+            # waits out an in-flight push (which may still be staging its
+            # frames), then kills the session BEFORE the rmtree so no
+            # later push can resurrect the staging dir with orphan parts
+            sess.ended = True
         if sess.staging_dir:
-            shutil.rmtree(sess.staging_dir, ignore_errors=True)
+            with self._staging_lock:
+                shutil.rmtree(sess.staging_dir, ignore_errors=True)
         return {**sess.status(), "state": "aborted", "aborted": True}
 
     def live_preview(self) -> dict:
@@ -883,6 +918,11 @@ class InSituManager:
         sess = self._live
         if sess is None:
             raise ValueError("no live session; call live_begin first")
+        if sess.resuming:
+            raise ValueError(
+                "live_resume is still replaying staged frames; retry when "
+                "live_status no longer reports pending frames"
+            )
         job = self._fusion_job
         if job is not None and job.get("state") == "running":
             # a finishing background reprocess would install-over the live
@@ -896,8 +936,9 @@ class InSituManager:
         new_ver = self._next_scan_version()
         cfg = get_path(dotdict(dict(self.config)), new_ver)
         if persist is None:  # staged to disk per push: consolidate
-            consolidate_staging(sess.staging_dir, cfg.scene_inputdir)
-            shutil.rmtree(sess.staging_dir, ignore_errors=True)
+            with self._staging_lock:  # excludes discard/recover/replay
+                consolidate_staging(sess.staging_dir, cfg.scene_inputdir)
+                shutil.rmtree(sess.staging_dir, ignore_errors=True)
         else:
             save_live_frames(
                 cfg.scene_inputdir, persist["rgb"], persist["depth"],
@@ -925,14 +966,8 @@ class InSituManager:
                 f"the streamed frames are persisted as version {new_ver} — "
                 f"POST /reprocess_scan version={new_ver} to rebuild"
             ) from e
-        self.scan_versions = sorted(
-            os.path.basename(v)
-            for v in glob.glob(
-                os.path.join(self.config.scan_dir, self.config.scan_name,
-                             "v*")
-            )
-        )
         with self.lock:
+            self._refresh_scan_versions()
             if self._live is sess:  # a concurrent live_begin may have
                 self._live = None   # opened a new session; don't kill it
         out = sess.status()
