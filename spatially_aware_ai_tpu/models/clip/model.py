@@ -154,31 +154,30 @@ class Transformer(nn.Module):
 
 
 class PatchifyConv(nn.Module):
-    """The ViT patch-embedding conv, applicable at an arbitrary stride.
+    """The ViT patch-embedding conv.
 
     Same param tree as `nn.Conv(name="conv1", use_bias=False)` (one HWIO
-    `kernel`). The stride call argument supports dense-token-grid
-    experiments; the production fused stem (tiling.py) instead reads this
-    kernel directly (engine._conv_kernel) and applies it as a matmul
-    straight out of a channels-first unfold — a dense strided conv here
-    measured slower (XLA im2cols 3-channel input poorly)."""
+    `kernel`). The opt-in fused stem (tiling.py, SAI_FUSED_STEM=1) reads
+    this kernel directly (engine._conv_kernel) and applies it as a matmul
+    straight out of a channels-first unfold — a dense STRIDED conv variant
+    measured slower on v5e (XLA im2cols 3-channel input poorly) and was
+    removed."""
 
     width: int
     patch: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, stride: Optional[int] = None):
+    def __call__(self, images):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (self.patch, self.patch, 3, self.width),
         )
-        s = stride or self.patch
         return jax.lax.conv_general_dilated(
             images.astype(self.dtype),
             kernel.astype(self.dtype),
-            window_strides=(s, s),
+            window_strides=(self.patch, self.patch),
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -217,11 +216,6 @@ class VisionTower(nn.Module):
         B = x.shape[0]
         x = x.reshape(B, -1, self.cfg.vision_width)  # [B, grid*grid, W]
         return self.encode_tokens(x)
-
-    def dense_tokens(self, images, stride: int):
-        """conv1 at `stride` over a whole (resized) frame: [B, H, W, 3] ->
-        [B, gh, gw, vision_width] dense token grid (fused tiled-CLIP stem)."""
-        return self.conv1(images, stride)
 
     def encode_tokens(self, x):
         """Post-conv1 patch tokens [B, grid*grid, vision_width] (row-major
@@ -299,14 +293,10 @@ class CLIP(nn.Module):
     def encode_image(self, images):
         return self.visual(images)
 
-    def image_dense_tokens(self, images, stride: int):
-        """Fused tiled-CLIP stem, part 1: conv1 at `stride` over whole
-        frames -> [B, gh, gw, vision_width] dense token grid."""
-        return self.visual.dense_tokens(images, stride)
-
     def encode_image_tokens(self, tokens):
-        """Fused tiled-CLIP stem, part 2: per-patch token grids
-        [B, grid*grid, vision_width] -> [B, embed_dim]."""
+        """Fused tiled-CLIP stem: per-patch token grids
+        [B, grid*grid, vision_width] -> [B, embed_dim] (the conv1 stem is
+        applied by the caller as a matmul; see tiling.py)."""
         return self.visual.encode_tokens(tokens)
 
     def encode_text(self, token_ids):
