@@ -233,3 +233,80 @@ def test_sparse_adaptive_capacity_grows_and_stays_exact(monkeypatch):
         np.asarray(r_sparse.feat_grid), np.asarray(r_scan.feat_grid),
         atol=1e-4,
     )
+
+
+def test_labels_for_chunk_priority_chain():
+    """The shared segmenter-capability dispatch (used by BOTH fuse_scan and
+    the live session): fused-device > batch-panoptic+nulling > plain
+    batch > per-frame with null padding."""
+    from spatially_aware_ai_tpu.pipeline import labels_for_chunk
+
+    cfg = FusionConfig(with_labels=True, split_instances=True)
+    rgb = np.zeros((2, 8, 8, 3), np.float32)
+
+    class Fused:
+        def run_on_batch_fused_labels(self, rgbs, dilate, as_numpy):
+            assert dilate == cfg.instance_boundary_dilate and not as_numpy
+            return np.full((2, 8, 8), 7, np.int32)
+
+        def run_on_batch_panoptic(self, rgbs):  # must NOT be chosen
+            raise AssertionError("fused path should win")
+
+    out = labels_for_chunk(Fused(), None, rgb, 2, cfg)
+    assert (out == 7).all()
+
+    class Panoptic:
+        def run_on_batch_panoptic(self, rgbs):
+            cat = np.full((2, 8, 8), 3, np.int32)
+            seg = np.ones((2, 8, 8), np.int32)
+            seg[:, :, 4:] = 2  # same-class seam in the middle
+            return cat, seg
+
+    out = labels_for_chunk(Panoptic(), None, rgb, 2, cfg)
+    assert (out[:, :, 0] == 3).all() and (out[:, :, -1] == 3).all()
+    assert (out[:, :, 4] == NULL_CLASS_ID).all()  # nulled seam
+
+    class Batch:
+        def run_on_batch(self, rgbs):
+            return np.full((len(rgbs), 8, 8), 5, np.int64)
+
+    out = labels_for_chunk(Batch(), None, rgb, 2, cfg)
+    assert out.dtype == np.int32 and (out == 5).all()
+
+    # per-frame fallback: n_real frames segmented, padding nulled
+    calls = []
+
+    def per_frame(img):
+        calls.append(1)
+        return np.full(img.shape[:2], 9, np.int32)
+
+    out = labels_for_chunk(None, per_frame, rgb, 1, cfg)
+    assert len(calls) == 1
+    assert (out[0] == 9).all() and (out[1] == NULL_CLASS_ID).all()
+
+    # with_labels off -> None regardless of capabilities
+    assert labels_for_chunk(
+        Fused(), None, rgb, 2, FusionConfig(with_labels=False)
+    ) is None
+
+
+def test_quantized_chunk_to_device_passthrough():
+    """Native u8/u16 inputs upload unchanged; float inputs quantize to the
+    same values the loaders would produce."""
+    from spatially_aware_ai_tpu.pipeline import quantized_chunk_to_device
+
+    rgb_f = np.random.default_rng(0).uniform(size=(2, 4, 4, 3)).astype(
+        np.float32
+    )
+    depth_f = np.random.default_rng(1).uniform(
+        0.2, 3.0, (2, 4, 4)
+    ).astype(np.float32)
+    rgb_u8 = np.clip(np.rint(rgb_f * 255), 0, 255).astype(np.uint8)
+    depth_u16 = np.clip(np.rint(depth_f * 1000), 0, 65535).astype(np.uint16)
+
+    r1, d1 = quantized_chunk_to_device(rgb_f, depth_f)
+    r2, d2 = quantized_chunk_to_device(rgb_u8, depth_u16)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.asarray(r1).dtype == np.float32
+    assert abs(float(np.asarray(d1)[0, 0, 0]) - depth_f[0, 0, 0]) < 5e-4
