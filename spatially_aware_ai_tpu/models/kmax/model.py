@@ -606,6 +606,157 @@ def panoptic_inference(
     return cat_map, seg_map
 
 
+def panoptic_inference_batch(
+    class_logits, mask_logits, cfg: KMaxConfig, null_id: int = 133,
+    use_pallas=None, interpret=False,
+):
+    """Batched `panoptic_inference`: [F, N, C+1] + [F, h, w, N] ->
+    (cat_map [F, h, w], seg_map [F, h, w]), same semantics per frame.
+
+    The paint loop carries ONE int32 claim map per iteration (paint-order
+    index of the claiming query, -1 unclaimed) instead of the scalar path's
+    cat/seg/claimed triple + stuff-id scatter; segment-id assignment,
+    stuff-merge, and category lookup are order-free and reconstructed
+    vectorized afterwards. Measured on v5e at the 1281 operating point
+    (benchmarks/bench_paint.py, same-run A/B): claim-fori 3.9 vs scalar
+    fori 4.1 vs Pallas streaming kernel 4.3 ms/frame — the phase is
+    dispatch/latency-bound (the scalar path alone swung 2.6-4.1 across
+    runs on this tunnel), so all three variants are kept: claim-fori as
+    the default (consistently fastest same-run, simplest carry), the
+    Pallas kernel (pallas_paint.py) opt-in via SAI_PAINT_PALLAS=1, and
+    the scalar path as the semantic reference. Parity for all three is
+    covered by tests/test_kmax_paint.py.
+    """
+    if use_pallas is None:
+        import os
+
+        use_pallas = (
+            os.environ.get("SAI_PAINT_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+        )
+    if cfg.overlap_threshold <= 0 or cfg.pixel_confidence_threshold <= 0:
+        # thr <= 0 would break the claimed==accepted reconstruction (an
+        # accepted query could paint zero pixels yet still consume a
+        # segment id); pixel thr <= 0 would make the Pallas kernel's -1
+        # tile padding binarize as covered. No production config uses
+        # either — route to the scalar reference path.
+        return jax.vmap(
+            lambda c, m: panoptic_inference(c, m, cfg, null_id)
+        )(class_logits, mask_logits)
+
+    from .pallas_paint import paint_masks
+
+    c = cfg
+    F, N = class_logits.shape[0], class_logits.shape[1]
+    probs = jax.nn.softmax(class_logits, axis=-1)       # [F, N, C+1]
+    scores = probs[..., :-1].max(axis=-1)
+    classes = probs[..., :-1].argmax(axis=-1)           # [F, N]
+    is_thing = classes < c.num_things
+    class_thr = jnp.where(
+        is_thing, c.class_threshold_thing, c.class_threshold_stuff
+    )
+    keep = scores > class_thr
+
+    mask_probs = jax.nn.softmax(mask_logits, axis=-1)   # [F, h, w, N]
+    # area/conf reductions in the native [F, h, w, N] layout (N on lanes);
+    # the [F, N, h, w] transpose below is the ONLY big relayout — the
+    # kernel walks it in paint order via the scalar-prefetched index map,
+    # so no sorted copy of the masks is ever materialized
+    binary = mask_probs > c.pixel_confidence_threshold
+    area = binary.sum(axis=(1, 2))                      # [F, N]
+    in_mask_conf = jnp.where(
+        area > 0,
+        (mask_probs * binary).sum(axis=(1, 2)) / jnp.maximum(area, 1),
+        0.0,
+    )
+    reorder = (
+        scores ** c.reorder_class_weight
+        * in_mask_conf ** c.reorder_mask_weight
+    )
+    order = jnp.argsort(-reorder, axis=-1)              # [F, N]
+    take = jnp.take_along_axis
+    keep_sorted = take(keep, order, axis=1)
+    area_sorted = take(area, order, axis=1)
+
+    if use_pallas:
+        claim = paint_masks(
+            mask_probs.transpose(0, 3, 1, 2), order,
+            keep_sorted.astype(jnp.int32),
+            overlap_threshold=float(c.overlap_threshold),
+            pixel_threshold=float(c.pixel_confidence_threshold),
+            interpret=interpret,
+        )
+    else:
+        # claim-carrying fori: ONE int32 map in the loop carry; masks are
+        # walked in paint order via a leading-axis dynamic slice (no
+        # sorted copy materialized; mask areas precomputed above)
+        binary_t = binary.transpose(0, 3, 1, 2)         # [F, N, h, w] bool
+
+        def paint_one(bin_f, order_f, keep_f, area_f):
+            def body(i, claim_m):
+                m = jax.lax.dynamic_index_in_dim(
+                    bin_f, order_f[i], axis=0, keepdims=False
+                )
+                new = m & (claim_m < 0)
+                new_area = new.sum()
+                ok = (
+                    keep_f[i]
+                    & (area_f[i] > 0)
+                    & (new_area / jnp.maximum(area_f[i], 1)
+                       >= c.overlap_threshold)
+                )
+                return jnp.where(new & ok, i, claim_m)
+
+            init = jnp.full(bin_f.shape[1:], -1, jnp.int32)
+            return jax.lax.fori_loop(0, N, body, init)
+
+        claim = jax.vmap(paint_one)(
+            binary_t, order, keep_sorted, area_sorted
+        )
+    # thr > 0 => accepted == painted at least one pixel (compare-any, not
+    # a scatter — TPU scatters serialize)
+    claim_flat = claim.reshape(F, -1)
+    idxs = jnp.arange(N, dtype=jnp.int32)
+    accepted = (claim_flat[:, :, None] == idxs[None, None, :]).any(axis=1)
+
+    # order-free reconstruction of the loop's id bookkeeping:
+    # - things always open a fresh segment; stuff segments merge into the
+    #   FIRST accepted stuff query of their class (= the loop's stuff_ids)
+    # - ids count accepted new-segment queries in paint order, starting at 1
+    cls_sorted = take(classes, order, axis=1)           # [F, N]
+    thing_sorted = take(is_thing, order, axis=1)
+    acc = accepted > 0
+    idxs = jnp.arange(N, dtype=jnp.int32)
+    stuff_idx = jnp.where(acc & ~thing_sorted, idxs[None, :], N)
+    frame_ix = jnp.broadcast_to(jnp.arange(F)[:, None], (F, N))
+    firsts = (
+        jnp.full((F, c.num_classes), N, jnp.int32)
+        .at[frame_ix, cls_sorted]
+        .min(stuff_idx)
+    )
+    canonical = jnp.where(
+        thing_sorted, idxs[None, :], take(firsts, cls_sorted, axis=1)
+    )
+    canonical = jnp.minimum(canonical, N - 1)           # unaccepted stuff
+    is_new = acc & (canonical == idxs[None, :])
+    seg_at = jnp.cumsum(is_new.astype(jnp.int32), axis=1)  # id of new seg i
+    segid_sorted = take(seg_at, canonical, axis=1)      # [F, N]
+
+    claimed = claim >= 0
+    safe = jnp.maximum(claim, 0)
+    cat_map = jnp.where(
+        claimed, take(cls_sorted, safe.reshape(F, -1), axis=1).reshape(
+            claim.shape
+        ).astype(jnp.int32), null_id,
+    )
+    seg_map = jnp.where(
+        claimed,
+        take(segid_sorted, safe.reshape(F, -1), axis=1).reshape(claim.shape),
+        0,
+    )
+    return cat_map.astype(jnp.int32), seg_map.astype(jnp.int32)
+
+
 def _resize_nearest_int(m, out_hw):
     return jax.image.resize(
         m[..., None].astype(jnp.float32), (out_hw[0], out_hw[1], 1),
@@ -711,12 +862,10 @@ class KmaxSegmenter:
         )
         def _infer(params, imgs, crop_h4, crop_w4, out_h, out_w):
             cls, masks = forward(params, imgs, crop_h4, crop_w4)
-
-            def post(c, m):
-                cat, seg = panoptic_inference(c, m, self.cfg)
-                return _resize_nearest_int2(cat, seg, (out_h, out_w))
-
-            return jax.vmap(post)(cls, masks)
+            cat, seg = panoptic_inference_batch(cls, masks, self.cfg)
+            return jax.vmap(
+                lambda a, b: _resize_nearest_int2(a, b, (out_h, out_w))
+            )(cat, seg)
 
         self._infer = _infer
 
@@ -731,15 +880,15 @@ class KmaxSegmenter:
             program: only the final [F, H, W] label map leaves the device
             (the cat+seg pair costs a second full-res transfer)."""
             cls, masks = forward(params, imgs, crop_h4, crop_w4)
+            cat, seg = panoptic_inference_batch(cls, masks, self.cfg)
 
-            def post(c, m):
-                cat, seg = panoptic_inference(c, m, self.cfg)
+            def post(a, b):
                 # null at OUTPUT resolution so the seam width matches the
                 # host path (pipeline.null_instance_boundaries) exactly
-                cat, seg = _resize_nearest_int2(cat, seg, (out_h, out_w))
-                return null_same_class_instance_seams(cat, seg, dilate=dilate)
+                a, b = _resize_nearest_int2(a, b, (out_h, out_w))
+                return null_same_class_instance_seams(a, b, dilate=dilate)
 
-            return jax.vmap(post)(cls, masks)
+            return jax.vmap(post)(cat, seg)
 
         self._infer_fused_labels = _infer_fused_labels
 
