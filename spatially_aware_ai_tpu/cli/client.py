@@ -107,6 +107,9 @@ def main(argv=None):
     lv.add_argument("--voxel-size", type=float, default=None)
     lv.add_argument("--preview-out", default=None,
                     help="write the final live preview mesh to this PLY")
+    lv.add_argument("--snapshot-every", type=int, default=0,
+                    help="POST /live_snapshot every N pushes (grid "
+                         "checkpoint for instant post-crash resume)")
 
     args = parser.parse_args(argv)
     s = args.server
@@ -217,6 +220,11 @@ def main(argv=None):
             print(f"  pushed {st['frames_seen']}/{n} "
                   f"integrated={st['frames_integrated']} "
                   f"clipped={st['clipped_fraction']}")
+            if (
+                args.snapshot_every
+                and (start // args.chunk + 1) % args.snapshot_every == 0
+            ):
+                print("  snapshot:", post(s, "/live_snapshot", {})[1])
         if args.preview_out:
             pv = get(s, "/live_preview")[1]
             if pv.get("mesh"):

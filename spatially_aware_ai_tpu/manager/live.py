@@ -312,6 +312,46 @@ class LiveScanSession:
         self.timings["integrate_s"] += time.perf_counter() - t0
         self.frames_integrated += n_real
 
+    # -- snapshot ------------------------------------------------------------
+
+    def snapshot_state(self) -> Optional[dict]:
+        """Immutable view of the current grid + counters for serialization.
+
+        jax arrays are immutable and `_integrate` REPLACES the grid pytree,
+        so the returned reference stays consistent while the caller
+        serializes it outside the session lock (pushes keep streaming).
+        Returns None before the first integrated chunk."""
+        with self.lock:
+            if self.grid is None:
+                return None
+            return {
+                "grid": self.grid,
+                "frames_integrated": self.frames_integrated,
+                "origin": np.array(self.origin, np.float32),
+                "maxbound": np.array(self.maxbound, np.float32),
+                "nvox": [int(v) for v in self.nvox],
+                "voxel_size": self.cfg.voxel_size,
+            }
+
+    def prime_from_snapshot(self, grid, origin, maxbound, nvox,
+                            frames_integrated: int):
+        """Install a restored grid into a FRESH session (manager.live_resume
+        fast path): the first `frames_integrated` staged frames are already
+        fused into `grid`, so the replay starts after them. Exact for the
+        same reason full replay is — the accumulators are order-independent
+        sums, and staged order == integration order (FIFO pending queue)."""
+        with self.lock:
+            if self.grid is not None or self.frames_seen:
+                raise ValueError(
+                    "prime_from_snapshot requires a fresh session"
+                )
+            self.grid = grid
+            self.origin = np.asarray(origin, np.float32)
+            self.maxbound = np.asarray(maxbound, np.float32)
+            self.nvox = [int(v) for v in nvox]
+            self.frames_integrated = int(frames_integrated)
+            self.frames_seen = int(frames_integrated)
+
     # -- preview / end -------------------------------------------------------
 
     def preview_grid(self):

@@ -740,7 +740,88 @@ class InSituManager:
                     f,
                 )
             os.replace(meta + ".tmp", meta)
+            # stale snapshot from an older session must never prime a new
+            # stream (the frames<=staged consistency check would usually
+            # reject it, but a same-shape restart could alias)
+            for f in ("grid_snapshot.npz", "grid_snapshot.json"):
+                try:
+                    os.remove(os.path.join(staging, f))
+                except OSError:
+                    pass
             return self._live.status()
+
+    def live_snapshot(self) -> dict:
+        """Checkpoint the live GRID to the staging dir so a post-crash
+        live_resume restores it directly instead of replaying every staged
+        frame (instant recovery for long streams; the replay path remains
+        the fallback whenever the snapshot is missing/stale/mismatched).
+
+        The grid reference is immutable (jax arrays; integration swaps the
+        pytree), so serialization runs outside the session lock — pushes
+        keep streaming. Cost: one device->host grid transfer + disk write
+        (large grids: size ~ nvox * (feat_dim + num_classes) * 4 bytes)."""
+        from ..grid.checkpoint import save_grid
+
+        sess = self._live
+        if sess is None or sess.ended:
+            raise ValueError("no live session; call live_begin first")
+        state = sess.snapshot_state()
+        if state is None:
+            return {"snapshotted": False,
+                    "reason": "no integrated chunk yet"}
+        staging = sess.staging_dir or self._live_staging_dir()
+        npz = os.path.join(staging, "grid_snapshot.npz")
+        meta = os.path.join(staging, "grid_snapshot.json")
+        with self._staging_lock:  # excludes rmtree/consolidate, not pushes
+            os.makedirs(staging, exist_ok=True)
+            save_grid(npz, state["grid"],
+                      frames_done=state["frames_integrated"])
+            # meta written AFTER the npz (both atomic): a torn snapshot is
+            # one with missing/old meta, which resume validation rejects
+            with open(meta + ".tmp", "w") as f:
+                json.dump(
+                    {
+                        "frames_integrated": state["frames_integrated"],
+                        "maxbound": [float(v) for v in state["maxbound"]],
+                        "nvox": state["nvox"],
+                        "voxel_size": state["voxel_size"],
+                    },
+                    f,
+                )
+            os.replace(meta + ".tmp", meta)
+        return {
+            "snapshotted": True,
+            "frames_in_snapshot": state["frames_integrated"],
+            "path": npz,
+        }
+
+    def _load_live_snapshot(self, staging: str, fusion_cfg, total_frames):
+        """Validated (grid, meta) from a staging-dir snapshot, or None.
+        Rejected when torn, config-mismatched, or claiming more frames than
+        are staged (inconsistent leftovers)."""
+        npz = os.path.join(staging, "grid_snapshot.npz")
+        meta_path = os.path.join(staging, "grid_snapshot.json")
+        if not (os.path.exists(npz) and os.path.exists(meta_path)):
+            return None
+        from ..grid.checkpoint import load_grid
+
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            grid, frames_done = load_grid(npz)
+        except Exception:
+            return None
+        if int(meta.get("frames_integrated", -1)) != frames_done:
+            return None  # npz/json from different snapshots
+        if frames_done <= 0 or frames_done > total_frames:
+            return None
+        if abs(meta["voxel_size"] - fusion_cfg.voxel_size) > 1e-9:
+            return None
+        if grid.feat_sum.shape[1] != self.clip_model.feature_dim:
+            return None
+        if (grid.label_hist is None) == fusion_cfg.with_labels:
+            return None
+        return grid, meta, frames_done
 
     def live_resume(self) -> dict:
         """Rebuild a crashed live session from its staged frames and
@@ -793,12 +874,34 @@ class InSituManager:
         # _staging_lock excludes concurrent rmtree/consolidation of the
         # parts being read; unreadable (torn) parts are skipped rather
         # than bricking the resume.
+        snap_frames = 0
         try:
             with self._staging_lock:
                 good, bad = load_staging_parts(staging)
+                total = sum(len(a["rgb"]) for _, a in good)
+                # snapshot fast path: restore the grid directly and replay
+                # only the staged frames beyond it (exact either way —
+                # order-independent sums; the snapshot just skips
+                # re-integrating a prefix)
+                snap = self._load_live_snapshot(staging, fusion_cfg, total)
+                if snap is not None:
+                    grid, meta, snap_frames = snap
+                    sess.prime_from_snapshot(
+                        grid, origin=np.asarray(grid.origin),
+                        maxbound=meta["maxbound"], nvox=meta["nvox"],
+                        frames_integrated=snap_frames,
+                    )
+                base = 0
                 for _, arrays in good:
-                    sess.push(arrays["rgb"], arrays["depth"],
-                              arrays["pose"], arrays["K"], _stage=False)
+                    n = len(arrays["rgb"])
+                    if base + n <= snap_frames:
+                        base += n
+                        continue
+                    lo = max(0, snap_frames - base)
+                    sess.push(arrays["rgb"][lo:], arrays["depth"][lo:],
+                              arrays["pose"][lo:], arrays["K"][lo:],
+                              _stage=False)
+                    base += n
         except Exception:
             with self.lock:
                 if self._live is sess:  # release the broken session
@@ -808,6 +911,8 @@ class InSituManager:
             sess.resuming = False
         out = sess.status()
         out["resumed_frames"] = out["frames_seen"]
+        if snap_frames:
+            out["snapshot_frames"] = int(snap_frames)
         if bad:
             out["unreadable_parts"] = len(bad)
         return out

@@ -26,6 +26,7 @@ Beyond parity:
   POST /live_abort              discard the live session (incl. staged frames)
   POST /live_recover            crashed-session staged frames -> new version
   POST /live_resume             crashed-session staged frames -> continue live
+  POST /live_snapshot           checkpoint the live grid for instant resume
   POST /request_scene_mesh, /request_scene_knowledge — correctly-spelled
        aliases for the typo'd contract endpoints
 
@@ -135,6 +136,13 @@ def create_app(manager) -> App:
     def live_abort(req):
         """Discard the live session without installing anything."""
         return manager.live_abort(), 200
+
+    @app.route("/live_snapshot", methods=["POST"])
+    def live_snapshot(req):
+        """Checkpoint the live GRID so a post-crash /live_resume restores
+        it directly instead of re-integrating every staged frame. Costs one
+        device->host grid transfer; call at natural pauses of long scans."""
+        return manager.live_snapshot(), 200
 
     @app.route("/live_status", methods=["GET"])
     def live_status(req):

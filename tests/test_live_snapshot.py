@@ -1,0 +1,136 @@
+"""Live-session GRID checkpointing (manager.live_snapshot / /live_snapshot):
+a post-crash live_resume restores the snapshotted grid and replays only the
+staged frames beyond it — instant recovery for long streams, exact because
+the accumulators are order-independent sums (ROADMAP "live-session
+checkpointing of the GRID").
+"""
+import os
+
+import numpy as np
+import pytest
+
+from test_live_scan import make_manager, _frames
+
+
+@pytest.fixture(scope="module")
+def manager(tmp_path_factory):
+    return make_manager(tmp_path_factory.mktemp("live_snap_scene"))
+
+
+def test_snapshot_requires_session(manager):
+    with pytest.raises(ValueError, match="no live session"):
+        manager.live_snapshot()
+
+
+def test_snapshot_before_first_chunk_reports_no_grid(manager):
+    manager.live_begin()
+    try:
+        out = manager.live_snapshot()
+        assert out["snapshotted"] is False
+    finally:
+        manager.live_abort()
+
+
+def test_snapshot_resume_is_exact_and_skips_replay(manager):
+    """Push 5 frames (chunk=3: 3 integrated, 2 pending), snapshot, crash,
+    resume. The resumed session must (a) report the snapshot prefix, (b)
+    hold a grid binary-identical to an uninterrupted control session fed
+    the same 5 frames, (c) finish the stream like nothing happened."""
+    from spatially_aware_ai_tpu.manager.live import LiveScanSession
+
+    rgb, depth, pose, K = _frames(8)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    manager.live_push(rgb[:5], depth[:5], pose[:5], K[:5])
+    assert manager._live.frames_integrated == 3  # one full chunk of 3
+
+    out = manager.live_snapshot()
+    assert out["snapshotted"] is True
+    assert out["frames_in_snapshot"] == 3
+    assert os.path.exists(out["path"])
+    cfg = manager._live.cfg
+
+    manager._live = None  # crash (disk survives)
+
+    st = manager.live_resume()
+    assert st["state"] == "live"
+    assert st["snapshot_frames"] == 3
+    assert st["resumed_frames"] == 5  # 3 restored + 2 replayed
+    assert st["frames_integrated"] == 3
+    assert st["frames_pending"] == 2
+
+    # control: an uninterrupted session fed the same 5 frames
+    control = LiveScanSession(
+        manager.clip_model, manager.seg_model, cfg, margin_m=0.5
+    )
+    control.push(rgb[:5], depth[:5], pose[:5], K[:5])
+    got, want = manager._live.grid, control.grid
+    np.testing.assert_array_equal(
+        np.asarray(got.tsdf_sum), np.asarray(want.tsdf_sum)
+    )
+    np.testing.assert_array_equal(np.asarray(got.w), np.asarray(want.w))
+    np.testing.assert_array_equal(
+        np.asarray(got.feat_sum), np.asarray(want.feat_sum)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.label_hist), np.asarray(want.label_hist)
+    )
+
+    # the stream continues normally and ends with all frames exactly once
+    st = manager.live_push(rgb[5:8], depth[5:8], pose[5:8], K[5:8])
+    assert st["frames_seen"] == 8
+    out = manager.live_end()
+    assert out["state"] == "done" and out["n_objects"] > 0
+
+    from spatially_aware_ai_tpu.data.live import LiveScanDataset
+    from spatially_aware_ai_tpu.manager.paths import get_path
+
+    ds = LiveScanDataset(
+        get_path(manager.config, out["version"], "scene_inputdir")
+    )
+    assert len(ds) == 8
+
+
+def test_mismatched_or_inconsistent_snapshot_rejected(manager):
+    """Validation: wrong voxel size or frames > staged -> full replay."""
+    rgb, depth, pose, K = _frames(4)
+    manager.live_begin(voxel_size=0.1)
+    manager.live_push(rgb[:4], depth[:4], pose[:4], K[:4])
+    assert manager.live_snapshot()["snapshotted"]
+    sess = manager._live
+    staging = sess.staging_dir
+    fusion_cfg = sess.cfg
+
+    ok = manager._load_live_snapshot(staging, fusion_cfg, total_frames=4)
+    assert ok is not None
+
+    # claims more frames than are staged -> rejected
+    assert manager._load_live_snapshot(
+        staging, fusion_cfg, total_frames=2
+    ) is None
+
+    # different voxel size -> rejected
+    import dataclasses
+
+    other = dataclasses.replace(fusion_cfg, voxel_size=0.07)
+    assert manager._load_live_snapshot(staging, other, 4) is None
+
+    # torn meta -> rejected (json removed, npz present)
+    meta = os.path.join(staging, "grid_snapshot.json")
+    os.remove(meta)
+    assert manager._load_live_snapshot(staging, fusion_cfg, 4) is None
+
+    manager.live_abort()
+    assert not os.path.exists(staging)
+
+
+def test_live_begin_clears_stale_snapshot(manager):
+    rgb, depth, pose, K = _frames(4)
+    manager.live_begin()
+    manager.live_push(rgb[:4], depth[:4], pose[:4], K[:4])
+    assert manager.live_snapshot()["snapshotted"]
+    staging = manager._live.staging_dir
+    manager._live = None  # crash
+    st = manager.live_begin(discard_staged=True)
+    assert st["state"] == "live"
+    assert not os.path.exists(os.path.join(staging, "grid_snapshot.npz"))
+    manager.live_abort()
