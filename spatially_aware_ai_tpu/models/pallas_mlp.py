@@ -128,11 +128,28 @@ def _ln_mlp_kernel(
         o_ref[:] = (res_ref[:].astype(jnp.float32) + out).astype(out_dtype)
 
 
+def _tile_defaults():
+    """Row-tile / hidden-block sizes, env-overridable for sweeps
+    (SAI_FUSED_MLP_TM / SAI_FUSED_MLP_TH). Resolved once per process at
+    first call — the values become static jit args."""
+    import os
+
+    global _TILES
+    try:
+        return _TILES
+    except NameError:
+        _TILES = (
+            int(os.environ.get("SAI_FUSED_MLP_TM", DEFAULT_TM)),
+            int(os.environ.get("SAI_FUSED_MLP_TH", DEFAULT_TH)),
+        )
+        return _TILES
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("act", "eps", "tm", "th", "interpret"),
 )
-def fused_ln_mlp(
+def _fused_ln_mlp_impl(
     x,
     residual,
     ln_scale,
@@ -231,3 +248,18 @@ def fused_ln_mlp(
         row(gamma),
     )
     return out[:M]
+
+
+def fused_ln_mlp(
+    x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma=None, *,
+    act: str = "gelu", eps: float = 1e-6, tm: int = None, th: int = None,
+    interpret: bool = False,
+):
+    """residual + gamma * (act(LN(x) @ w1 + b1) @ w2 + b2), hidden in VMEM.
+    tm/th default to SAI_FUSED_MLP_TM/TH or (256, 512); see
+    `_fused_ln_mlp_impl` for the full contract."""
+    dtm, dth = _tile_defaults()
+    return _fused_ln_mlp_impl(
+        x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+        act=act, eps=eps, tm=tm or dtm, th=th or dth, interpret=interpret,
+    )
