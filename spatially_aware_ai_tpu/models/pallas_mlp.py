@@ -128,21 +128,33 @@ def _ln_mlp_kernel(
         o_ref[:] = (res_ref[:].astype(jnp.float32) + out).astype(out_dtype)
 
 
-def _tile_defaults():
-    """Row-tile / hidden-block sizes, env-overridable for sweeps
-    (SAI_FUSED_MLP_TM / SAI_FUSED_MLP_TH). Resolved once per process at
-    first call — the values become static jit args."""
+def _tile_defaults(D: int):
+    """Row-tile / hidden-block sizes by channel width, env-overridable
+    (SAI_FUSED_MLP_TM / SAI_FUSED_MLP_TH pin both globally for sweeps).
+
+    Measured on v5e (benchmarks/bench_mlp_tiles.py, same-run A/B at the
+    ConvNeXt-L 1281 stage shapes): th=1024 beats 512 at D>=384 (os8
+    24.2->29.7, os16 28.0->39.8, os32 41.2->42.7 TFLOP/s) — fewer hidden
+    blocks amortize the cached-LN row tile better. tm is VMEM-bound and
+    non-monotonic: (512, 1024) wins at D=768 but is 37% SLOWER at D=384
+    and OOMs scoped vmem at D=1536, so the table follows the measurements
+    rather than a single default. D=1536 keeps th=512: th=1024 passed an
+    isolated microbench but hit the 16 MB scoped-vmem limit inside the
+    full _infer_fused_labels program (double-buffered 3 MB weight slices;
+    th=512 costs 3.5% there and leaves headroom)."""
     import os
 
-    global _TILES
-    try:
-        return _TILES
-    except NameError:
-        _TILES = (
-            int(os.environ.get("SAI_FUSED_MLP_TM", DEFAULT_TM)),
-            int(os.environ.get("SAI_FUSED_MLP_TH", DEFAULT_TH)),
-        )
-        return _TILES
+    env_tm = os.environ.get("SAI_FUSED_MLP_TM")
+    env_th = os.environ.get("SAI_FUSED_MLP_TH")
+    if env_tm or env_th:
+        return (int(env_tm or DEFAULT_TM), int(env_th or DEFAULT_TH))
+    if D < 384:
+        return (512, 512)
+    if D < 768:
+        return (256, 1024)
+    if D < 1536:
+        return (512, 1024)
+    return (256, 512)
 
 
 @functools.partial(
@@ -256,9 +268,10 @@ def fused_ln_mlp(
     interpret: bool = False,
 ):
     """residual + gamma * (act(LN(x) @ w1 + b1) @ w2 + b2), hidden in VMEM.
-    tm/th default to SAI_FUSED_MLP_TM/TH or (256, 512); see
-    `_fused_ln_mlp_impl` for the full contract."""
-    dtm, dth = _tile_defaults()
+    tm/th default to the measured per-width table in `_tile_defaults`
+    (SAI_FUSED_MLP_TM/TH pin them globally); see `_fused_ln_mlp_impl` for
+    the full contract."""
+    dtm, dth = _tile_defaults(x.shape[1])
     return _fused_ln_mlp_impl(
         x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         act=act, eps=eps, tm=tm or dtm, th=th or dth, interpret=interpret,
