@@ -327,7 +327,6 @@ class LiveScanSession:
             return {
                 "grid": self.grid,
                 "frames_integrated": self.frames_integrated,
-                "origin": np.array(self.origin, np.float32),
                 "maxbound": np.array(self.maxbound, np.float32),
                 "nvox": [int(v) for v in self.nvox],
                 "voxel_size": self.cfg.voxel_size,

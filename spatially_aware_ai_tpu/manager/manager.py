@@ -762,9 +762,10 @@ class InSituManager:
         (large grids: size ~ nvox * (feat_dim + num_classes) * 4 bytes)."""
         from ..grid.checkpoint import save_grid
 
-        sess = self._live
-        if sess is None or sess.ended:
-            raise ValueError("no live session; call live_begin first")
+        with self.lock:
+            sess = self._live
+            if sess is None or sess.ended:
+                raise ValueError("no live session; call live_begin first")
         state = sess.snapshot_state()
         if state is None:
             return {"snapshotted": False,
@@ -773,6 +774,14 @@ class InSituManager:
         npz = os.path.join(staging, "grid_snapshot.npz")
         meta = os.path.join(staging, "grid_snapshot.json")
         with self._staging_lock:  # excludes rmtree/consolidate, not pushes
+            # live_begin/live_end swap sessions and clean this dir under
+            # the SAME lock, so re-check the session is still current: an
+            # in-flight snapshot of a replaced session must not land
+            # after the new session's stale-snapshot cleanup and later
+            # prime a different stream with this grid
+            if self._live is not sess or sess.ended:
+                return {"snapshotted": False,
+                        "reason": "live session ended or was replaced"}
             os.makedirs(staging, exist_ok=True)
             save_grid(npz, state["grid"],
                       frames_done=state["frames_integrated"])
@@ -807,13 +816,24 @@ class InSituManager:
 
         try:
             with open(meta_path) as f:
-                meta = json.load(f)
+                raw = json.load(f)
             grid, frames_done = load_grid(npz)
+            # parse every key we (or live_resume) depend on inside the
+            # try: a parseable-but-incomplete json (version skew, hand
+            # edits) must reject -> full replay, never brick live_resume
+            meta = {
+                "frames_integrated": int(raw["frames_integrated"]),
+                "voxel_size": float(raw["voxel_size"]),
+                "maxbound": [float(v) for v in raw["maxbound"]],
+                "nvox": [int(v) for v in raw["nvox"]],
+            }
         except Exception:
             return None
-        if int(meta.get("frames_integrated", -1)) != frames_done:
+        if meta["frames_integrated"] != frames_done:
             return None  # npz/json from different snapshots
         if frames_done <= 0 or frames_done > total_frames:
+            return None
+        if len(meta["maxbound"]) != 3 or len(meta["nvox"]) != 3:
             return None
         if abs(meta["voxel_size"] - fusion_cfg.voxel_size) > 1e-9:
             return None
@@ -882,8 +902,14 @@ class InSituManager:
                 # snapshot fast path: restore the grid directly and replay
                 # only the staged frames beyond it (exact either way —
                 # order-independent sums; the snapshot just skips
-                # re-integrating a prefix)
-                snap = self._load_live_snapshot(staging, fusion_cfg, total)
+                # re-integrating a prefix). Disabled when any part is
+                # unreadable: the running good-frame count no longer maps
+                # to the snapshot's prefix (a torn part BEFORE the
+                # boundary would shift later parts under it and silently
+                # drop their frames), so fall back to replaying the
+                # readable parts only.
+                snap = (None if bad else
+                        self._load_live_snapshot(staging, fusion_cfg, total))
                 if snap is not None:
                     grid, meta, snap_frames = snap
                     sess.prime_from_snapshot(

@@ -726,7 +726,6 @@ def panoptic_inference_batch(
     cls_sorted = take(classes, order, axis=1)           # [F, N]
     thing_sorted = take(is_thing, order, axis=1)
     acc = accepted > 0
-    idxs = jnp.arange(N, dtype=jnp.int32)
     stuff_idx = jnp.where(acc & ~thing_sorted, idxs[None, :], N)
     frame_ix = jnp.broadcast_to(jnp.arange(F)[:, None], (F, N))
     firsts = (

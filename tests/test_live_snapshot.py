@@ -114,13 +114,71 @@ def test_mismatched_or_inconsistent_snapshot_rejected(manager):
     other = dataclasses.replace(fusion_cfg, voxel_size=0.07)
     assert manager._load_live_snapshot(staging, other, 4) is None
 
-    # torn meta -> rejected (json removed, npz present)
+    # parseable but incomplete meta (version skew / hand edits) ->
+    # rejected, never a KeyError that would brick live_resume
+    import json
+
     meta = os.path.join(staging, "grid_snapshot.json")
+    with open(meta) as f:
+        full_meta = json.load(f)
+    with open(meta, "w") as f:
+        json.dump({"frames_integrated": full_meta["frames_integrated"]}, f)
+    assert manager._load_live_snapshot(staging, fusion_cfg, 4) is None
+
+    # torn meta -> rejected (json removed, npz present)
     os.remove(meta)
     assert manager._load_live_snapshot(staging, fusion_cfg, 4) is None
 
     manager.live_abort()
     assert not os.path.exists(staging)
+
+
+def test_unreadable_part_disables_snapshot_fast_path(manager):
+    """A torn part BEFORE the snapshot boundary shifts the good-part
+    prefix under the snapshot's frame count; trusting it would silently
+    drop later parts' frames. The resume must fall back to replaying the
+    readable parts only (exact over what is still on disk)."""
+    from spatially_aware_ai_tpu.manager.live import LiveScanSession
+
+    rgb, depth, pose, K = _frames(9)
+    # three pushes = three staged parts of 3 frames (chunk=3: each
+    # integrates immediately); snapshot after part 1 covers 6 frames
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    manager.live_push(rgb[0:3], depth[0:3], pose[0:3], K[0:3])
+    manager.live_push(rgb[3:6], depth[3:6], pose[3:6], K[3:6])
+    assert manager.live_snapshot()["frames_in_snapshot"] == 6
+    manager.live_push(rgb[6:9], depth[6:9], pose[6:9], K[6:9])
+    cfg = manager._live.cfg
+    staging = manager._live.staging_dir
+    manager._live = None  # crash
+
+    # corrupt part 0 (3 frames, inside the snapshot's prefix): good parts
+    # now hold 6 frames, matching the snapshot count — the trap
+    part0 = sorted(
+        p for p in os.listdir(staging) if p.startswith("part_")
+    )[0]
+    with open(os.path.join(staging, part0), "wb") as f:
+        f.write(b"torn")
+
+    st = manager.live_resume()
+    assert st.get("unreadable_parts") == 1
+    assert "snapshot_frames" not in st  # fast path must be disabled
+    assert st["resumed_frames"] == 6  # parts 1+2 replayed
+
+    # exact over the readable frames: control session fed frames 3..9
+    # with the same push granularity (lazy grid bounds derive from the
+    # frames seen at allocation time, so pushes must mirror the parts)
+    control = LiveScanSession(
+        manager.clip_model, manager.seg_model, cfg, margin_m=0.5
+    )
+    control.push(rgb[3:6], depth[3:6], pose[3:6], K[3:6])
+    control.push(rgb[6:9], depth[6:9], pose[6:9], K[6:9])
+    got, want = manager._live.grid, control.grid
+    np.testing.assert_array_equal(
+        np.asarray(got.tsdf_sum), np.asarray(want.tsdf_sum)
+    )
+    np.testing.assert_array_equal(np.asarray(got.w), np.asarray(want.w))
+    manager.live_abort()
 
 
 def test_live_begin_clears_stale_snapshot(manager):

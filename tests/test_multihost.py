@@ -48,7 +48,16 @@ def test_two_process_dcn_fusion(tmp_path):
         )
         for i in range(2)
     ]
-    results = [p.communicate(timeout=600) for p in procs]
+    try:
+        results = [p.communicate(timeout=600) for p in procs]
+    finally:
+        # a hung worker (e.g. peer died inside jax.distributed.initialize)
+        # must not outlive the test: leaked workers hold the coordinator
+        # port and steal the 1-vCPU host from every later test/bench
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     rcs = [p.returncode for p in procs]
     if any(rcs):
         blob = "\n".join(r[1][-2000:] for r in results)
