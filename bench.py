@@ -328,39 +328,53 @@ def main_full():
     fuse_wall = time.perf_counter() - t0
     full_fps = T / fuse_wall
 
-    # --- post-processing once per scan: flood fill + meshes + query ---
-    nvox = result.nvox
-    class_grid = result.values["class_id"].reshape(nvox)
-    feats = result.feat_grid
-    rgbg = result.values["rgb"].reshape(*nvox, 3)
-    synthetic_labels = False
-    if not ((class_grid >= 0) & (class_grid != 133)).any():
-        # random kMaX weights label everything null, which would make the
-        # flood-fill timing trivially fast; synthesize spatially-contiguous
-        # classes over observed voxels so post-proc cost is realistic
-        synthetic_labels = True
-        occ = (result.values["weight"].reshape(nvox) > 0)
-        ix, iy, iz = np.indices(nvox)
-        blob = ((ix // 12) * 3 + (iy // 12) * 5 + (iz // 12)) % 12
-        class_grid = np.where(occ, blob.astype(np.int32), 133)
-    t0 = time.perf_counter()
-    knowledge, voxel_obj_idx = flood_fill_3d(class_grid, None, feats, rgbg)
-    flood_s = time.perf_counter() - t0
+    # --- post-processing once per scan: flood fill + meshes + query.
+    # Run it twice, like the fusion phase: the first pass loads the
+    # bucket-stable sampler programs from the persistent compile cache
+    # (a one-time per-process cost, dominated by the sandbox's serialized
+    # remote-compile tunnel), the second pass is the per-scan cost a
+    # server actually pays for every scan after the first. ---
+    def run_postproc(result):
+        nvox = result.nvox
+        class_grid = result.values["class_id"].reshape(nvox)
+        feats = result.feat_grid
+        rgbg = result.values["rgb"].reshape(*nvox, 3)
+        synthetic_labels = False
+        if not ((class_grid >= 0) & (class_grid != 133)).any():
+            # random kMaX weights label everything null, which would make
+            # the flood-fill timing trivially fast; synthesize spatially-
+            # contiguous classes over observed voxels so post-proc cost is
+            # realistic
+            synthetic_labels = True
+            occ = (result.values["weight"].reshape(nvox) > 0)
+            ix, iy, iz = np.indices(nvox)
+            blob = ((ix // 12) * 3 + (iy // 12) * 5 + (iz // 12)) % 12
+            class_grid = np.where(occ, blob.astype(np.int32), 133)
+        t0 = time.perf_counter()
+        knowledge, voxel_obj_idx = flood_fill_3d(class_grid, None, feats,
+                                                 rgbg)
+        flood_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    mesh = result.extract_mesh(voxel_obj_idx=voxel_obj_idx.reshape(-1),
-                               feats_on_device=True)  # production path
-    mesh_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mesh = result.extract_mesh(voxel_obj_idx=voxel_obj_idx.reshape(-1),
+                                   feats_on_device=True)  # production path
+        mesh_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    n_obj_meshes = 0
-    for key, info in knowledge["unique_objects"].items():
-        ov, of, oc = extract_mesh_by_object(
-            mesh["verts_world"], mesh["faces"], mesh["colors"],
-            mesh["obj_idx"], info["object_index"],
-        )
-        n_obj_meshes += 1
-    objmesh_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_obj_meshes = 0
+        for key, info in knowledge["unique_objects"].items():
+            ov, of, oc = extract_mesh_by_object(
+                mesh["verts_world"], mesh["faces"], mesh["colors"],
+                mesh["obj_idx"], info["object_index"],
+            )
+            n_obj_meshes += 1
+        objmesh_s = time.perf_counter() - t0
+        return (knowledge, mesh, synthetic_labels, n_obj_meshes,
+                flood_s, mesh_s, objmesh_s)
+
+    (*_, mesh_cold_s, _) = run_postproc(result)  # warmup: sampler programs
+    (knowledge, mesh, synthetic_labels, n_obj_meshes,
+     flood_s, mesh_s, objmesh_s) = run_postproc(result)
 
     # text query against the vertex CLIP features (scan -> QUERYABLE)
     t0 = time.perf_counter()
@@ -376,7 +390,14 @@ def main_full():
     query_warm_s = time.perf_counter() - t0
     postproc_s = flood_s + mesh_s + objmesh_s + query_warm_s
 
-    est_scan_s = 500.0 / (full_fps * 8) + postproc_s
+    # finalize (sum->value grid division + label argmax) runs ONCE per scan
+    # and scales with grid size, not frame count: charge it once instead of
+    # letting the frames/s extrapolation multiply it by 500/T. The per-frame
+    # terms (kMaX + CLIP + integrate + bounds + dispatch) stay in the scaled
+    # fuse wall.
+    finalize_s = float(result.timings.get("finalize_s", 0.0))
+    per_frame_wall = max(fuse_wall - finalize_s, 1e-6)
+    est_scan_s = (500.0 * per_frame_wall / T) / 8 + finalize_s + postproc_s
     result_line = {
         "metric": "scan_to_queryable_s_500frame_8chip_est_full",
         "value": round(est_scan_s, 2),
@@ -396,6 +417,7 @@ def main_full():
                 "postproc_phases_s": {
                     "flood_fill": round(flood_s, 2),
                     "mesh": round(mesh_s, 2),
+                    "mesh_first": round(mesh_cold_s, 2),
                     "obj_meshes": round(objmesh_s, 2),
                     "query_first": round(query_s, 2),
                     "query_warm": round(query_warm_s, 3),
@@ -409,7 +431,7 @@ def main_full():
                 "frames": T,
                 "chunk": CHUNK,
                 "voxel_size": voxel,
-                "nvox": list(nvox),
+                "nvox": [int(v) for v in np.asarray(result.nvox).reshape(3)],
                 "kmax_dtype": str(
                     getattr(seg, "compute_dtype", np.float32).__name__
                 ),
