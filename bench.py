@@ -33,10 +33,14 @@ def main():
     from spatially_aware_ai_tpu.grid.voxel_grid import FrameBatch, create_grid
     from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
 
-    W, H = 1024, 768
-    PATCH, STRIDE = 256, 128
+    # SAI_BENCH_TINY=1: same code path at toy scale (tiny CLIP tower,
+    # quarter-res frames) so the driver-facing contract is testable on CPU
+    # (tests/test_bench_smoke.py); numbers are meaningless in this mode.
+    tiny = os.environ.get("SAI_BENCH_TINY") == "1"
+    W, H = (256, 192) if tiny else (1024, 768)
+    PATCH, STRIDE = (64, 32) if tiny else (256, 128)
     F = int(os.environ.get("SAI_BENCH_CHUNK", "8"))  # frames per chunk
-    REPEATS = 6  # timed chunks (after warmup)
+    REPEATS = 2 if tiny else 6  # timed chunks (after warmup)
 
     # --- build a realistic frame chunk (render small, upsample like the
     # iPhone ingest path does for depth) ---
@@ -60,7 +64,7 @@ def main():
     nvox = (57, 56, 55)
     origin = np.array([-1.2, -0.7, -1.2], np.float32)
 
-    engine = ClipEngine.random(seed=0)
+    engine = ClipEngine.tiny() if tiny else ClipEngine.random(seed=0)
 
     grid = create_grid(
         origin, 0.04, nvox, trunc=3 * 0.04,

@@ -1,0 +1,83 @@
+"""Smoke tests for the driver-facing bench.py contract.
+
+The driver runs `python bench.py` at the end of every round and records the
+single stdout JSON line; a runtime error there (e.g. a NameError in a
+rarely-exercised branch) would silently cost the round's benchmark record.
+These tests run both bench modes at toy scale (SAI_BENCH_TINY /
+SAI_BENCH_FULL_TINY) in clean subprocesses on the forced-CPU backend and
+assert the one-line JSON contract: {"metric", "value", "unit",
+"vs_baseline"}.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run_bench(extra_env, timeout=900):
+    env = dict(os.environ)
+    # Force the true-CPU backend in the child: the sandbox sitecustomize
+    # pre-registers the axon TPU backend unless the pool-IPs gate is empty.
+    env.update(
+        {
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "",
+            **extra_env,
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"bench.py failed rc={proc.returncode}\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected ONE stdout JSON line, got: {lines}"
+    record = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in record, f"missing {key!r} in {record}"
+    assert record["value"] > 0
+    assert record["vs_baseline"] > 0
+    return record, proc.stderr
+
+
+def _diag_line(stderr):
+    """The stderr diagnostics JSON (XLA may interleave warning lines)."""
+    for line in reversed(stderr.splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON diagnostics on stderr:\n{stderr[-2000:]}")
+
+
+@pytest.mark.slow
+def test_bench_default_mode_contract():
+    record, stderr = _run_bench({"SAI_BENCH_TINY": "1"})
+    assert record["metric"] == "fusion_frames_per_sec_per_chip"
+    assert record["unit"] == "frames/s"
+    diag = _diag_line(stderr)
+    assert diag["chunk_frames"] >= 1
+
+
+@pytest.mark.slow
+def test_bench_full_mode_contract():
+    record, stderr = _run_bench(
+        {"SAI_BENCH_FULL": "1", "SAI_BENCH_FULL_TINY": "1"}
+    )
+    assert record["metric"] == "scan_to_queryable_s_500frame_8chip_est_full"
+    assert record["unit"] == "s"
+    diag = _diag_line(stderr)
+    assert diag["n_objects"] >= 1
+    assert diag["postproc_phases_s"]["mesh"] >= 0.0
+    assert "mesh_first" in diag["postproc_phases_s"]
