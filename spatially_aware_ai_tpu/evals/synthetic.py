@@ -51,6 +51,8 @@ def eval_synthetic_labels(
     voxel_size: float = 0.05,
     clip_engine=None,
     seed: int = 0,
+    label_vote_mode: str = "uniform",
+    integrator=None,
 ) -> Dict:
     scene = SyntheticScene.demo_room()
     ds = SyntheticSceneDataset(
@@ -66,6 +68,7 @@ def eval_synthetic_labels(
         voxel_size=voxel_size, trunc_vox=2.0,
         clip_patch_size=width // 2, clip_patch_stride=width // 4,
         frame_chunk=8, with_labels=True,
+        label_vote_mode=label_vote_mode, integrator=integrator,
     )
     result = fuse_scan(ds, clip_engine, cfg, segmenter=seg.run_on_image)
 
@@ -112,6 +115,7 @@ def eval_synthetic_labels(
         "surface_rms_m": float(np.sqrt((sdf**2).mean())),
         "surface_p95_m": float(np.quantile(sdf, 0.95)),
         "voxel_size_m": voxel_size,
+        "label_vote_mode": label_vote_mode,
     }
 
 
@@ -124,9 +128,13 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=128)
     parser.add_argument("--height", type=int, default=96)
     parser.add_argument("--voxel-size", type=float, default=0.05)
+    parser.add_argument("--label-votes", default="uniform",
+                        choices=["uniform", "near_surface"])
+    parser.add_argument("--integrator", default=None)
     args = parser.parse_args(argv)
     stats = eval_synthetic_labels(
-        args.frames, args.width, args.height, args.voxel_size
+        args.frames, args.width, args.height, args.voxel_size,
+        label_vote_mode=args.label_votes, integrator=args.integrator,
     )
     print(json.dumps(stats))
     return stats

@@ -97,6 +97,41 @@ def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K, labels=None):
     return uv, tsdf, tsdf_valid, feat_valid, lab
 
 
+# Quantization of the opt-in proximity-weighted label vote (see
+# label_vote_weights): votes stay small integers so the histogram keeps its
+# int32 accumulators and the reference's argmax-with-check read side.
+# Swept on the hermetic eval: Q=16 linear beat Q=8 and sharper power curves
+# on every seed tested (evals/synthetic.py, 0.05 m, seeds 0-2).
+LABEL_VOTE_QUANT = 16
+
+
+def label_vote_weights(tsdf, feat_valid):
+    """Opt-in surface-proximity label-vote weights (label_vote_mode=
+    "near_surface").
+
+    The reference scatters one uniform vote per valid observation
+    (clip_seem_fusion.py:820-822): a voxel at the truncation-shell edge
+    counts as much as one on the measured surface. Misvotes concentrate
+    exactly there — at occlusion boundaries and grazing views a near-A
+    voxel projects into a pixel of object B with a large depth mismatch
+    (|sdf| -> 1). Weighting each vote by surface proximity keeps every
+    observation counted (min vote 1, so coverage is unchanged) while
+    on-surface observations dominate the argmax:
+
+        vote = 1 + round((Q-1) * max(0, 1 - |tsdf|)),  Q = 16
+
+    Measured on the hermetic synthetic eval (ground-truth segmenter, so 2D
+    label noise is zero and only geometric misvotes remain): mIoU
+    +0.18..+0.27 pts across seeds at 0.05 m voxels, never negative
+    (evals/synthetic.py --label-votes near_surface). With a real (noisy)
+    segmenter the shell-misvote term this suppresses is strictly larger.
+    Default stays "uniform" (exact reference parity).
+    """
+    prox = jnp.clip(1.0 - jnp.abs(tsdf), 0.0, 1.0)
+    votes = 1 + jnp.round((LABEL_VOTE_QUANT - 1) * prox).astype(jnp.int32)
+    return votes * feat_valid.astype(jnp.int32)
+
+
 def sample_feat_img(feat_img, uv, imwidth, imheight):
     """Bilinear-sample the low-res patch-feature image at full-res pixel
     coordinates. The reference samples the [Py, Px] feature map with the same
@@ -120,6 +155,7 @@ def integrate_one_frame(
     frame_valid=True,
     rgb_mode: str = "bilinear",
     vox_valid=None,
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Accumulate a single frame. Pure function; used inside lax.scan."""
     H, W = depth.shape
@@ -157,9 +193,11 @@ def integrate_one_frame(
     if track_labels:
         num_classes = grid.label_hist.shape[1]
         onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.int32)
-        new["label_hist"] = grid.label_hist + onehot * feat_valid[:, None].astype(
-            jnp.int32
-        )
+        if label_vote_mode == "near_surface":
+            vote = label_vote_weights(tsdf, feat_valid)
+        else:
+            vote = feat_valid.astype(jnp.int32)
+        new["label_hist"] = grid.label_hist + onehot * vote[:, None]
     return grid.replace(**new)
 
 
@@ -168,6 +206,7 @@ def integrate_frames_impl(
     frames: FrameBatch,
     rgb_mode: str = "bilinear",
     voxel_start=0,
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Integrate a FrameBatch with a lax.scan over frames.
 
@@ -185,6 +224,7 @@ def integrate_frames_impl(
         g = integrate_one_frame(
             g, xyz_world, depth, rgb, pose, K, feat_img, labels, fv,
             rgb_mode=rgb_mode, vox_valid=vox_valid,
+            label_vote_mode=label_vote_mode,
         )
         return g, None
 
@@ -207,12 +247,19 @@ def integrate_frames_impl(
     return grid
 
 
-@functools.partial(jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("rgb_mode", "label_vote_mode"),
+    donate_argnums=(0,),
+)
 def integrate_frames(
-    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Jitted single-process entry point; grid donated (in-place in HBM)."""
-    return integrate_frames_impl(grid, frames, rgb_mode=rgb_mode, voxel_start=0)
+    return integrate_frames_impl(
+        grid, frames, rgb_mode=rgb_mode, voxel_start=0,
+        label_vote_mode=label_vote_mode,
+    )
 
 
 def einsum_feature_splat(feat_sum, uvw, feat_imgs, block_voxels: int = 262144):
@@ -271,11 +318,12 @@ def einsum_feature_splat(feat_sum, uvw, feat_imgs, block_voxels: int = 262144):
 def blocked_label_splat(label_hist, labs, valids, block_voxels: int = 131072):
     """Chunk-batched label-histogram accumulation.
 
-    labs [F, N] i32 sampled class ids, valids [F, N] bool. Accumulates all F
-    frames' one-hots into label_hist with ONE read-modify-write of the
-    histogram instead of F (the per-frame scan RMW is the second-largest
-    traffic term after features). Voxel blocks (lax.map) bound the one-hot
-    transient.
+    labs [F, N] i32 sampled class ids, valids [F, N] bool — or i32 VOTE
+    WEIGHTS (0 = invalid), which accumulate as weighted votes (the
+    near_surface label_vote_mode). Accumulates all F frames' one-hots into
+    label_hist with ONE read-modify-write of the histogram instead of F
+    (the per-frame scan RMW is the second-largest traffic term after
+    features). Voxel blocks (lax.map) bound the one-hot transient.
     """
     F, N = labs.shape
     L = label_hist.shape[1]
@@ -311,6 +359,7 @@ def integrate_frames_hybrid_impl(
     tile: int = 512,
     interpret: bool = False,
     splat: str = "pallas",
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Hybrid integration: XLA scan for tsdf/rgb/labels + ONE chunk-batched
     pass for the dominant [N, C] CLIP-feature accumulation — either the
@@ -367,7 +416,11 @@ def integrate_frames_hybrid_impl(
         uvw = jnp.concatenate([uv_patch, feat_w[:, None]], axis=-1)
         if g.label_hist is None:
             lab = jnp.zeros((), jnp.int32)  # placeholder ys leaf
-        return g.replace(**new), (uvw, lab)
+        if g.label_hist is not None and label_vote_mode == "near_surface":
+            vote = label_vote_weights(tsdf, feat_valid)
+        else:
+            vote = jnp.zeros((), jnp.int32)  # placeholder ys leaf
+        return g.replace(**new), (uvw, lab, vote)
 
     if grid.label_hist is not None:
         if frames.labels is None:
@@ -378,12 +431,14 @@ def integrate_frames_hybrid_impl(
 
     xs = (frames.depth, frames.rgb, frames.pose, frames.K, labels_xs,
           frames.frame_valid)
-    grid, (uvws, labs) = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
+    grid, (uvws, labs, votes) = jax.lax.scan(step, grid, xs)  # uvws [F, N, 3]
     uvw = jnp.transpose(uvws, (1, 0, 2))  # [N, F, 3]
 
     if grid.label_hist is not None:
         label_hist = blocked_label_splat(
-            grid.label_hist, labs, uvws[:, :, 2] > 0
+            grid.label_hist, labs,
+            votes if label_vote_mode == "near_surface"
+            else uvws[:, :, 2] > 0,
         )
         grid = grid.replace(label_hist=label_hist)
 
@@ -398,7 +453,8 @@ def integrate_frames_hybrid_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rgb_mode", "tile", "interpret"),
+    jax.jit,
+    static_argnames=("rgb_mode", "tile", "interpret", "label_vote_mode"),
     donate_argnums=(0,),
 )
 def integrate_frames_pallas(
@@ -407,24 +463,28 @@ def integrate_frames_pallas(
     rgb_mode: str = "bilinear",
     tile: int = 512,
     interpret: bool = False,
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Jitted hybrid (XLA + Pallas) integration entry point."""
     return integrate_frames_hybrid_impl(
         grid, frames, rgb_mode=rgb_mode, voxel_start=0, tile=tile,
-        interpret=interpret,
+        interpret=interpret, label_vote_mode=label_vote_mode,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rgb_mode",), donate_argnums=(0,)
+    jax.jit, static_argnames=("rgb_mode", "label_vote_mode"),
+    donate_argnums=(0,),
 )
 def integrate_frames_einsum(
-    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear"
+    grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
+    label_vote_mode: str = "uniform",
 ) -> FusionGrid:
     """Jitted hybrid (XLA scan + einsum splat) entry point — the portable
     chunk-batched fast path (no custom kernels)."""
     return integrate_frames_hybrid_impl(
-        grid, frames, rgb_mode=rgb_mode, voxel_start=0, splat="einsum"
+        grid, frames, rgb_mode=rgb_mode, voxel_start=0, splat="einsum",
+        label_vote_mode=label_vote_mode,
     )
 
 
@@ -434,6 +494,7 @@ def integrate_frames_sparse_impl(
     rgb_mode: str = "bilinear",
     capacity: int = 0,
     with_count: bool = False,
+    label_vote_mode: str = "uniform",
 ):
     """Sparse-active-voxel integration.
 
@@ -487,14 +548,19 @@ def integrate_frames_sparse_impl(
         uvw = jnp.concatenate(
             [uv_patch, feat_valid.astype(jnp.float32)[:, None]], axis=-1
         )
-        return g, (uvw, lab)
+        if track_labels and label_vote_mode == "near_surface":
+            vote = label_vote_weights(tsdf, feat_valid)
+        else:
+            vote = jnp.zeros((), jnp.int32)  # placeholder ys leaf
+        return g, (uvw, lab, vote)
 
     labels_xs = (
         frames.labels if track_labels
         else jnp.zeros((frames.num_frames, 1, 1), jnp.int32)
     )
     xs = (frames.depth, frames.pose, frames.K, labels_xs, frames.frame_valid)
-    grid, (uvws, labs) = jax.lax.scan(step, grid, xs)
+    grid, (uvws, labs, votes) = jax.lax.scan(step, grid, xs)
+    weighted_votes = label_vote_mode == "near_surface"
 
     valids = uvws[:, :, 2] > 0  # [F, N]
     w_counts = valids.sum(axis=0).astype(jnp.int32)  # [N]
@@ -548,7 +614,8 @@ def integrate_frames_sparse_impl(
             hist_contrib = blocked_label_splat(
                 jnp.zeros((capacity, g.label_hist.shape[1]), jnp.int32),
                 labs_a,
-                uvw_a[:, :, 2] > 0,
+                jnp.take(votes, active, axis=1) if weighted_votes
+                else uvw_a[:, :, 2] > 0,
             )
             new["label_hist"] = g.label_hist.at[active].add(hist_contrib)
         return g.replace(**new)
@@ -574,7 +641,8 @@ def integrate_frames_sparse_impl(
         )
         if track_labels:
             new["label_hist"] = blocked_label_splat(
-                g.label_hist, labs, valids
+                g.label_hist, labs,
+                votes if weighted_votes else valids,
             )
         return g.replace(**new)
 
@@ -585,7 +653,9 @@ def integrate_frames_sparse_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rgb_mode", "capacity", "with_count"),
+    jax.jit,
+    static_argnames=("rgb_mode", "capacity", "with_count",
+                     "label_vote_mode"),
     donate_argnums=(0,),
 )
 def integrate_frames_sparse(
@@ -594,6 +664,7 @@ def integrate_frames_sparse(
     rgb_mode: str = "bilinear",
     capacity: int = 0,
     with_count: bool = False,
+    label_vote_mode: str = "uniform",
 ):
     """Jitted sparse-active-voxel entry point (exact; dense fallback on
     capacity overflow).
@@ -605,5 +676,5 @@ def integrate_frames_sparse(
     grids)."""
     return integrate_frames_sparse_impl(
         grid, frames, rgb_mode=rgb_mode, capacity=capacity,
-        with_count=with_count,
+        with_count=with_count, label_vote_mode=label_vote_mode,
     )

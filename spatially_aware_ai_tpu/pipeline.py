@@ -81,6 +81,12 @@ class FusionConfig:
     # handy_utils.py:135)
     split_instances: bool = True
     instance_boundary_dilate: int = 2
+    # label-vote weighting: "uniform" (reference parity,
+    # clip_seem_fusion.py:820-822 — one vote per valid observation) or
+    # "near_surface" (opt-in: votes weighted 1..8 by surface proximity;
+    # suppresses shell-edge misvotes at occlusion boundaries — see
+    # grid/fusion.py:label_vote_weights for the measured effect)
+    label_vote_mode: str = "uniform"
     # quantized host->device transfer: rgb as uint8 (real scan data is 8-bit
     # at the source), depth as uint16 millimeters (the iPhone sensor's
     # native format; 1 mm resolution vs 40 mm voxels). 4x/2x less transfer —
@@ -465,11 +471,14 @@ def fuse_scan(
         t1 = time.perf_counter()
         if integrator == "pallas":
             grid = integrate_frames_pallas(
-                grid, batch, rgb_mode=config.rgb_mode, tile=config.pallas_tile
+                grid, batch, rgb_mode=config.rgb_mode,
+                tile=config.pallas_tile,
+                label_vote_mode=config.label_vote_mode,
             )
         elif integrator == "einsum":
             grid = integrate_frames_einsum(
-                grid, batch, rgb_mode=config.rgb_mode
+                grid, batch, rgb_mode=config.rgb_mode,
+                label_vote_mode=config.label_vote_mode,
             )
         elif integrator == "sparse":
             from .grid.fusion import integrate_frames_sparse
@@ -477,6 +486,7 @@ def fuse_scan(
             grid, cnt = integrate_frames_sparse(
                 grid, batch, rgb_mode=config.rgb_mode,
                 capacity=sparse_cap, with_count=True,
+                label_vote_mode=config.label_vote_mode,
             )
             if sparse_adaptive:
                 sparse_counts.append(cnt)
@@ -491,7 +501,10 @@ def fuse_scan(
                         say(f"sparse capacity -> {sparse_cap} "
                             f"(union {c})")
         else:
-            grid = integrate_frames(grid, batch, rgb_mode=config.rgb_mode)
+            grid = integrate_frames(
+                grid, batch, rgb_mode=config.rgb_mode,
+                label_vote_mode=config.label_vote_mode,
+            )
         # only force completion when someone needs to observe the grid now;
         # otherwise chunks pipeline asynchronously on device. The LAST chunk
         # always fires on_chunk (scans shorter than on_chunk_every chunks

@@ -1,0 +1,96 @@
+"""Opt-in proximity-weighted label voting (label_vote_mode="near_surface").
+
+The reference scatters one uniform vote per valid observation
+(clip_seem_fusion.py:820-822); the weighted mode scales each vote 1..Q by
+surface proximity (grid/fusion.py:label_vote_weights). Contracts tested:
+- weight values: Q on the surface, 1 at the shell edge, 0 when invalid
+- all four integrators agree exactly in weighted mode
+- weighting touches ONLY the label histogram (tsdf/rgb/feat/w identical to
+  uniform mode), and coverage is unchanged (same voxels have votes)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.grid import FrameBatch, integrate_frames
+from spatially_aware_ai_tpu.grid.fusion import (
+    LABEL_VOTE_QUANT,
+    integrate_frames_einsum,
+    integrate_frames_pallas,
+    integrate_frames_sparse,
+    label_vote_weights,
+)
+from spatially_aware_ai_tpu.grid.voxel_grid import create_grid
+
+from test_fusion import make_scene
+from test_parallel import build_batch, grid_args
+
+
+def test_vote_weight_values():
+    tsdf = jnp.asarray([0.0, 1.0, -1.0, 0.5, 0.25])
+    valid = jnp.asarray([True, True, True, True, False])
+    v = np.asarray(label_vote_weights(tsdf, valid))
+    Q = LABEL_VOTE_QUANT
+    assert v[0] == Q  # on the measured surface
+    assert v[1] == 1 and v[2] == 1  # shell edge still counts once
+    assert v[3] == 1 + round((Q - 1) * 0.5)
+    assert v[4] == 0  # invalid observations never vote
+
+
+def test_weighted_votes_cross_integrator_equality():
+    scene = make_scene(num_frames=6)
+    batch = build_batch(scene, with_labels=True)
+
+    ref = integrate_frames(
+        create_grid(**grid_args(scene)), batch,
+        label_vote_mode="near_surface",
+    )
+    n = ref.tsdf_sum.shape[0]
+
+    tile = 56
+    assert n % tile == 0
+    out_pallas = integrate_frames_pallas(
+        create_grid(**grid_args(scene)), batch, tile=tile, interpret=True,
+        label_vote_mode="near_surface",
+    )
+    out_einsum = integrate_frames_einsum(
+        create_grid(**grid_args(scene)), batch,
+        label_vote_mode="near_surface",
+    )
+    g_args = dict(grid_args(scene), pad_to=8, min_padding=1)
+    out_sparse = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=n,
+        label_vote_mode="near_surface",
+    )
+
+    for name, out in (("pallas", out_pallas), ("einsum", out_einsum),
+                      ("sparse", out_sparse)):
+        np.testing.assert_array_equal(
+            np.asarray(out.label_hist)[:n],
+            np.asarray(ref.label_hist),
+            err_msg=f"label_hist mismatch: {name} vs scan",
+        )
+
+
+def test_weighting_touches_only_labels():
+    scene = make_scene(num_frames=5)
+    batch = build_batch(scene, with_labels=True)
+
+    uni = integrate_frames(create_grid(**grid_args(scene)), batch)
+    wtd = integrate_frames(
+        create_grid(**grid_args(scene)), batch,
+        label_vote_mode="near_surface",
+    )
+
+    for name in ("tsdf_sum", "tsdf_w", "rgb_sum", "feat_sum", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(uni, name)), np.asarray(getattr(wtd, name)),
+            err_msg=name,
+        )
+    hu = np.asarray(uni.label_hist)
+    hw = np.asarray(wtd.label_hist)
+    # coverage identical: exactly the same (voxel, class) cells got votes
+    np.testing.assert_array_equal(hu > 0, hw > 0)
+    # weighted counts dominate uniform ones and stay within the Q bound
+    assert (hw >= hu).all()
+    assert (hw <= LABEL_VOTE_QUANT * hu).all()
+    assert (hw > hu).any()  # some observation was actually near the surface
