@@ -303,11 +303,13 @@ class LiveScanSession:
             # length to amortize capacity growth against, and einsum is
             # within ~5% at the default operating point
             self.grid = integrate_frames_einsum(
-                self.grid, batch, rgb_mode=cfg.rgb_mode
+                self.grid, batch, rgb_mode=cfg.rgb_mode,
+                label_vote_mode=cfg.label_vote_mode,
             )
         else:
             self.grid = integrate_frames(
-                self.grid, batch, rgb_mode=cfg.rgb_mode
+                self.grid, batch, rgb_mode=cfg.rgb_mode,
+                label_vote_mode=cfg.label_vote_mode,
             )
         self.timings["integrate_s"] += time.perf_counter() - t0
         self.frames_integrated += n_real

@@ -123,6 +123,12 @@ class InSituManager:
             "seed": 1,
             "num_points": 30,
             "k_neighbors": 20,
+            # label-vote weighting ("uniform" = reference parity;
+            # "near_surface" = proximity-weighted votes, measured mIoU win
+            # on the hermetic eval — grid/fusion.py:label_vote_weights)
+            "label_vote_mode": os.environ.get(
+                "SAI_LABEL_VOTES", "uniform"
+            ),
         }
         self.config = dotdict(config)
         self.curr_ver = curr_ver
@@ -346,6 +352,7 @@ class InSituManager:
             frame_chunk=self.frame_chunk,
             with_labels=True,
             rgb_mode="bilinear",
+            label_vote_mode=cfg.get("label_vote_mode", "uniform"),
         )
         say("fusing")
         on_chunk = None
@@ -722,6 +729,7 @@ class InSituManager:
                 frame_chunk=self.frame_chunk,
                 with_labels=True,
                 rgb_mode="bilinear",
+                label_vote_mode=cfg.get("label_vote_mode", "uniform"),
             )
             self._live = LiveScanSession(
                 self.clip_model, self.seg_model, fusion_cfg,
@@ -879,6 +887,7 @@ class InSituManager:
                 frame_chunk=self.frame_chunk,
                 with_labels=True,
                 rgb_mode="bilinear",
+                label_vote_mode=cfg.get("label_vote_mode", "uniform"),
             )
             sess = LiveScanSession(
                 self.clip_model, self.seg_model, fusion_cfg,

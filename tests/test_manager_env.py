@@ -39,6 +39,24 @@ def test_manager_loads_kmax_checkpoint_from_env(monkeypatch, tmp_path):
     assert isinstance(manager.seg_model, ColorSegmenter)
 
 
+def test_manager_label_votes_from_env(monkeypatch, tmp_path):
+    """SAI_LABEL_VOTES opts the server pipeline into proximity-weighted
+    label voting (grid/fusion.py:label_vote_weights); the key lands in the
+    manager config (and thus each version's config.yml)."""
+    monkeypatch.setenv("SAI_LABEL_VOTES", "near_surface")
+    manager = InSituManager(
+        scan_dir=str(tmp_path / "scans"),
+        scan_name="demo",
+        dataset="synthetic",
+        output_dir=str(tmp_path / "out"),
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        insitu_model=object(),
+        auto_reconstruct=False,
+    )
+    assert manager.config.label_vote_mode == "near_surface"
+
+
 def test_kmax_from_checkpoint_roundtrip(tmp_path):
     """from_checkpoint loads a params pickle produced by the converter CLI
     and reproduces the same outputs."""
