@@ -1004,7 +1004,38 @@ class InSituManager:
         sess = self._live
         if sess is None:
             raise ValueError("no live session; call live_begin first")
-        return sess.push(rgb, depth, pose, K)
+        out = sess.push(rgb, depth, pose, K)
+        self._maybe_auto_snapshot(sess)
+        return out
+
+    def _maybe_auto_snapshot(self, sess):
+        """Server-side snapshot cadence: SAI_LIVE_SNAPSHOT_S > 0 grid-
+        checkpoints a live stream at most every that-many seconds, on the
+        artifact-save executor so pushes never wait on the device->host
+        grid transfer. Client-driven /live_snapshot remains available (and
+        is the right tool when the client knows its own pause points);
+        both share live_snapshot()'s staleness re-checks, so an auto
+        snapshot of a replaced/ended session is a no-op."""
+        try:
+            every = float(os.environ.get("SAI_LIVE_SNAPSHOT_S", "0") or 0)
+        except ValueError:
+            return
+        if every <= 0 or sess.frames_integrated <= 0:
+            return
+        now = time.time()
+        last = getattr(self, "_auto_snap_last", 0.0)
+        fut = getattr(self, "_auto_snap_future", None)
+        if now - last < every or (fut is not None and not fut.done()):
+            return
+        self._auto_snap_last = now
+
+        def snap():
+            try:
+                self.live_snapshot()
+            except Exception:
+                pass  # durability is best-effort; replay path still exists
+
+        self._auto_snap_future = self._save_executor.submit(snap)
 
     def live_status(self) -> dict:
         sess = self._live

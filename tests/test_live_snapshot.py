@@ -192,3 +192,39 @@ def test_live_begin_clears_stale_snapshot(manager):
     assert st["state"] == "live"
     assert not os.path.exists(os.path.join(staging, "grid_snapshot.npz"))
     manager.live_abort()
+
+
+def test_auto_snapshot_cadence(manager, monkeypatch):
+    """SAI_LIVE_SNAPSHOT_S>0 makes the server checkpoint the grid on its
+    own cadence (background executor; pushes never wait on the transfer).
+    Resume then restores from the auto snapshot like a client-driven one."""
+    monkeypatch.setenv("SAI_LIVE_SNAPSHOT_S", "0.01")
+    rgb, depth, pose, K = _frames(6)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    try:
+        manager.live_push(rgb[:3], depth[:3], pose[:3], K[:3])
+        assert manager._live.frames_integrated == 3
+        fut = getattr(manager, "_auto_snap_future", None)
+        assert fut is not None, "auto snapshot was not scheduled"
+        fut.result(timeout=60)
+        npz = os.path.join(manager._live.staging_dir, "grid_snapshot.npz")
+        assert os.path.exists(npz)
+
+        manager._live = None  # crash
+        st = manager.live_resume()
+        assert st["snapshot_frames"] == 3
+        assert st["frames_integrated"] == 3
+    finally:
+        manager.live_abort()
+
+
+def test_auto_snapshot_off_by_default(manager, monkeypatch):
+    monkeypatch.delenv("SAI_LIVE_SNAPSHOT_S", raising=False)
+    manager._auto_snap_future = None
+    rgb, depth, pose, K = _frames(3)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    try:
+        manager.live_push(rgb, depth, pose, K)
+        assert getattr(manager, "_auto_snap_future", None) is None
+    finally:
+        manager.live_abort()
