@@ -187,7 +187,25 @@ class InSituLearning:
             return optax.sgd(sched, momentum=self.momentum)
         return optax.adamw(sched, weight_decay=1e-4)
 
+    # epochs per compiled scan: small enough that the cool-down early stop
+    # (checked on host between chunks) never overshoots by much, large
+    # enough that host<->device sync is amortized ~25x
+    TRAIN_EPOCH_CHUNK = 25
+
     def train_model(self, epochs: Optional[int] = None):
+        """On-device training loop, TPU-first: the training set uploads
+        ONCE and each compiled call runs a lax.scan over a CHUNK of epochs
+        (per-epoch batch sampling, point jitter, dropout all from
+        jax.random inside the scan). The naive per-epoch formulation paid
+        an 8 MB host->device batch upload + a blocking scalar sync every
+        epoch — 200+ s for a 200-epoch fine-tune over a slow link vs a few
+        seconds scanned (benchmarks/bench_insitu.py).
+
+        The cool-down early stop (reference hparam,
+        clip_seem_fusion.py:150) is evaluated on host from the per-epoch
+        accuracy trace after each chunk; training may run up to CHUNK-1
+        epochs past the stop point, which only deepens an already-perfect
+        fit within the same cosine schedule."""
         if self._train_examples is None:
             return {"trained": False, "reason": "no training data"}
         epochs = epochs or self.epochs
@@ -205,69 +223,91 @@ class InSituLearning:
         batch_stats = self.variables.get("batch_stats", {})
         opt_state = tx.init(params)
 
-        @jax.jit
-        def train_step(params, batch_stats, opt_state, batch_pts, batch_ys,
-                       dropout_key):
-            def loss_fn(p):
-                logits, updates = self.model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    batch_pts,
-                    train=True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": dropout_key},
-                )
-                onehot = jax.nn.one_hot(batch_ys, self.cfg.output_channels)
-                onehot = optax.smooth_labels(onehot, 0.1)
-                loss = optax.softmax_cross_entropy(logits, onehot).mean()
-                acc = (logits.argmax(-1) == batch_ys).mean()
-                return loss, (updates["batch_stats"], acc)
-
-            (loss, (new_bs, acc)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, new_bs, opt_state, loss, acc
-
+        pts_d = jnp.asarray(pts)
+        ys_d = jnp.asarray(ys)
         B = self.batch_size
+        num_points = self.num_points
+        out_ch = self.cfg.output_channels
+
+        @partial(jax.jit, static_argnames=("length",))
+        def train_chunk(params, batch_stats, opt_state, key, length):
+            def epoch_step(carry, _):
+                params, bs, opt, key = carry
+                key, ek, jk, dk = jax.random.split(key, 4)
+                sel = jax.random.randint(ek, (B,), 0, M)
+                batch_pts = jnp.take(pts_d, sel, axis=0)
+                jitter = 0.02 * jax.random.normal(
+                    jk, (B, num_points, 3), jnp.float32
+                )
+                batch_pts = batch_pts.at[..., :3].add(jitter)
+                batch_ys = jnp.take(ys_d, sel)
+
+                def loss_fn(p):
+                    logits, updates = self.model.apply(
+                        {"params": p, "batch_stats": bs},
+                        batch_pts,
+                        train=True,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": dk},
+                    )
+                    onehot = jax.nn.one_hot(batch_ys, out_ch)
+                    onehot = optax.smooth_labels(onehot, 0.1)
+                    loss = optax.softmax_cross_entropy(
+                        logits, onehot
+                    ).mean()
+                    acc = (logits.argmax(-1) == batch_ys).mean()
+                    return loss, (updates["batch_stats"], acc)
+
+                (loss, (new_bs, acc)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt = tx.update(grads, opt, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, opt, key), (loss, acc)
+
+            (params, bs, opt, key), (losses, accs) = jax.lax.scan(
+                epoch_step, (params, batch_stats, opt_state, key), None,
+                length=length,
+            )
+            return params, bs, opt, key, losses, accs
+
+        chunk = min(epochs, self.TRAIN_EPOCH_CHUNK)
         last_loss, last_acc = np.inf, 0.0
         perfect_streak = 0
         epochs_run = 0
-        for epoch in range(epochs):
-            key, ek, dk = jax.random.split(key, 3)
-            # sample a full batch with replacement + point jitter
-            sel = np.asarray(
-                jax.random.randint(ek, (B,), 0, M)
+        stop = False
+        while epochs_run < epochs and not stop:
+            length = min(chunk, epochs - epochs_run)
+            params, batch_stats, opt_state, key, losses, accs = train_chunk(
+                params, batch_stats, opt_state, key, length
             )
-            batch_pts = pts[sel]
-            jitter = self._rng.normal(scale=0.02,
-                                      size=(B, self.num_points, 3))
-            batch_pts = batch_pts.copy()
-            batch_pts[..., :3] += jitter.astype(np.float32)
-            params, batch_stats, opt_state, loss, acc = train_step(
-                params, batch_stats, opt_state, jnp.asarray(batch_pts),
-                jnp.asarray(ys[sel]), dk,
-            )
-            last_loss, last_acc = float(loss), float(acc)
-            epochs_run = epoch + 1
-            # cool-down early stop: after the classifier holds perfect
-            # training accuracy for cool_down_epochs consecutive epochs,
-            # further fine-tuning only risks overfitting the handful of
-            # user objects (hparam from the reference config,
-            # clip_seem_fusion.py:150)
-            perfect_streak = perfect_streak + 1 if last_acc >= 1.0 else 0
-            if (
-                self.cool_down_epochs > 0
-                and perfect_streak >= self.cool_down_epochs
-                and epoch >= epochs // 4
-            ):
-                break
+            losses = np.asarray(losses, np.float32)
+            accs = np.asarray(accs, np.float32)
+            # the whole chunk has already executed on device, so account
+            # for every epoch in it (params/telemetry stay consistent);
+            # the stop flag just ends the outer loop
+            for i in range(length):
+                last_loss, last_acc = float(losses[i]), float(accs[i])
+                epochs_run += 1
+                # cool-down early stop: after the classifier holds perfect
+                # training accuracy for cool_down_epochs consecutive
+                # epochs, further fine-tuning only risks overfitting the
+                # handful of user objects
+                perfect_streak = (
+                    perfect_streak + 1 if last_acc >= 1.0 else 0
+                )
+                if (
+                    self.cool_down_epochs > 0
+                    and perfect_streak >= self.cool_down_epochs
+                    and epochs_run >= epochs // 4
+                ):
+                    stop = True
 
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.model_trained = True
         self.save()
         return {"trained": True, "loss": last_loss, "acc": last_acc,
-                "examples": int(M)}
+                "examples": int(M), "epochs_run": epochs_run}
 
     # -- inference -----------------------------------------------------------
 
