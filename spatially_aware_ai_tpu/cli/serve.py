@@ -24,6 +24,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=3291)
     parser.add_argument("--tiny-models", action="store_true",
                         help="small random models (smoke testing)")
+    parser.add_argument("--no-warm-query", action="store_true",
+                        help="skip the boot-time query warmup (first "
+                             "/text_query then pays the one-time "
+                             "compile-cache loads, ~2 s on TPU)")
     args = parser.parse_args(argv)
 
     kwargs = {}
@@ -62,6 +66,18 @@ def main(argv=None):
         curr_ver=0,
         **kwargs,
     )
+    if not args.no_warm_query:
+        # prime the text-tower + surgery-matmul programs (persistent-cached
+        # but loaded per process) so the FIRST client query is steady-state
+        # (~0.1-0.7 s) instead of paying ~2 s of serialized cache loads
+        try:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            manager.clip_text_query("warmup")
+            print(f"query warmup: {_time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # scene may have no mesh yet
+            print(f"query warmup skipped: {e}")
     serve(manager, host=args.host, port=args.port)
 
 
