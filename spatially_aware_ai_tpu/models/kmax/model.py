@@ -820,6 +820,25 @@ _PIXEL_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _PIXEL_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("new_h", "new_w", "pad_h", "pad_w")
+)
+def _prep_batch(rgbs, new_h, new_w, pad_h, pad_w):
+    """Fused test-time preprocessing for a frame chunk: resize long edge +
+    pad-to-32 + ImageNet normalize in ONE program. The eager formulation
+    was three separate dispatches per chunk (plus a throwaway full-frame
+    resize just to learn the padded shape); XLA fuses the pad+normalize
+    into the resize's output loop here."""
+    F_ = rgbs.shape[0]
+    imgs = jax.image.resize(
+        rgbs, (F_, new_h, new_w, 3), method="bilinear", antialias=False
+    )
+    imgs = jnp.pad(
+        imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
+    )
+    return (imgs - _PIXEL_MEAN) / _PIXEL_STD
+
+
 class KmaxSegmenter:
     """Engine with the reference's `run_on_image` contract
     (handy_utils.py:29-161): rgb [H, W, 3] float in [0, 1] -> per-pixel
@@ -907,23 +926,27 @@ class KmaxSegmenter:
         return cls(cfg or KMAX_CONVNEXT_LARGE, params=params,
                    compute_dtype=compute_dtype)
 
-    def _resize_for_test(self, rgb):
-        """Resize long edge to cfg.test_long_edge keeping aspect, then pad to
-        a multiple of 32 (the reference resizes long edge to 1281,
-        handy_utils.py:76-90)."""
-        H, W = rgb.shape[:2]
+    def _test_shape(self, H: int, W: int):
+        """(new_h, new_w, padded_h, padded_w) for the reference's test-time
+        resize: long edge to cfg.test_long_edge keeping aspect
+        (handy_utils.py:76-90), padded to a multiple of 32. Pure host math —
+        no device work."""
         long_edge = self.cfg.test_long_edge
         if W >= H:
             new_w, new_h = long_edge, int(round(long_edge * H / W))
         else:
             new_h, new_w = long_edge, int(round(long_edge * W / H))
+        return new_h, new_w, new_h + (-new_h) % 32, new_w + (-new_w) % 32
+
+    def _resize_for_test(self, rgb):
+        """Single-image resize+pad (see _test_shape)."""
+        H, W = rgb.shape[:2]
+        new_h, new_w, pad_h, pad_w = self._test_shape(H, W)
         img = jax.image.resize(
             jnp.asarray(rgb), (new_h, new_w, 3), method="bilinear",
             antialias=False,
         )
-        pad_h = (-new_h) % 32
-        pad_w = (-new_w) % 32
-        img = jnp.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+        img = jnp.pad(img, ((0, pad_h - new_h), (0, pad_w - new_w), (0, 0)))
         return img, (new_h, new_w)
 
     def run_on_image_panoptic(self, rgb):
@@ -948,17 +971,8 @@ class KmaxSegmenter:
         if not isinstance(rgbs, jnp.ndarray):
             rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
-        img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
-        pad_h, pad_w = img0.shape[0], img0.shape[1]
-
-        imgs = jax.image.resize(
-            jnp.asarray(rgbs), (F_, new_h, new_w, 3), method="bilinear",
-            antialias=False,
-        )
-        imgs = jnp.pad(
-            imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
-        )
-        imgs = (imgs - _PIXEL_MEAN) / _PIXEL_STD
+        new_h, new_w, pad_h, pad_w = self._test_shape(H, W)
+        imgs = _prep_batch(jnp.asarray(rgbs), new_h, new_w, pad_h, pad_w)
         cat, seg = self._infer(
             self.params, imgs, -(-new_h // 4), -(-new_w // 4), H, W
         )
@@ -979,16 +993,8 @@ class KmaxSegmenter:
         if not isinstance(rgbs, jnp.ndarray):
             rgbs = np.asarray(rgbs, np.float32)
         F_, H, W = rgbs.shape[:3]
-        img0, (new_h, new_w) = self._resize_for_test(rgbs[0])
-        pad_h, pad_w = img0.shape[0], img0.shape[1]
-        imgs = jax.image.resize(
-            jnp.asarray(rgbs), (F_, new_h, new_w, 3), method="bilinear",
-            antialias=False,
-        )
-        imgs = jnp.pad(
-            imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
-        )
-        imgs = (imgs - _PIXEL_MEAN) / _PIXEL_STD
+        new_h, new_w, pad_h, pad_w = self._test_shape(H, W)
+        imgs = _prep_batch(jnp.asarray(rgbs), new_h, new_w, pad_h, pad_w)
         cat = self._infer_fused_labels(
             self.params, imgs, -(-new_h // 4), -(-new_w // 4), H, W, dilate
         )
