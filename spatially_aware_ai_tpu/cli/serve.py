@@ -7,6 +7,22 @@ import argparse
 import os
 
 
+def warm_query_programs(manager) -> str:
+    """Prime the text-query compiled programs at boot so the FIRST client
+    query is steady-state (~0.1-0.7 s) instead of paying ~2 s of serialized
+    compile-cache loads. With a scene installed this runs a real query end
+    to end ("full"). Without one, clip_text_query returns None BEFORE any
+    device work, so warm the text tower (the dominant per-process cache
+    load) directly ("text_tower_only"); the first real query then only pays
+    the scene-shaped surgery matmul."""
+    if manager.clip_text_query("warmup") is not None:
+        return "full"
+    manager.clip_model.encode_text_with_prompt_ensemble(
+        ["warmup"], prompt_templates=["a photo of {}"]
+    )
+    return "text_tower_only"
+
+
 def main(argv=None):
     from ..manager import InSituManager
     from ..server import serve
@@ -67,16 +83,16 @@ def main(argv=None):
         **kwargs,
     )
     if not args.no_warm_query:
-        # prime the text-tower + surgery-matmul programs (persistent-cached
-        # but loaded per process) so the FIRST client query is steady-state
-        # (~0.1-0.7 s) instead of paying ~2 s of serialized cache loads
         try:
             import time as _time
 
             t0 = _time.perf_counter()
-            manager.clip_text_query("warmup")
-            print(f"query warmup: {_time.perf_counter() - t0:.1f}s")
-        except Exception as e:  # scene may have no mesh yet
+            mode = warm_query_programs(manager)
+            print(
+                f"query warmup ({mode}): "
+                f"{_time.perf_counter() - t0:.1f}s"
+            )
+        except Exception as e:  # degraded boot should still serve
             print(f"query warmup skipped: {e}")
     serve(manager, host=args.host, port=args.port)
 

@@ -316,18 +316,31 @@ class LiveScanSession:
 
     # -- snapshot ------------------------------------------------------------
 
-    def snapshot_state(self) -> Optional[dict]:
-        """Immutable view of the current grid + counters for serialization.
+    def _copy_grid_locked(self):
+        """On-device copy of the live grid, dispatched while HOLDING the
+        session lock. The integrators are jitted with donate_argnums=(0,)
+        (grid/fusion.py), so the buffers behind `self.grid` are invalidated
+        the moment the next chunk's integrate is dispatched — a bare
+        reference handed to a reader outside the lock would raise "Array has
+        been deleted" mid-device_get on TPU. Copies dispatched here are
+        ordered before any later donating program (both happen under the
+        lock), so the returned arrays stay valid for reads outside the lock
+        while pushes keep streaming. Cost: one HBM pass over the grid
+        (~ms), dispatched async."""
+        import jax
+        import jax.numpy as jnp
 
-        jax arrays are immutable and `_integrate` REPLACES the grid pytree,
-        so the returned reference stays consistent while the caller
-        serializes it outside the session lock (pushes keep streaming).
-        Returns None before the first integrated chunk."""
+        return jax.tree_util.tree_map(jnp.copy, self.grid)
+
+    def snapshot_state(self) -> Optional[dict]:
+        """Current grid + counters for serialization, safe to device_get
+        outside the session lock (see _copy_grid_locked for why a copy is
+        required). Returns None before the first integrated chunk."""
         with self.lock:
             if self.grid is None:
                 return None
             return {
-                "grid": self.grid,
+                "grid": self._copy_grid_locked(),
                 "frames_integrated": self.frames_integrated,
                 "maxbound": np.array(self.maxbound, np.float32),
                 "nvox": [int(v) for v in self.nvox],
@@ -356,10 +369,14 @@ class LiveScanSession:
     # -- preview / end -------------------------------------------------------
 
     def preview_grid(self):
-        """The live grid for _preview_mesh_from_grid (None before the first
-        integrated chunk)."""
+        """A read-safe copy of the live grid for _preview_mesh_from_grid
+        (None before the first integrated chunk). Copied for the same
+        donation reason as snapshot_state: the preview finalize reads the
+        grid outside the session lock, concurrent with donating pushes."""
         with self.lock:
-            return self.grid
+            if self.grid is None:
+                return None
+            return self._copy_grid_locked()
 
     def end(self):
         """Integrate the tail, finalize, and return

@@ -104,6 +104,9 @@ class InSituLearning:
         self._train_examples = None  # (points [M, N, C], labels [M])
         self.variables = None
         self._rng = np.random.default_rng(seed)
+        # (schedule horizon) -> (optimizer, jitted epoch-chunk trainer);
+        # see _get_train_fns
+        self._train_fns = {}
 
         self._load_if_exists()
 
@@ -192,49 +195,29 @@ class InSituLearning:
     # enough that host<->device sync is amortized ~25x
     TRAIN_EPOCH_CHUNK = 25
 
-    def train_model(self, epochs: Optional[int] = None):
-        """On-device training loop, TPU-first: the training set uploads
-        ONCE and each compiled call runs a lax.scan over a CHUNK of epochs
-        (per-epoch batch sampling, point jitter, dropout all from
-        jax.random inside the scan). The naive per-epoch formulation paid
-        an 8 MB host->device batch upload + a blocking scalar sync every
-        epoch — 200+ s for a 200-epoch fine-tune over a slow link vs a few
-        seconds scanned (benchmarks/bench_insitu.py).
-
-        The cool-down early stop (reference hparam,
-        clip_seem_fusion.py:150) is evaluated on host from the per-epoch
-        accuracy trace after each chunk; training may run up to CHUNK-1
-        epochs past the stop point, which only deepens an already-perfect
-        fit within the same cosine schedule."""
-        if self._train_examples is None:
-            return {"trained": False, "reason": "no training data"}
-        epochs = epochs or self.epochs
-        pts, ys = self._train_examples
-        M = len(ys)
-        key = jax.random.PRNGKey(self.seed)
-
-        if self.variables is None:
-            self.variables = self.model.init(
-                key, jnp.zeros((2, self.num_points, self.cfg.in_channels)),
-                train=False,
-            )
-        tx = self._make_optimizer(epochs)
-        params = self.variables["params"]
-        batch_stats = self.variables.get("batch_stats", {})
-        opt_state = tx.init(params)
-
-        pts_d = jnp.asarray(pts)
-        ys_d = jnp.asarray(ys)
+    def _get_train_fns(self, horizon: int):
+        """Optimizer + jitted epoch-chunk trainer, cached per schedule
+        horizon. The jit wrapper must be REUSED across train_model calls:
+        a fresh wrapper per call would re-trace and re-load the compile
+        cache on every /insitu_learn (tens of seconds over the serialized
+        remote-compile tunnel). The closure captures only static config
+        (model graph, batch/point sizes, optimizer); the training set and
+        its real-example count are jit ARGUMENTS — see train_model."""
+        cached = self._train_fns.get(horizon)
+        if cached is not None:
+            return cached
+        tx = self._make_optimizer(horizon)
         B = self.batch_size
         num_points = self.num_points
         out_ch = self.cfg.output_channels
 
         @partial(jax.jit, static_argnames=("length",))
-        def train_chunk(params, batch_stats, opt_state, key, length):
+        def train_chunk(params, batch_stats, opt_state, key, pts_d, ys_d,
+                        n_real, length):
             def epoch_step(carry, _):
                 params, bs, opt, key = carry
                 key, ek, jk, dk = jax.random.split(key, 4)
-                sel = jax.random.randint(ek, (B,), 0, M)
+                sel = jax.random.randint(ek, (B,), 0, n_real)
                 batch_pts = jnp.take(pts_d, sel, axis=0)
                 jitter = 0.02 * jax.random.normal(
                     jk, (B, num_points, 3), jnp.float32
@@ -271,6 +254,58 @@ class InSituLearning:
             )
             return params, bs, opt, key, losses, accs
 
+        self._train_fns[horizon] = (tx, train_chunk)
+        return tx, train_chunk
+
+    def train_model(self, epochs: Optional[int] = None):
+        """On-device training loop, TPU-first: the training set uploads
+        ONCE and each compiled call runs a lax.scan over a CHUNK of epochs
+        (per-epoch batch sampling, point jitter, dropout all from
+        jax.random inside the scan). The naive per-epoch formulation paid
+        an 8 MB host->device batch upload + a blocking scalar sync every
+        epoch — 200+ s for a 200-epoch fine-tune over a slow link vs a few
+        seconds scanned (benchmarks/bench_insitu.py).
+
+        The cool-down early stop (reference hparam,
+        clip_seem_fusion.py:150) is evaluated on host from the per-epoch
+        accuracy trace after each chunk; training may run up to CHUNK-1
+        epochs past the stop point, which only deepens an already-perfect
+        fit within the same cosine schedule."""
+        if self._train_examples is None:
+            return {"trained": False, "reason": "no training data"}
+        epochs = epochs or self.epochs
+        pts, ys = self._train_examples
+        M = len(ys)
+        key = jax.random.PRNGKey(self.seed)
+
+        if self.variables is None:
+            self.variables = self.model.init(
+                key, jnp.zeros((2, self.num_points, self.cfg.in_channels)),
+                train=False,
+            )
+        tx, train_chunk = self._get_train_fns(epochs)
+        params = self.variables["params"]
+        batch_stats = self.variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+
+        # The training set is passed to the jit as an ARGUMENT, padded to a
+        # power-of-two example capacity, with the real example count as a
+        # traced scalar sampling bound. Closing over the data instead would
+        # bake it into the HLO as constants — every /insitu_learn call with
+        # fresh labels (the normal case) would then miss the compile cache
+        # and pay the full serialized remote compile, breaking the module
+        # contract above. With bucketing, only crossing a capacity
+        # power-of-two recompiles (a per-shape, not per-content, event).
+        cap = max(64, 1 << (M - 1).bit_length())
+        if cap > M:
+            pts = np.concatenate(
+                [pts, np.zeros((cap - M,) + pts.shape[1:], np.float32)]
+            )
+            ys = np.concatenate([ys, np.zeros(cap - M, np.int32)])
+        pts_d = jnp.asarray(pts)
+        ys_d = jnp.asarray(ys)
+        n_real = jnp.asarray(M, jnp.int32)
+
         chunk = min(epochs, self.TRAIN_EPOCH_CHUNK)
         last_loss, last_acc = np.inf, 0.0
         perfect_streak = 0
@@ -279,7 +314,8 @@ class InSituLearning:
         while epochs_run < epochs and not stop:
             length = min(chunk, epochs - epochs_run)
             params, batch_stats, opt_state, key, losses, accs = train_chunk(
-                params, batch_stats, opt_state, key, length
+                params, batch_stats, opt_state, key, pts_d, ys_d, n_real,
+                length
             )
             losses = np.asarray(losses, np.float32)
             accs = np.asarray(accs, np.float32)

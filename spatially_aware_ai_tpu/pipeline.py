@@ -83,7 +83,8 @@ class FusionConfig:
     instance_boundary_dilate: int = 2
     # label-vote weighting: "uniform" (reference parity,
     # clip_seem_fusion.py:820-822 — one vote per valid observation) or
-    # "near_surface" (opt-in: votes weighted 1..8 by surface proximity;
+    # "near_surface" (opt-in: votes weighted 1..LABEL_VOTE_QUANT (=16) by
+    # surface proximity;
     # suppresses shell-edge misvotes at occlusion boundaries — see
     # grid/fusion.py:label_vote_weights for the measured effect)
     label_vote_mode: str = "uniform"

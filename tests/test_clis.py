@@ -111,3 +111,36 @@ def test_test2d_cli(tmp_path):
     ])
     sheets = os.listdir(out)
     assert len(sheets) == 2
+
+
+def test_warm_query_programs_without_scene_warms_text_tower():
+    """Boot-time warmup regression: with no scene installed,
+    manager.clip_text_query returns None BEFORE any device work, so the
+    old warmup was a silent no-op that still printed success. The helper
+    must fall back to priming the text tower directly and report which
+    mode ran."""
+    from spatially_aware_ai_tpu.cli.serve import warm_query_programs
+
+    calls = []
+
+    class StubClip:
+        def encode_text_with_prompt_ensemble(self, texts, prompt_templates):
+            calls.append((tuple(texts), tuple(prompt_templates)))
+            return [[0.0]]
+
+    class StubManager:
+        clip_model = StubClip()
+
+        def clip_text_query(self, text):
+            return None  # no scene installed
+
+    assert warm_query_programs(StubManager()) == "text_tower_only"
+    assert calls == [(("warmup",), ("a photo of {}",))]
+
+    class StubManagerWithScene(StubManager):
+        def clip_text_query(self, text):
+            return {"vertices": []}
+
+    calls.clear()
+    assert warm_query_programs(StubManagerWithScene()) == "full"
+    assert calls == []  # full query already primed everything

@@ -177,3 +177,32 @@ def test_featurize_empty_object_is_zero():
     )
     assert pts.shape == (30, 22)
     assert (pts == 0).all()
+
+
+def test_retrain_with_new_data_reuses_compiled_trainer(trained_model):
+    """Compile-stability regression: the epoch-chunk trainer must treat the
+    training set as a jit ARGUMENT (padded to a power-of-two example
+    bucket, real count as a traced sampling bound), not a closure constant.
+    Baking the data into the HLO made every /insitu_learn with fresh labels
+    a compile-cache miss (minutes over the serialized remote-compile
+    tunnel). With the cached wrapper, retraining on different data of the
+    same bucket must add zero new traces."""
+    tx, fn = trained_model._get_train_fns(trained_model.epochs)
+    before = fn._cache_size()
+    assert before > 0, "trained_model fixture should have populated the jit"
+
+    # perturb the stored training set (same shapes = same bucket)
+    pts, ys = trained_model._train_examples
+    trained_model._train_examples = (
+        pts + np.float32(0.01) * np.random.default_rng(1).normal(
+            size=pts.shape
+        ).astype(np.float32),
+        ys,
+    )
+    stats = trained_model.train_model()
+    assert stats["trained"]
+    tx2, fn2 = trained_model._get_train_fns(trained_model.epochs)
+    assert fn2 is fn, "trainer wrapper must be cached per horizon"
+    assert fn._cache_size() == before, (
+        "retraining on new data of the same shape bucket must not re-trace"
+    )

@@ -228,3 +228,41 @@ def test_auto_snapshot_off_by_default(manager, monkeypatch):
         assert getattr(manager, "_auto_snap_future", None) is None
     finally:
         manager.live_abort()
+
+
+def test_snapshot_and_preview_copy_grid_buffers(manager):
+    """Donation-safety regression: all four integrators are jitted with
+    donate_argnums=(0,), so the next push invalidates the buffers behind
+    the session's current grid. Any grid handed out for reading OUTSIDE
+    the session lock (snapshot serialization, preview meshing) must be a
+    copy — on TPU a bare reference raises "Array has been deleted" mid
+    device_get, and the auto-snapshot path would swallow that error and
+    silently never checkpoint. CPU doesn't donate, so assert buffer
+    independence directly."""
+    import jax
+
+    rgb, depth, pose, K = _frames(3)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    try:
+        manager.live_push(rgb, depth, pose, K)
+        sess = manager._live
+        assert sess.frames_integrated == 3
+
+        state = sess.snapshot_state()
+        assert state is not None
+        live_leaves = jax.tree_util.tree_leaves(sess.grid)
+        for a, b in zip(live_leaves,
+                        jax.tree_util.tree_leaves(state["grid"])):
+            assert a is not b, "snapshot must not alias the live grid"
+        np.testing.assert_array_equal(
+            np.asarray(state["grid"].tsdf_sum), np.asarray(sess.grid.tsdf_sum)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state["grid"].feat_sum), np.asarray(sess.grid.feat_sum)
+        )
+
+        prev = sess.preview_grid()
+        for a, b in zip(live_leaves, jax.tree_util.tree_leaves(prev)):
+            assert a is not b, "preview must not alias the live grid"
+    finally:
+        manager.live_abort()
