@@ -41,19 +41,15 @@ def main():
     seg = KmaxSegmenter()
     reps = 3
 
-    # (a) resize + pad + normalize (the run_on_batch preamble)
-    img0, (new_h, new_w) = seg._resize_for_test(np.asarray(rgbs[0]))
-    pad_h, pad_w = img0.shape[0], img0.shape[1]
+    # (a) resize + pad + normalize (the run_on_batch preamble) — the
+    # PRODUCTION fused program (model._prep_batch), not a local mirror
+    from spatially_aware_ai_tpu.models.kmax.model import _prep_batch
 
-    @jax.jit
+    H, W = rgbs.shape[1:3]
+    new_h, new_w, pad_h, pad_w = seg._test_shape(H, W)
+
     def prep(x):
-        imgs = jax.image.resize(
-            x, (F, new_h, new_w, 3), method="bilinear", antialias=False
-        )
-        imgs = jnp.pad(
-            imgs, ((0, 0), (0, pad_h - new_h), (0, pad_w - new_w), (0, 0))
-        )
-        return imgs
+        return _prep_batch(x, new_h, new_w, pad_h, pad_w)
 
     sync(prep(rgbs))
     t0 = time.perf_counter()
