@@ -63,6 +63,12 @@ def main(argv=None):
     q.add_argument("text")
     q.add_argument("--out")
 
+    oq = sub.add_parser(
+        "objects", help="rank scene objects by a text query (/object_query)"
+    )
+    oq.add_argument("text")
+    oq.add_argument("--top-k", type=int, default=0)
+
     k = sub.add_parser("knowledge")
     k.add_argument("--version", type=int, default=0)
 
@@ -119,6 +125,15 @@ def main(argv=None):
         print(f"status {status}")
         if status == 200 and args.out:
             save_mesh_json(mesh, args.out)
+    elif args.cmd == "objects":
+        status, out = post(
+            s, "/object_query",
+            {"text_query": args.text, "top_k": args.top_k},
+        )
+        print(f"status {status}")
+        for o in out.get("objects", []):
+            print(f"  {o['score']:.4f}  {o['object_id']} "
+                  f"({o['class_label']}, {o['n_vertices']} verts)")
     elif args.cmd == "knowledge":
         status, sk = post(
             s, "/requset_scene_knowledge", {"scan_version": args.version}

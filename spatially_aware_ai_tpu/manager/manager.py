@@ -16,6 +16,7 @@ Differences from the reference, by design:
 """
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -55,6 +56,27 @@ def _normalize_feats(x):
     x = x.astype(jnp.float32)
     norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
     return jnp.nan_to_num(x / jnp.maximum(norm, 1e-12))
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments",))
+def _object_query_logits(feats, seg_ids, text_feats, num_segments):
+    """Per-object text-query logits in ONE device program.
+
+    feats [1, Vb, C]: normalized, bucket-padded vertex CLIP features
+    (_query_feats_device); seg_ids [Vb] int32: vertex -> object row (pad /
+    unowned vertices -> the sink row num_segments-1); text_feats [L, C].
+    A segment-sum pools each object's vertex features; dividing by the
+    sum's norm gives the renormalized-mean descriptor, and the logits are
+    the reference's run_query scale, 100 * cosine (clipfusion.py:899-904).
+    One segment-sum + one small matmul — the 30 MB vertex-feature matrix
+    never leaves the device (only [num_segments, L] comes back)."""
+    S = jax.ops.segment_sum(
+        feats[0], seg_ids, num_segments=num_segments
+    )  # [O, C]
+    mean = S / jnp.maximum(
+        jnp.linalg.norm(S, axis=-1, keepdims=True), 1e-12
+    )
+    return 100.0 * (mean @ text_feats.T.astype(jnp.float32))
 
 
 def _dump_yaml(data: dict, path: str):
@@ -1250,29 +1272,36 @@ class InSituManager:
         self._vert_feat_dev = (dev, n)
         return dev, n
 
+    def _ensure_query_bank(self, text: str):
+        """Scene-dynamic contrast bank + cached text features.
+
+        The reference rebuilds the contrast bank from the CURRENT scene's
+        class labels on every query (clip_seem_fusion.py:486-494) so a
+        rescan that adds new classes immediately sharpens query contrast.
+        We do the same, but only re-encode text when the bank actually
+        changed (the common repeat-query path stays free). Caller must hold
+        self.lock with a scene installed. Returns (bank, text_features)."""
+        uo = self.scene_knowledge["unique_objects"]
+        bank = sorted({uo[k]["class_label"] for k in uo})
+        if text not in bank:
+            bank.append(text)
+        if bank != self.control_objects or self.control_text_features is None:
+            self.control_objects = bank
+            self.control_text_features = (
+                self.clip_model.encode_text_with_prompt_ensemble(
+                    self.control_objects,
+                    prompt_templates=["a photo of {}"],
+                )
+            )
+        return self.control_objects, self.control_text_features
+
     def clip_text_query(self, text: str):
         """reference clip_seem_fusion.py:482-561: dynamic scene label bank +
         CLIP-Surgery relevance -> turbo heatmap mesh JSON."""
         with self.lock:
             if self.scene_knowledge is None:
                 return None
-            # The reference rebuilds the contrast bank from the CURRENT
-            # scene's class labels on every query (clip_seem_fusion.py:486-494)
-            # so a rescan that adds new classes immediately sharpens query
-            # contrast. We do the same, but only re-encode text when the bank
-            # actually changed (the common repeat-query path stays free).
-            uo = self.scene_knowledge["unique_objects"]
-            bank = sorted({uo[k]["class_label"] for k in uo})
-            if text not in bank:
-                bank.append(text)
-            if bank != self.control_objects or self.control_text_features is None:
-                self.control_objects = bank
-                self.control_text_features = (
-                    self.clip_model.encode_text_with_prompt_ensemble(
-                        self.control_objects,
-                        prompt_templates=["a photo of {}"],
-                    )
-                )
+            self._ensure_query_bank(text)
 
             feats_dev, n_verts = self._query_feats_device()
             similarity = np.asarray(
@@ -1300,6 +1329,86 @@ class InSituManager:
                     "colors": colors.tolist(),
                 }
             return None
+
+    _OBJ_QUERY_BUCKET = 128  # object-row padding: one program per bucket
+
+    def object_text_query(self, text: str, top_k: int = 0):
+        """Rank scene OBJECTS by relevance to a text query.
+
+        Product extension beyond the reference: clip_text_query (the
+        reference's only language surface, clip_seem_fusion.py:482-561)
+        returns a per-vertex heatmap the client must eyeball; this returns
+        the discovered object instances directly, scored and sorted, so a
+        client can jump straight to "the red box" = suitcase:1. Each
+        object's descriptor is the renormalized mean of its mesh vertices'
+        fused CLIP features (vertices selected by vertex_obj_idx ==
+        object_index, the same convention as extract_mesh_by_object);
+        scores are the reference's run_query softmax over the scene's
+        dynamic label bank (clipfusion.py:899-904), read at the query-text
+        column. Objects sharing an object_index (re-identified user labels)
+        share a descriptor, mirroring the per-object mesh path. Pooling +
+        logits run on device (_object_query_logits); only [O, L] scores
+        come back. Returns a list of {object_id, class_label, score,
+        n_vertices} sorted by score desc (top_k=0 -> all), or None before
+        the first scene."""
+        with self.lock:
+            if self.scene_knowledge is None:
+                return None
+            bank, text_feats = self._ensure_query_bank(text)
+            tcol = bank.index(text)
+
+            uo = self.scene_knowledge["unique_objects"]
+            rows = {}  # object_index -> dense row
+            for info in uo.values():
+                rows.setdefault(info["object_index"], len(rows))
+            if not rows:
+                return []
+            nseg = (
+                -(-(len(rows) + 1) // self._OBJ_QUERY_BUCKET)
+                * self._OBJ_QUERY_BUCKET
+            )
+            sink = nseg - 1
+
+            obj_idx = np.asarray(self.vertex_obj_idx, np.int64)
+            # vectorized object_index -> row lookup; unowned vertices (and
+            # bucket padding) pool into the sink row
+            lut_lo = int(obj_idx.min(initial=0))
+            lut = np.full(int(obj_idx.max(initial=0)) - lut_lo + 1, sink,
+                          np.int32)
+            for oidx, row in rows.items():
+                if lut_lo <= oidx <= lut_lo + len(lut) - 1:
+                    lut[oidx - lut_lo] = row
+            seg = lut[obj_idx - lut_lo]
+
+            feats_dev, n_verts = self._query_feats_device()
+            vb = feats_dev.shape[1]
+            seg_ids = np.full(vb, sink, np.int32)
+            seg_ids[: len(seg)] = seg
+            logits = np.asarray(
+                _object_query_logits(
+                    feats_dev, jnp.asarray(seg_ids),
+                    jnp.asarray(np.asarray(text_feats, np.float32)),
+                    num_segments=nseg,
+                )
+            )
+
+            counts = np.bincount(seg[seg != sink], minlength=nseg)
+            out = []
+            for obj_id, info in uo.items():
+                row = rows[info["object_index"]]
+                n = int(counts[row])
+                if n == 0:
+                    continue  # object too small to own mesh vertices
+                p = np.exp(logits[row] - logits[row].max())
+                p /= p.sum()
+                out.append({
+                    "object_id": obj_id,
+                    "class_label": info["class_label"],
+                    "score": float(p[tcol]),
+                    "n_vertices": n,
+                })
+            out.sort(key=lambda d: -d["score"])
+            return out[: top_k] if top_k else out
 
     # -- persistence ------------------------------------------------------------
 

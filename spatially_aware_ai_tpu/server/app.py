@@ -169,6 +169,22 @@ def create_app(manager) -> App:
             return {"error": "no object found"}, 404
         return mesh_json, 200
 
+    @app.route("/object_query", methods=["POST"])
+    def object_query(req):
+        """Rank the scene's object instances by a text query (extension
+        beyond the reference's /text_query heatmap): returns object ids +
+        class labels + softmax scores, best first, so clients can jump
+        straight to the matching object (then fetch its mesh via
+        /requset_scene_mesh or /copy_object)."""
+        text = req.form["text_query"]
+        if text.startswith("show me "):
+            text = text[8:]
+        top_k = int(req.form.get("top_k", 0))
+        ranked = manager.object_text_query(text, top_k=top_k)
+        if ranked is None:
+            return {"error": "no scene reconstructed yet"}, 404
+        return {"query": text, "objects": ranked}, 200
+
     @app.route("/requset_scene_mesh", methods=["POST"])
     @app.route("/request_scene_mesh", methods=["POST"])  # spelled alias
     def requset_scene_mesh(req):
