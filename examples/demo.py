@@ -78,6 +78,11 @@ def main(root: str = "demo_out"):
     )
     print(f"   heatmap written to {heat_path}")
 
+    print("== object ranking: 'a red box' (/object_query) ==")
+    for o in manager.object_text_query("a red box", top_k=3):
+        print(f"   {o['score']:.4f}  {o['object_id']} "
+              f"({o['n_vertices']} verts)")
+
     box_id = next(k for k, v in uo.items() if v["class_label"] == "suitcase")
     print(f"== renaming {box_id} -> my_box, memorizing, training in-situ ==")
     new_name, manager.scene_knowledge = merge_objects(

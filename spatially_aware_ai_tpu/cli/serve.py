@@ -16,6 +16,9 @@ def warm_query_programs(manager) -> str:
     load) directly ("text_tower_only"); the first real query then only pays
     the scene-shaped surgery matmul."""
     if manager.clip_text_query("warmup") is not None:
+        # also primes the object-ranking program (same bank shape as a
+        # real first query: scene classes + one novel phrase)
+        manager.object_text_query("warmup", top_k=1)
         return "full"
     manager.clip_model.encode_text_with_prompt_ensemble(
         ["warmup"], prompt_templates=["a photo of {}"]

@@ -1393,6 +1393,11 @@ class InSituManager:
             )
 
             counts = np.bincount(seg[seg != sink], minlength=nseg)
+            # per-object centroid in world meters (mean of its mesh
+            # vertices), via one segmented sum on host — verts are small
+            verts = np.asarray(self.verts, np.float32)
+            vsum = np.zeros((nseg, 3), np.float32)
+            np.add.at(vsum, seg, verts[: len(seg)])
             out = []
             for obj_id, info in uo.items():
                 row = rows[info["object_index"]]
@@ -1406,6 +1411,9 @@ class InSituManager:
                     "class_label": info["class_label"],
                     "score": float(p[tcol]),
                     "n_vertices": n,
+                    "centroid_m": [
+                        round(float(c), 4) for c in vsum[row] / n
+                    ],
                 })
             out.sort(key=lambda d: -d["score"])
             return out[: top_k] if top_k else out

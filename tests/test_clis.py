@@ -137,10 +137,17 @@ def test_warm_query_programs_without_scene_warms_text_tower():
     assert warm_query_programs(StubManager()) == "text_tower_only"
     assert calls == [(("warmup",), ("a photo of {}",))]
 
+    obj_calls = []
+
     class StubManagerWithScene(StubManager):
         def clip_text_query(self, text):
             return {"vertices": []}
 
+        def object_text_query(self, text, top_k=0):
+            obj_calls.append((text, top_k))
+            return []
+
     calls.clear()
     assert warm_query_programs(StubManagerWithScene()) == "full"
-    assert calls == []  # full query already primed everything
+    assert calls == []  # full query already primed the text tower
+    assert obj_calls == [("warmup", 1)]  # object-ranking program primed too

@@ -60,11 +60,16 @@ def test_object_query_ranks_all_meshed_objects(manager):
     scores = [o["score"] for o in ranked]
     assert scores == sorted(scores, reverse=True)
     assert len(set(ids)) == len(ids)
-    # vertex counts agree with the per-object mesh convention
+    # vertex counts + centroids agree with the per-object mesh convention
     obj_idx = np.asarray(manager.vertex_obj_idx)
+    verts = np.asarray(manager.verts, np.float32)
     for o in ranked:
         oi = uo[o["object_id"]]["object_index"]
-        assert o["n_vertices"] == int((obj_idx == oi).sum())
+        sel = obj_idx == oi
+        assert o["n_vertices"] == int(sel.sum())
+        np.testing.assert_allclose(
+            o["centroid_m"], verts[sel].mean(axis=0), atol=1e-3
+        )
 
 
 def test_object_query_top_k(manager):
