@@ -151,3 +151,48 @@ def test_warm_query_programs_without_scene_warms_text_tower():
     assert warm_query_programs(StubManagerWithScene()) == "full"
     assert calls == []  # full query already primed the text tower
     assert obj_calls == [("warmup", 1)]  # object-ranking program primed too
+
+
+def test_doctor_ok_and_json(tmp_path, capsys):
+    from spatially_aware_ai_tpu.cli import doctor
+
+    rc = doctor.main(["--no-device", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["ok"]
+    assert {"imports", "compile_cache", "weights", "native",
+            "knobs"} <= set(out["checks"])
+    assert out["checks"]["weights"]["status"] == "warn"  # no weights here
+
+
+def test_doctor_fails_on_missing_weight_file(monkeypatch, capsys):
+    from spatially_aware_ai_tpu.cli import doctor
+
+    monkeypatch.setenv("SAI_CLIP_CHECKPOINT", "/nonexistent/clip.pkl")
+    rc = doctor.main(["--no-device", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and not out["ok"]
+    assert "MISSING" in out["checks"]["weights"]["SAI_CLIP_CHECKPOINT"]
+
+
+def test_doctor_scan_check(tmp_path, capsys):
+    from spatially_aware_ai_tpu.cli import doctor
+
+    d = tmp_path / "scans" / "demo" / "v00"
+    os.makedirs(d)
+    (d / "synthetic_scene.json").write_text("{}")
+    rc = doctor.main([
+        "--no-device", "--json", "--scan-dir", str(tmp_path / "scans"),
+        "--scan-name", "demo",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["checks"]["scan"]["versions"]["v00"] == {
+        "files": 1, "processed": False,
+    }
+
+    rc = doctor.main([
+        "--no-device", "--json", "--scan-dir", str(tmp_path / "scans"),
+        "--scan-name", "nope",
+    ])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1 and out["checks"]["scan"]["status"] == "fail"
