@@ -22,11 +22,56 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _require_reachable_device(deadline_s: float):
+    """Fail FAST (rc 3, no fake metric) when the backend is unreachable.
+
+    The sandbox's TPU rides a remote tunnel that sometimes goes down; a
+    first device op then blocks forever and the whole bench hangs with no
+    diagnostic. Probe a trivial dispatch+sync in a daemon thread: if it
+    doesn't complete within the deadline (generous — a healthy-but-cold
+    tunnel needs ~3 min for its first small compile), print the reason to
+    stderr and exit 3 WITHOUT printing a metric line (a 0-value metric
+    would read as a perf regression rather than an infra outage).
+    Override the deadline with SAI_BENCH_DEVICE_DEADLINE_S; 0 disables."""
+    import threading
+
+    if deadline_s <= 0:
+        return
+    done = {}
+
+    def probe():
+        try:
+            import jax.numpy as jnp
+
+            done["rt"] = float((jnp.ones((8, 128)) + 1.0)[0, 0])
+        except Exception as e:  # pragma: no cover - backend specific
+            done["err"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if t.is_alive():
+        print(
+            f"bench: device unreachable (trivial dispatch+sync still "
+            f"blocked after {deadline_s:.0f}s) — backend/tunnel outage, "
+            f"not a perf result; aborting without a metric line",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    if "err" in done:
+        print(f"bench: device probe failed: {done['err']}", file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main():
     from spatially_aware_ai_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
+
+    _require_reachable_device(
+        float(os.environ.get("SAI_BENCH_DEVICE_DEADLINE_S", "900"))
+    )
 
     from spatially_aware_ai_tpu.data import SyntheticSceneDataset
     from spatially_aware_ai_tpu.grid.fusion import integrate_frames
