@@ -25,10 +25,24 @@ import numpy as np
 
 TIMEOUT_S = 1800  # reprocess/learn can run for minutes
 
+# --scene routing (multi-scene servers): appended as a query parameter so
+# every request shape — urlencoded form, raw npz body, GET — carries it
+# uniformly (the server merges query params into the form)
+_SCENE = None
+
+
+def _path(path: str) -> str:
+    if _SCENE:
+        sep = "&" if "?" in path else "?"
+        return f"{path}{sep}scene={urllib.parse.quote(_SCENE)}"
+    return path
+
 
 def post(server: str, path: str, data: dict):
     body = urllib.parse.urlencode(data).encode()
-    req = urllib.request.Request(server + path, data=body, method="POST")
+    req = urllib.request.Request(
+        server + _path(path), data=body, method="POST"
+    )
     with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
         payload = resp.read().decode()
         try:
@@ -38,7 +52,9 @@ def post(server: str, path: str, data: dict):
 
 
 def get(server: str, path: str):
-    with urllib.request.urlopen(server + path, timeout=TIMEOUT_S) as resp:
+    with urllib.request.urlopen(
+        server + _path(path), timeout=TIMEOUT_S
+    ) as resp:
         return resp.status, json.loads(resp.read().decode())
 
 
@@ -57,6 +73,10 @@ def save_mesh_json(mesh_json: dict, out: str):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--server", default="http://localhost:3291")
+    parser.add_argument("--scene", default=None,
+                        help="target scene on a multi-scene server "
+                             "(GET /scenes lists them); omit for the "
+                             "server's default scene")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query")
@@ -119,6 +139,8 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     s = args.server
+    global _SCENE
+    _SCENE = args.scene
 
     if args.cmd == "query":
         status, mesh = post(s, "/text_query", {"text_query": args.text})
@@ -227,7 +249,8 @@ def main(argv=None):
                 pose=stack["pose"], K=stack["K"],
             )
             req = urllib.request.Request(
-                s + "/live_push", data=buf.getvalue(), method="POST",
+                s + _path("/live_push"), data=buf.getvalue(),
+                method="POST",
                 headers={"Content-Type": "application/octet-stream"},
             )
             with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:

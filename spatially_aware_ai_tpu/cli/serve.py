@@ -43,6 +43,12 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=3291)
     parser.add_argument("--tiny-models", action="store_true",
                         help="small random models (smoke testing)")
+    parser.add_argument("--multi-scene", action="store_true",
+                        help="serve EVERY scene under --scan-dir from this "
+                             "one process (lazy per-scene managers, shared "
+                             "model towers); --scan-name becomes the "
+                             "default scene for requests without a `scene` "
+                             "field, and GET /scenes lists the rest")
     parser.add_argument("--no-warm-query", action="store_true",
                         help="skip the boot-time query warmup (first "
                              "/text_query then pays the one-time "
@@ -51,40 +57,61 @@ def main(argv=None):
 
     kwargs = {}
     if args.tiny_models:
-        import os as _os
-
         from ..data.synthetic import ColorSegmenter, SyntheticScene
-        from ..manager.paths import dotdict, get_path
         from ..models.clip.engine import ClipEngine
-        from ..models.dgcnn import InSituLearning
 
         engine = ClipEngine.tiny()
-        paths = get_path(
-            dotdict({"scan_dir": args.scan_dir, "scan_name": args.scan_name,
-                     "output_dir": args.output_dir}),
-            0,
-        )
         kwargs["clip_engine"] = engine
         kwargs["seg_model"] = ColorSegmenter(SyntheticScene.demo_room())
-        kwargs["insitu_model"] = InSituLearning(
-            emb_dims=64, k_neighbors=8, num_points=30, batch_size=32,
-            epochs=120, lr=0.003, feature_dim=engine.feature_dim,
-            model_path=paths.insitu_model_path,
-            label_path=paths.insitu_labels,
-        )
+        if not args.multi_scene:
+            # one tiny in-situ model pinned to the served scene's paths;
+            # multi-scene mode lets each manager build its own (the model
+            # is stateful per scene: weights, labels, artifact paths)
+            from ..manager.paths import dotdict, get_path
+            from ..models.dgcnn import InSituLearning
 
-    manager = InSituManager(
-        scan_dir=args.scan_dir,
-        scan_name=args.scan_name,
+            paths = get_path(
+                dotdict({"scan_dir": args.scan_dir,
+                         "scan_name": args.scan_name,
+                         "output_dir": args.output_dir}),
+                0,
+            )
+            kwargs["insitu_model"] = InSituLearning(
+                emb_dims=64, k_neighbors=8, num_points=30, batch_size=32,
+                epochs=120, lr=0.003, feature_dim=engine.feature_dim,
+                model_path=paths.insitu_model_path,
+                label_path=paths.insitu_labels,
+            )
+
+    shared = dict(
         dataset=args.dataset,
-        output_dir=args.output_dir,
         voxel_size=args.voxel_size,
         trunc_vox=args.trunc_vox,
         clip_patch_size=args.clip_patch_size,
         clip_patch_stride=args.clip_patch_stride,
-        curr_ver=0,
         **kwargs,
     )
+    if args.multi_scene:
+        from ..manager.registry import SceneRegistry
+
+        registry = SceneRegistry(
+            scan_dir=args.scan_dir,
+            output_dir=args.output_dir,
+            default_scene=args.scan_name,
+            manager_kwargs={**shared, "curr_ver": 0},
+        )
+        print(f"multi-scene registry: {registry.scene_names()} "
+              f"(default {args.scan_name})")
+        manager = registry.get()  # boot the default scene eagerly
+    else:
+        registry = None
+        manager = InSituManager(
+            scan_dir=args.scan_dir,
+            scan_name=args.scan_name,
+            output_dir=args.output_dir,
+            curr_ver=0,
+            **shared,
+        )
     if not args.no_warm_query:
         try:
             import time as _time
@@ -97,7 +124,8 @@ def main(argv=None):
             )
         except Exception as e:  # degraded boot should still serve
             print(f"query warmup skipped: {e}")
-    serve(manager, host=args.host, port=args.port)
+    serve(registry if registry is not None else manager,
+          host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

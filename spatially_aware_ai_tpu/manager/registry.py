@@ -1,0 +1,158 @@
+"""Multi-scene serving: one process, many scenes, shared model engines.
+
+The reference binds its whole server to a single scan_name chosen at boot
+(app_unity.py:15-24 builds one InSituManager at import). A real deployment
+(a home with several rooms, a site with several floors) wants one endpoint
+for all of them — and on an accelerator the expensive part of a manager is
+its model towers, not its scene state. SceneRegistry therefore:
+
+- discovers scenes as the subdirectories of `scan_dir` that contain vNN
+  version directories (the reference's scan layout),
+- builds one InSituManager per scene LAZILY on first use (first touch pays
+  that scene's reconstruction-or-reload, exactly like a single-scene boot),
+- shares the CLIP engine and the kMaX segmenter across all managers: both
+  are stateless at inference time (weights + jitted programs; jax jit
+  dispatch is thread-safe), so N scenes cost one set of tower weights and
+  one set of compiled programs instead of N. Per-scene state — grids,
+  scene knowledge, the in-situ DGCNN (stateful weights + label list) —
+  stays per manager.
+
+The HTTP layer routes on an optional `scene` form/query field
+(server/app.py); requests without it hit `default_scene`, so single-scene
+clients (the reference's Unity contract) work unchanged.
+"""
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Optional
+
+from .manager import InSituManager
+
+
+class SceneRegistry:
+    def __init__(
+        self,
+        scan_dir: str,
+        output_dir: str,
+        default_scene: str,
+        manager_kwargs: Optional[dict] = None,
+    ):
+        self.scan_dir = scan_dir
+        self.output_dir = output_dir
+        self.default_scene = default_scene
+        self._kwargs = dict(manager_kwargs or {})
+        if "insitu_model" in self._kwargs:
+            # the in-situ DGCNN is stateful per scene (weights + label
+            # list + artifact paths); sharing one instance would leak one
+            # scene's labels into another
+            raise ValueError(
+                "insitu_model cannot be shared across scenes; each "
+                "manager builds its own (per-scene weight/label paths)"
+            )
+        self._managers: Dict[str, InSituManager] = {}
+        # one build at a time: concurrent first-touches of two scenes would
+        # otherwise interleave reconstructions on the same chip
+        self._build_lock = threading.Lock()
+        self._engines = None
+
+    # -- discovery -----------------------------------------------------------
+
+    def scene_names(self):
+        """Scenes = scan_dir subdirectories holding vNN version dirs."""
+        try:
+            candidates = sorted(os.listdir(self.scan_dir))
+        except OSError:
+            return []
+        out = []
+        for name in candidates:
+            d = os.path.join(self.scan_dir, name)
+            if not os.path.isdir(d):
+                continue
+            if any(
+                v.startswith("v") and v[1:].isdigit()
+                for v in os.listdir(d)
+            ):
+                out.append(name)
+        return out
+
+    # -- engines -------------------------------------------------------------
+
+    def _shared_engines(self):
+        """CLIP + kMaX built once for every scene (same construction rules
+        as a bare InSituManager: SAI_*_CHECKPOINT env or random weights,
+        manager.py InSituManager.__init__). Explicitly injected engines in
+        manager_kwargs win (tests use tiny towers)."""
+        if self._engines is None:
+            clip = self._kwargs.pop("clip_engine", None)
+            seg = self._kwargs.pop("seg_model", None)
+            if clip is None:
+                from ..models.clip.engine import ClipEngine
+
+                ckpt = os.environ.get("SAI_CLIP_CHECKPOINT")
+                clip = (
+                    ClipEngine.from_checkpoint(ckpt)
+                    if ckpt else ClipEngine.random()
+                )
+            if seg is None:
+                from ..models.kmax import KmaxSegmenter
+
+                kmax_ckpt = os.environ.get("SAI_KMAX_CHECKPOINT")
+                seg = (
+                    KmaxSegmenter.from_checkpoint(kmax_ckpt)
+                    if kmax_ckpt else KmaxSegmenter()
+                )
+            self._engines = (clip, seg)
+        return self._engines
+
+    # -- resolution ----------------------------------------------------------
+
+    def get(self, name: Optional[str] = None) -> InSituManager:
+        """The manager for `name` (default_scene when None/empty), built on
+        first use. Raises ValueError for a scene that does not exist on
+        disk (the HTTP layer maps that to a 400 with the scene list)."""
+        name = name or self.default_scene
+        mgr = self._managers.get(name)
+        if mgr is not None:
+            return mgr
+        with self._build_lock:
+            mgr = self._managers.get(name)  # lost the race -> reuse
+            if mgr is not None:
+                return mgr
+            if name not in self.scene_names():
+                raise ValueError(
+                    f"unknown scene {name!r}; available: "
+                    f"{self.scene_names()}"
+                )
+            clip, seg = self._shared_engines()
+            kwargs = dict(self._kwargs)
+            if clip is not None:
+                kwargs["clip_engine"] = clip
+            if seg is not None:
+                kwargs["seg_model"] = seg
+            mgr = InSituManager(
+                scan_dir=self.scan_dir,
+                scan_name=name,
+                output_dir=self.output_dir,
+                **kwargs,
+            )
+            self._managers[name] = mgr
+            return mgr
+
+    def status(self) -> dict:
+        """The /scenes payload: every scene on disk + per-loaded-scene
+        serving state."""
+        loaded = {}
+        for name, mgr in self._managers.items():
+            loaded[name] = {
+                "version": mgr.curr_ver,
+                "reconstructed": bool(mgr.scene_reconstructed),
+                "objects": len(
+                    (mgr.scene_knowledge or {}).get("unique_objects", {})
+                ),
+            }
+        return {
+            "scenes": self.scene_names(),
+            "default": self.default_scene,
+            "loaded": loaded,
+        }

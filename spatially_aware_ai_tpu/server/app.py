@@ -42,11 +42,55 @@ from ..scene.objects import mark_object_of_interest, merge_objects
 from .http import App
 
 
-def create_app(manager) -> App:
+def create_app(manager_or_registry) -> App:
+    """Build the WSGI app over a single InSituManager (the reference's
+    shape) or a manager.registry.SceneRegistry (multi-scene serving: every
+    endpoint accepts an optional `scene` form/query field; requests
+    without it hit the registry's default scene, so single-scene clients
+    work unchanged)."""
+    from ..manager.registry import SceneRegistry
+
+    registry = (
+        manager_or_registry
+        if isinstance(manager_or_registry, SceneRegistry) else None
+    )
+    single = None if registry is not None else manager_or_registry
+
+    def _m(req):
+        """Per-request manager. With a bare manager the `scene` field is
+        ignored (reference contract); with a registry it routes, and an
+        unknown scene raises ValueError -> 400 with the scene list."""
+        if registry is None:
+            return single
+        return registry.get(req.form.get("scene"))
+
     app = App()
+
+    @app.route("/scenes", methods=["GET"])
+    def scenes(req):
+        """Multi-scene discovery: scenes on disk + loaded serving state.
+        Single-manager deployments report their one scene."""
+        if registry is None:
+            return {
+                "scenes": [single.config.scan_name],
+                "default": single.config.scan_name,
+                "loaded": {
+                    single.config.scan_name: {
+                        "version": single.curr_ver,
+                        "reconstructed": bool(single.scene_reconstructed),
+                        "objects": len(
+                            (single.scene_knowledge or {}).get(
+                                "unique_objects", {}
+                            )
+                        ),
+                    }
+                },
+            }, 200
+        return registry.status(), 200
 
     @app.route("/reprocess_scan", methods=["POST"])
     def reprocess_scan(req):
+        manager = _m(req)
         start = time.time()
         version = int(req.form["version"])
         manager.update_config(version)
@@ -62,17 +106,20 @@ def create_app(manager) -> App:
         """Non-blocking reprocess (beyond parity): starts the rebuild on a
         background thread; the previous version stays queryable until the new
         scene is swapped in. Poll GET /scan_status."""
+        manager = _m(req)
         version = int(req.form["version"])
         job = manager.reprocess_scan_async(version)
         return job, (409 if job.get("already_running") else 200)
 
     @app.route("/scan_status", methods=["GET"])
     def scan_status(req):
+        manager = _m(req)
         return manager.scan_status(), 200
 
     @app.route("/scan_preview", methods=["GET"])
     def scan_preview(req):
         """Coarse mid-scan preview mesh of a running background rebuild."""
+        manager = _m(req)
         return manager.scan_preview(), 200
 
     # -- live streaming scans (beyond parity; manager/live.py) ------------
@@ -82,6 +129,7 @@ def create_app(manager) -> App:
         """Open a streaming-scan session (optional form: voxel_size,
         margin_m, discard_staged=1 to drop a crashed session's staged
         frames)."""
+        manager = _m(req)
         vs = req.form.get("voxel_size")
         margin = req.form.get("margin_m")
         return manager.live_begin(
@@ -94,12 +142,14 @@ def create_app(manager) -> App:
     def live_recover(req):
         """Persist a crashed live session's staged frames as a new scan
         version (then POST /reprocess_scan with that version)."""
+        manager = _m(req)
         return manager.live_recover(), 200
 
     @app.route("/live_resume", methods=["POST"])
     def live_resume(req):
         """Rebuild a crashed live session from its staged frames and keep
         streaming (exact replay — the fusion is order-independent)."""
+        manager = _m(req)
         return manager.live_resume(), 200
 
     @app.route("/live_push", methods=["POST"])
@@ -108,6 +158,7 @@ def create_app(manager) -> App:
         [0,1]), depth [F,H,W] u16 mm (or f32 m), pose [F,4,4], K [F,3,3].
         Send QUANTIZED frames and small chunks: bodies over the 64 MB cap
         are rejected (u8/u16 keeps even large chunks far under it)."""
+        manager = _m(req)
         import io
 
         import numpy as np
@@ -135,6 +186,7 @@ def create_app(manager) -> App:
     @app.route("/live_abort", methods=["POST"])
     def live_abort(req):
         """Discard the live session without installing anything."""
+        manager = _m(req)
         return manager.live_abort(), 200
 
     @app.route("/live_snapshot", methods=["POST"])
@@ -142,25 +194,30 @@ def create_app(manager) -> App:
         """Checkpoint the live GRID so a post-crash /live_resume restores
         it directly instead of re-integrating every staged frame. Costs one
         device->host grid transfer; call at natural pauses of long scans."""
+        manager = _m(req)
         return manager.live_snapshot(), 200
 
     @app.route("/live_status", methods=["GET"])
     def live_status(req):
+        manager = _m(req)
         return manager.live_status(), 200
 
     @app.route("/live_preview", methods=["GET"])
     def live_preview(req):
         """Coarse geometry mesh of the scan streamed so far."""
+        manager = _m(req)
         return manager.live_preview(), 200
 
     @app.route("/live_end", methods=["POST"])
     def live_end(req):
         """Finish the stream: the scan becomes a regular version (persisted
         frames + full post-processing) and is installed atomically."""
+        manager = _m(req)
         return manager.live_end(), 200
 
     @app.route("/text_query", methods=["POST"])
     def text_query(req):
+        manager = _m(req)
         text = req.form["text_query"]
         if text.startswith("show me "):
             text = text[8:]
@@ -176,6 +233,7 @@ def create_app(manager) -> App:
         class labels + softmax scores, best first, so clients can jump
         straight to the matching object (then fetch its mesh via
         /requset_scene_mesh or /copy_object)."""
+        manager = _m(req)
         text = req.form["text_query"]
         if text.startswith("show me "):
             text = text[8:]
@@ -188,6 +246,7 @@ def create_app(manager) -> App:
     @app.route("/requset_scene_mesh", methods=["POST"])
     @app.route("/request_scene_mesh", methods=["POST"])  # spelled alias
     def requset_scene_mesh(req):
+        manager = _m(req)
         scan_version = int(req.form["scan_version"])
         obj_key = req.form["obj_key"]
         mesh_type = req.form["color"]
@@ -199,6 +258,7 @@ def create_app(manager) -> App:
     @app.route("/requset_scene_knowledge", methods=["POST"])
     @app.route("/request_scene_knowledge", methods=["POST"])  # spelled alias
     def requset_scene_knowledge(req):
+        manager = _m(req)
         scan_version = int(req.form["scan_version"])
         json_path = get_path(manager.config, scan_version, "scene_knowledge")
         with open(json_path) as f:
@@ -208,6 +268,7 @@ def create_app(manager) -> App:
 
     @app.route("/merge_objects", methods=["POST"])
     def client_merge_objects(req):
+        manager = _m(req)
         object_list = json.loads(req.form["object_list"])["items"]
         new_name = req.form["new_name"]
         with manager.lock:
@@ -223,6 +284,7 @@ def create_app(manager) -> App:
 
     @app.route("/rename_object", methods=["POST"])
     def client_rename_object(req):
+        manager = _m(req)
         object_key = req.form["object_key"]
         new_name = req.form["new_name"]
         with manager.lock:
@@ -238,6 +300,7 @@ def create_app(manager) -> App:
 
     @app.route("/memorize_objects", methods=["POST"])
     def memorize_objects(req):
+        manager = _m(req)
         object_list = json.loads(req.form["object_list"])["items"]
         with manager.lock:
             manager.scene_knowledge = mark_object_of_interest(
@@ -248,6 +311,7 @@ def create_app(manager) -> App:
 
     @app.route("/insitu_learn", methods=["GET"])
     def insitu_learn(req):
+        manager = _m(req)
         with manager.lock:
             manager.save_files_and_broadcast(new_scene=False)
             stats = manager.insitu_prepare_and_train()
@@ -255,6 +319,7 @@ def create_app(manager) -> App:
 
     @app.route("/copy_object", methods=["POST"])
     def copy_object(req):
+        manager = _m(req)
         obj_id = req.form["obj_id"]
         mesh_json = manager.unity_copy_object(obj_id)
         if mesh_json is None:
@@ -263,6 +328,7 @@ def create_app(manager) -> App:
 
     @app.route("/reset_insitu_model", methods=["POST"])
     def reset_insitu_model(req):
+        manager = _m(req)
         manager.insitu_model.reset_model(delete_weights=True)
         return {"message": "success"}, 200
 
