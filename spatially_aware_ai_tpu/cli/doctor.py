@@ -146,14 +146,21 @@ def _check_weights():
     else:
         from ..models.clip.tokenizer import ClipTokenizer
 
-        tok = ClipTokenizer(vocab)
-        if tok.has_standard_vocab:
-            out["SAI_BPE_VOCAB"] = f"{vocab} (standard merges loaded)"
-        else:
+        try:
+            standard = ClipTokenizer(vocab).has_standard_vocab
+        except Exception as e:  # corrupt/binary/truncated file
             out["SAI_BPE_VOCAB"] = (
-                f"SET BUT NOT A MERGES TABLE: {vocab}"
+                f"SET BUT UNREADABLE: {vocab} ({type(e).__name__}: {e})"
             )
             status = "fail"
+        else:
+            if standard:
+                out["SAI_BPE_VOCAB"] = f"{vocab} (standard merges loaded)"
+            else:
+                out["SAI_BPE_VOCAB"] = (
+                    f"SET BUT NOT A MERGES TABLE: {vocab}"
+                )
+                status = "fail"
     # cross-check: converted CLIP weights + fallback vocab = garbage text
     # embeddings (ClipEngine.from_checkpoint refuses this combination)
     if os.environ.get("SAI_CLIP_CHECKPOINT") and not vocab:
@@ -186,7 +193,23 @@ def _check_knobs():
                                         "(measured defaults active)"})}
 
 
-def _check_scan(scan_dir: str, scan_name: str):
+def _resolve_output_dir(scan_dir: str, scan_name: str,
+                        explicit) -> str:
+    """--output-dir wins; otherwise try the two common layouts — the serve
+    default (./unity_output relative to the CWD) and the sibling layout
+    (scan_dir/../unity_output) — preferring whichever already holds this
+    scene's artifacts."""
+    if explicit:
+        return explicit
+    candidates = ["unity_output",
+                  os.path.join(scan_dir, "..", "unity_output")]
+    for cand in candidates:
+        if os.path.isdir(os.path.join(cand, scan_name)):
+            return cand
+    return candidates[0]
+
+
+def _check_scan(scan_dir: str, scan_name: str, output_dir=None):
     from ..manager.paths import dotdict, get_path
 
     root = os.path.join(scan_dir, scan_name)
@@ -199,13 +222,12 @@ def _check_scan(scan_dir: str, scan_name: str):
     if not vers:
         return {"status": "fail",
                 "error": f"{root} has no vNN version directories"}
-    out = {"versions": {}}
-    status = "ok"
+    output_dir = _resolve_output_dir(scan_dir, scan_name, output_dir)
+    out = {"output_dir": output_dir, "versions": {}}
     for v in vers:
         n = int(v[1:])
         cfg = dotdict({"scan_dir": scan_dir, "scan_name": scan_name,
-                       "output_dir": os.path.join(scan_dir, "..",
-                                                  "unity_output")})
+                       "output_dir": output_dir})
         processed = all(
             os.path.exists(get_path(cfg, n, k))
             for k in ("mesh_rgb", "scene_knowledge", "vertex_clip_feats")
@@ -218,7 +240,13 @@ def _check_scan(scan_dir: str, scan_name: str):
             "files": frames,
             "processed": processed,
         }
-    out["status"] = status
+    if not any(info["processed"] for info in out["versions"].values()):
+        out["status"] = "warn"
+        out["note"] = ("no processed versions found at this output_dir "
+                       "(first serve boot reconstructs v00; or pass "
+                       "--output-dir if artifacts live elsewhere)")
+    else:
+        out["status"] = "ok"
     return out
 
 
@@ -228,8 +256,15 @@ def main(argv=None):
     )
     parser.add_argument("--scan-dir")
     parser.add_argument("--scan-name")
+    parser.add_argument("--output-dir", default=None,
+                        help="artifact root for the scan check (default: "
+                             "./unity_output or scan_dir/../unity_output, "
+                             "whichever holds the scene)")
     parser.add_argument("--json", action="store_true")
-    parser.add_argument("--device-timeout", type=float, default=45.0)
+    # a COLD remote-compile tunnel legitimately needs ~3 min for the first
+    # trivial program (see bench.py's probe, deadline 900 s); 300 s keeps a
+    # fresh-deployment preflight from failing a healthy backend
+    parser.add_argument("--device-timeout", type=float, default=300.0)
     parser.add_argument("--no-device", action="store_true",
                         help="skip the backend probe (e.g. in offline CI)")
     args = parser.parse_args(argv)
@@ -242,7 +277,8 @@ def main(argv=None):
     report["native"] = _check_native()
     report["knobs"] = _check_knobs()
     if args.scan_dir and args.scan_name:
-        report["scan"] = _check_scan(args.scan_dir, args.scan_name)
+        report["scan"] = _check_scan(args.scan_dir, args.scan_name,
+                                     args.output_dir)
 
     failed = any(c.get("status") == "fail" for c in report.values())
     if args.json:

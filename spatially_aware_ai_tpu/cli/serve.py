@@ -63,25 +63,31 @@ def main(argv=None):
         engine = ClipEngine.tiny()
         kwargs["clip_engine"] = engine
         kwargs["seg_model"] = ColorSegmenter(SyntheticScene.demo_room())
-        if not args.multi_scene:
-            # one tiny in-situ model pinned to the served scene's paths;
-            # multi-scene mode lets each manager build its own (the model
-            # is stateful per scene: weights, labels, artifact paths)
-            from ..manager.paths import dotdict, get_path
-            from ..models.dgcnn import InSituLearning
 
+        # a tiny in-situ model per scene (the model is stateful per
+        # scene: weights, labels, artifact paths — so multi-scene mode
+        # gets a factory the registry calls per built manager)
+        from ..manager.paths import dotdict, get_path
+        from ..models.dgcnn import InSituLearning
+
+        def _tiny_insitu(scene_name):
             paths = get_path(
                 dotdict({"scan_dir": args.scan_dir,
-                         "scan_name": args.scan_name,
+                         "scan_name": scene_name,
                          "output_dir": args.output_dir}),
                 0,
             )
-            kwargs["insitu_model"] = InSituLearning(
+            return InSituLearning(
                 emb_dims=64, k_neighbors=8, num_points=30, batch_size=32,
                 epochs=120, lr=0.003, feature_dim=engine.feature_dim,
                 model_path=paths.insitu_model_path,
                 label_path=paths.insitu_labels,
             )
+
+        if args.multi_scene:
+            kwargs["insitu_factory"] = _tiny_insitu
+        else:
+            kwargs["insitu_model"] = _tiny_insitu(args.scan_name)
 
     shared = dict(
         dataset=args.dataset,

@@ -1351,6 +1351,8 @@ class InSituManager:
         come back. Returns a list of {object_id, class_label, score,
         n_vertices} sorted by score desc (top_k=0 -> all), or None before
         the first scene."""
+        if top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {top_k}")
         with self.lock:
             if self.scene_knowledge is None:
                 return None
@@ -1387,7 +1389,9 @@ class InSituManager:
             logits = np.asarray(
                 _object_query_logits(
                     feats_dev, jnp.asarray(seg_ids),
-                    jnp.asarray(np.asarray(text_feats, np.float32)),
+                    # jnp.asarray: numpy banks upload, device banks stay
+                    # put (no host round-trip); the kernel casts to f32
+                    jnp.asarray(text_feats),
                     num_segments=nseg,
                 )
             )

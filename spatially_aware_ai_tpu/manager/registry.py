@@ -45,11 +45,14 @@ class SceneRegistry:
         if "insitu_model" in self._kwargs:
             # the in-situ DGCNN is stateful per scene (weights + label
             # list + artifact paths); sharing one instance would leak one
-            # scene's labels into another
+            # scene's labels into another. Pass insitu_factory (called
+            # with the scene name per built manager) to customize it.
             raise ValueError(
-                "insitu_model cannot be shared across scenes; each "
-                "manager builds its own (per-scene weight/label paths)"
+                "insitu_model cannot be shared across scenes; pass "
+                "insitu_factory=lambda scene_name: InSituLearning(...) "
+                "for a per-scene custom model"
             )
+        self._insitu_factory = self._kwargs.pop("insitu_factory", None)
         self._managers: Dict[str, InSituManager] = {}
         # one build at a time: concurrent first-touches of two scenes would
         # otherwise interleave reconstructions on the same chip
@@ -130,6 +133,8 @@ class SceneRegistry:
                 kwargs["clip_engine"] = clip
             if seg is not None:
                 kwargs["seg_model"] = seg
+            if self._insitu_factory is not None:
+                kwargs["insitu_model"] = self._insitu_factory(name)
             mgr = InSituManager(
                 scan_dir=self.scan_dir,
                 scan_name=name,
@@ -143,7 +148,9 @@ class SceneRegistry:
         """The /scenes payload: every scene on disk + per-loaded-scene
         serving state."""
         loaded = {}
-        for name, mgr in self._managers.items():
+        # snapshot: get() inserts under _build_lock while this may run on
+        # another request thread — iterating the live dict would race
+        for name, mgr in list(self._managers.items()):
             loaded[name] = {
                 "version": mgr.curr_ver,
                 "reconstructed": bool(mgr.scene_reconstructed),

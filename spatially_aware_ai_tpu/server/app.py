@@ -57,12 +57,21 @@ def create_app(manager_or_registry) -> App:
     single = None if registry is not None else manager_or_registry
 
     def _m(req):
-        """Per-request manager. With a bare manager the `scene` field is
-        ignored (reference contract); with a registry it routes, and an
-        unknown scene raises ValueError -> 400 with the scene list."""
+        """Per-request manager. With a registry the optional `scene` field
+        routes (unknown scene -> ValueError -> 400 with the scene list).
+        A bare manager accepts requests without the field (reference
+        contract) or naming ITS scene; any other scene is a 400 — silently
+        serving the wrong scene's data would hide a misconfigured client."""
+        scene = req.form.get("scene")
         if registry is None:
+            if scene and scene != single.config.scan_name:
+                raise ValueError(
+                    f"this server hosts only scene "
+                    f"{single.config.scan_name!r} (started without "
+                    f"--multi-scene); cannot route to {scene!r}"
+                )
             return single
-        return registry.get(req.form.get("scene"))
+        return registry.get(scene)
 
     app = App()
 

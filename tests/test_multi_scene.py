@@ -188,3 +188,86 @@ def test_client_scene_flag(server_url, capsys):
                  "objects", "a chair", "--top-k", "1"])
     out = capsys.readouterr().out
     assert "status 200" in out
+
+
+def test_insitu_factory_builds_per_scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("factory")
+    for scene in ["r1", "r2"]:
+        d = root / "scans" / scene / "v00"
+        os.makedirs(d)
+        with open(d / "synthetic_scene.json", "w") as f:
+            json.dump({"num_frames": 4, "width": 64, "height": 48}, f)
+
+    from spatially_aware_ai_tpu.models.dgcnn import InSituLearning
+
+    built = []
+
+    def factory(scene_name):
+        built.append(scene_name)
+        return InSituLearning(
+            emb_dims=32, k_neighbors=4, num_points=16, batch_size=8,
+            epochs=10, feature_dim=16,
+        )
+
+    reg = SceneRegistry(
+        scan_dir=str(root / "scans"),
+        output_dir=str(root / "out"),
+        default_scene="r1",
+        manager_kwargs=dict(
+            dataset="synthetic", voxel_size=0.1, trunc_vox=2,
+            clip_patch_size=32, clip_patch_stride=16, frame_chunk=2,
+            clip_engine=ClipEngine.tiny(),
+            seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+            insitu_factory=factory,
+        ),
+    )
+    m1, m2 = reg.get("r1"), reg.get("r2")
+    assert built == ["r1", "r2"]
+    assert m1.insitu_model is not m2.insitu_model
+    assert m1.insitu_model.cfg.emb_dims == 32  # the factory's tiny model
+
+
+def test_single_manager_rejects_foreign_scene(tmp_path_factory):
+    """A plain (non --multi-scene) server must 400 a request routed to a
+    scene it does not host — silently serving its own scene's data would
+    hide the client misconfiguration."""
+    from spatially_aware_ai_tpu.manager import InSituManager
+
+    root = tmp_path_factory.mktemp("single")
+    d = root / "scans" / "solo" / "v00"
+    os.makedirs(d)
+    with open(d / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 4, "width": 64, "height": 48}, f)
+    manager = InSituManager(
+        scan_dir=str(root / "scans"), scan_name="solo",
+        dataset="synthetic", output_dir=str(root / "out"),
+        voxel_size=0.1, trunc_vox=2, clip_patch_size=32,
+        clip_patch_stride=16, frame_chunk=2,
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+    )
+
+    class ThreadingWSGIServer(socketserver.ThreadingMixIn, WSGIServer):
+        daemon_threads = True
+
+    httpd = make_server("127.0.0.1", 0, create_app(manager),
+                        server_class=ThreadingWSGIServer)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # naming ITS scene works
+        status, _ = _post(url, "/requset_scene_knowledge",
+                          {"scan_version": 0, "scene": "solo"})
+        assert status == 200
+        # a foreign scene is a 400, not wrong-scene data with a 200
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(url, "/requset_scene_knowledge",
+                  {"scan_version": 0, "scene": "other"})
+        assert exc.value.code == 400
+        assert "--multi-scene" in json.loads(
+            exc.value.read().decode())["error"]
+    finally:
+        httpd.shutdown()

@@ -202,3 +202,12 @@ def test_client_objects_subcommand(server_url, capsys):
     # two ranked lines with score + id
     lines = [ln for ln in out.splitlines() if ln.startswith("  0.")]
     assert len(lines) == 2
+
+
+def test_http_object_query_negative_top_k_is_400(server_url):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server_url, "/object_query",
+              {"text_query": "a box", "top_k": "-1"})
+    assert exc.value.code == 400
