@@ -49,6 +49,12 @@ def main(argv=None):
                              "model towers); --scan-name becomes the "
                              "default scene for requests without a `scene` "
                              "field, and GET /scenes lists the rest")
+    parser.add_argument("--max-loaded-scenes", type=int, default=0,
+                        help="with --multi-scene: bound device memory by "
+                             "evicting the least-recently-used idle scene "
+                             "before loading another (each loaded scene "
+                             "pins ~1 GB of voxel features at the default "
+                             "operating point); 0 = unlimited")
     parser.add_argument("--no-warm-query", action="store_true",
                         help="skip the boot-time query warmup (first "
                              "/text_query then pays the one-time "
@@ -105,6 +111,7 @@ def main(argv=None):
             output_dir=args.output_dir,
             default_scene=args.scan_name,
             manager_kwargs={**shared, "curr_ver": 0},
+            max_loaded=args.max_loaded_scenes,
         )
         print(f"multi-scene registry: {registry.scene_names()} "
               f"(default {args.scan_name})")

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import threading
+import time
 from typing import Dict, Optional
 
 from .manager import InSituManager
@@ -37,10 +38,16 @@ class SceneRegistry:
         output_dir: str,
         default_scene: str,
         manager_kwargs: Optional[dict] = None,
+        max_loaded: int = 0,
     ):
         self.scan_dir = scan_dir
         self.output_dir = output_dir
         self.default_scene = default_scene
+        # 0 = unlimited. Each LOADED scene pins its voxel feature grid on
+        # device (~1 GB at the default operating point); max_loaded bounds
+        # that by evicting the least-recently-used idle scene before a new
+        # build. Evicted scenes reload from their artifacts on next touch.
+        self.max_loaded = max_loaded
         self._kwargs = dict(manager_kwargs or {})
         if "insitu_model" in self._kwargs:
             # the in-situ DGCNN is stateful per scene (weights + label
@@ -54,6 +61,7 @@ class SceneRegistry:
             )
         self._insitu_factory = self._kwargs.pop("insitu_factory", None)
         self._managers: Dict[str, InSituManager] = {}
+        self._last_used: Dict[str, float] = {}
         # one build at a time: concurrent first-touches of two scenes would
         # otherwise interleave reconstructions on the same chip
         self._build_lock = threading.Lock()
@@ -117,16 +125,20 @@ class SceneRegistry:
         name = name or self.default_scene
         mgr = self._managers.get(name)
         if mgr is not None:
+            self._last_used[name] = time.monotonic()
             return mgr
         with self._build_lock:
             mgr = self._managers.get(name)  # lost the race -> reuse
             if mgr is not None:
+                self._last_used[name] = time.monotonic()
                 return mgr
             if name not in self.scene_names():
                 raise ValueError(
                     f"unknown scene {name!r}; available: "
                     f"{self.scene_names()}"
                 )
+            if self.max_loaded:
+                self._evict_locked(self.max_loaded - 1)
             clip, seg = self._shared_engines()
             kwargs = dict(self._kwargs)
             if clip is not None:
@@ -142,7 +154,38 @@ class SceneRegistry:
                 **kwargs,
             )
             self._managers[name] = mgr
+            self._last_used[name] = time.monotonic()
             return mgr
+
+    def _evictable(self, mgr: InSituManager) -> bool:
+        """A scene may be dropped only when nothing transient would be
+        lost: no live streaming session and no background rebuild. All
+        durable state (artifacts, in-situ weights) is already on disk —
+        the manager flushes pending saves before release."""
+        live = getattr(mgr, "_live", None)
+        if live is not None and not live.ended:
+            return False
+        job = mgr.scan_status()
+        if job.get("state") == "running":
+            return False
+        return True
+
+    def _evict_locked(self, keep: int):
+        """Drop least-recently-used idle scenes until at most `keep`
+        remain loaded. Called under _build_lock. In-flight requests that
+        already hold the evicted manager finish safely on it (the object
+        stays valid; only the registry reference is dropped, and the
+        next touch reloads the scene from its artifacts)."""
+        by_age = sorted(self._managers, key=lambda n: self._last_used[n])
+        for victim in by_age:
+            if len(self._managers) <= keep:
+                return
+            mgr = self._managers[victim]
+            if not self._evictable(mgr):
+                continue
+            mgr._wait_for_save()  # durable artifacts before release
+            del self._managers[victim]
+            del self._last_used[victim]
 
     def status(self) -> dict:
         """The /scenes payload: every scene on disk + per-loaded-scene

@@ -271,3 +271,53 @@ def test_single_manager_rejects_foreign_scene(tmp_path_factory):
             exc.value.read().decode())["error"]
     finally:
         httpd.shutdown()
+
+
+def _mini_registry(root, n_scenes, **extra):
+    for i in range(n_scenes):
+        d = root / "scans" / f"s{i}" / "v00"
+        os.makedirs(d)
+        with open(d / "synthetic_scene.json", "w") as f:
+            json.dump({"num_frames": 4, "width": 64, "height": 48}, f)
+    return SceneRegistry(
+        scan_dir=str(root / "scans"),
+        output_dir=str(root / "out"),
+        default_scene="s0",
+        manager_kwargs=dict(
+            dataset="synthetic", voxel_size=0.1, trunc_vox=2,
+            clip_patch_size=32, clip_patch_stride=16, frame_chunk=2,
+            clip_engine=ClipEngine.tiny(),
+            seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        ),
+        **extra,
+    )
+
+
+def test_lru_eviction_bounds_loaded_scenes(tmp_path_factory):
+    reg = _mini_registry(tmp_path_factory.mktemp("lru"), 3, max_loaded=2)
+    reg.get("s0")
+    reg.get("s1")
+    assert sorted(reg.status()["loaded"]) == ["s0", "s1"]
+
+    reg.get("s0")  # refresh s0 -> s1 becomes the LRU victim
+    reg.get("s2")
+    assert sorted(reg.status()["loaded"]) == ["s0", "s2"]
+
+    # the evicted scene reloads from its artifacts on next touch (fast
+    # path: it was processed) and evicts the current LRU (s0 — refreshed
+    # before s2 was built, so now the oldest)
+    m1 = reg.get("s1")
+    assert m1.scene_reconstructed
+    assert sorted(reg.status()["loaded"]) == ["s1", "s2"]
+
+
+def test_eviction_skips_scene_with_live_session(tmp_path_factory):
+    reg = _mini_registry(tmp_path_factory.mktemp("lru2"), 3, max_loaded=1)
+    m0 = reg.get("s0")
+    m0.live_begin(voxel_size=0.1, margin_m=0.5)
+    try:
+        # s0 is mid-stream: it must survive; the cap is best-effort
+        reg.get("s1")
+        assert "s0" in reg.status()["loaded"]
+    finally:
+        m0.live_abort()
