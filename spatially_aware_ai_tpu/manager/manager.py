@@ -1054,8 +1054,14 @@ class InSituManager:
         def snap():
             try:
                 self.live_snapshot()
-            except Exception:
-                pass  # durability is best-effort; replay path still exists
+                self._auto_snap_error = None
+            except Exception as e:
+                # durability is best-effort (the staged-frame replay path
+                # still exists), but a silently failing cadence hid a real
+                # bug once (the grid-donation race) — surface the latest
+                # failure in live_status so operators see it
+                self._auto_snap_error = f"{type(e).__name__}: {e}"
+                print(f"auto-snapshot failed: {self._auto_snap_error}")
 
         self._auto_snap_future = self._save_executor.submit(snap)
 
@@ -1063,7 +1069,11 @@ class InSituManager:
         sess = self._live
         if sess is None:
             return {"state": "idle"}
-        return sess.status()
+        out = sess.status()
+        err = getattr(self, "_auto_snap_error", None)
+        if err:
+            out["auto_snapshot_error"] = err
+        return out
 
     def live_abort(self) -> dict:
         """Discard the live session without installing anything (staged

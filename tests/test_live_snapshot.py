@@ -266,3 +266,36 @@ def test_snapshot_and_preview_copy_grid_buffers(manager):
             assert a is not b, "preview must not alias the live grid"
     finally:
         manager.live_abort()
+
+
+def test_auto_snapshot_failure_is_surfaced(manager, monkeypatch):
+    """A failing auto-snapshot must not stay invisible: the cadence once
+    silently ate the grid-donation race. live_status carries the latest
+    failure, and a later success clears it."""
+    monkeypatch.setenv("SAI_LIVE_SNAPSHOT_S", "0.01")
+    rgb, depth, pose, K = _frames(3)
+    manager.live_begin(voxel_size=0.1, margin_m=0.5)
+    try:
+        real = manager.live_snapshot
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            raise RuntimeError("disk on fire")
+
+        manager.live_snapshot = boom
+        manager.live_push(rgb, depth, pose, K)
+        manager._auto_snap_future.result(timeout=60)
+        assert calls["n"] == 1
+        assert "disk on fire" in manager.live_status()["auto_snapshot_error"]
+
+        # next successful cadence clears the error
+        manager.live_snapshot = real
+        manager._auto_snap_last = 0.0
+        manager._maybe_auto_snapshot(manager._live)
+        manager._auto_snap_future.result(timeout=60)
+        assert "auto_snapshot_error" not in manager.live_status()
+    finally:
+        manager.live_snapshot = real
+        manager._auto_snap_error = None
+        manager.live_abort()
