@@ -321,3 +321,26 @@ def test_eviction_skips_scene_with_live_session(tmp_path_factory):
         assert "s0" in reg.status()["loaded"]
     finally:
         m0.live_abort()
+
+
+def test_live_sessions_route_per_scene(registry):
+    """Live streaming state must attach to the routed scene's manager:
+    a stream opened on roomB leaves roomA's live state idle, and both
+    managers report their own sessions."""
+    import numpy as np
+
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+
+    a, b = registry.get("roomA"), registry.get("roomB")
+    st = b.live_begin(voxel_size=0.1, margin_m=0.5)
+    assert st["state"] == "live"
+    try:
+        assert a.live_status() == {"state": "idle"}
+        ds = SyntheticSceneDataset(num_frames=3, width=64, height=48)
+        stack = ds.stacked(range(3))
+        b.live_push(stack["rgb"], stack["depth"], stack["pose"],
+                    stack["K"])
+        assert b.live_status()["frames_seen"] == 3
+        assert a.live_status() == {"state": "idle"}
+    finally:
+        b.live_abort()
