@@ -44,6 +44,91 @@ def voxelize_gt(scene: SyntheticScene, origin, nvox, voxel_size: float,
     return cls.reshape(nvox)
 
 
+def voxelize_gt_objects(scene: SyntheticScene, origin, nvox,
+                        voxel_size: float, shell_m: float):
+    """Per-voxel GT OBJECT index (position in scene.boxes; -1 elsewhere):
+    same nearest-surface-within-shell rule as voxelize_gt, but keeping the
+    box identity instead of its class — the ground truth for instance
+    discovery."""
+    nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
+    idx = np.stack(
+        np.meshgrid(*[np.arange(n) for n in nvox], indexing="ij"), axis=-1
+    ).astype(np.float32)
+    centers = idx.reshape(-1, 3) * voxel_size + np.asarray(origin, np.float32)
+
+    best = np.full(len(centers), np.inf, np.float32)
+    obj = np.full(len(centers), -1, np.int32)
+    for i, box in enumerate(scene.boxes):
+        c = (box.lo + box.hi) / 2
+        half = (box.hi - box.lo) / 2
+        q = np.abs(centers - c) - half
+        outside = np.linalg.norm(np.maximum(q, 0), axis=-1)
+        inside = np.minimum(q.max(axis=-1), 0)
+        sdf = np.abs(outside + inside)
+        closer = sdf < best
+        best = np.where(closer, sdf, best)
+        obj = np.where(closer & (sdf <= shell_m), i, obj)
+    return obj.reshape(nvox)
+
+
+def eval_object_discovery(scene: SyntheticScene, class_grid, weight,
+                          voxel_clip_feats, voxel_rgb, origin,
+                          voxel_size: float, shell_m: float,
+                          min_iou: float = 0.25) -> Dict:
+    """Instance-discovery quality: run the production scene-semantics layer
+    (flood_fill_3d over the fused class grid) and match each GT box to the
+    discovered object with maximal voxel overlap, scored over OBSERVED
+    voxels (weight > 0). A box counts detected when its best match has the
+    right class and IoU >= min_iou; discovered objects matched to no box
+    are spurious."""
+    from ..scene.objects import flood_fill_3d
+
+    sk, voxel_obj_idx = flood_fill_3d(
+        np.asarray(class_grid), None, np.asarray(voxel_clip_feats),
+        np.asarray(voxel_rgb), None, None,
+    )
+    gt_obj = voxelize_gt_objects(scene, origin, class_grid.shape,
+                                 voxel_size, shell_m)
+    observed = np.asarray(weight).reshape(class_grid.shape) > 0
+
+    matched_ids = set()
+    per_box = []
+    for i, box in enumerate(scene.boxes):
+        gt_mask = (gt_obj == i) & observed
+        best_id, best_iou = None, 0.0
+        for obj_id, info in sk["unique_objects"].items():
+            pred_mask = np.zeros_like(gt_mask)
+            vox = np.asarray(info["voxels"], np.int64)
+            pred_mask[tuple(vox.T)] = True
+            pred_mask &= observed
+            inter = int((gt_mask & pred_mask).sum())
+            union = int((gt_mask | pred_mask).sum())
+            iou = inter / union if union else 0.0
+            if iou > best_iou:
+                best_id, best_iou = obj_id, iou
+        info = sk["unique_objects"].get(best_id)
+        class_ok = bool(info) and info["class_id"] == box.class_id
+        detected = class_ok and best_iou >= min_iou
+        if detected:
+            matched_ids.add(best_id)
+        per_box.append({
+            "name": box.name,
+            "matched": best_id,
+            "iou": round(best_iou, 4),
+            "detected": detected,
+        })
+    spurious = [k for k in sk["unique_objects"] if k not in matched_ids]
+    return {
+        "objects_total": len(scene.boxes),
+        "objects_detected": sum(b["detected"] for b in per_box),
+        "mean_matched_iou": round(
+            float(np.mean([b["iou"] for b in per_box])), 4
+        ),
+        "spurious_objects": len(spurious),
+        "per_object": per_box,
+    }
+
+
 def eval_synthetic_labels(
     num_frames: int = 16,
     width: int = 128,
@@ -104,9 +189,17 @@ def eval_synthetic_labels(
         inside = np.minimum(q.max(axis=-1), 0)
         sdf = np.minimum(sdf, np.abs(outside + inside))
 
+    objects = eval_object_discovery(
+        scene, pred, weight,
+        np.asarray(result.feat_grid),
+        result.values["rgb"].reshape(*nvox, 3),
+        result.origin, voxel_size, shell_m=cfg.trunc_m,
+    )
+
     return {
         "miou": float(np.mean(list(ious.values()))),
         "accuracy": acc,
+        "objects": objects,
         "iou_per_class": ious,
         "recall_per_class": accs,
         "observed_voxels": int(mask.sum()),

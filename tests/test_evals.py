@@ -135,3 +135,18 @@ def test_synthetic_label_quality():
     assert stats["observed_voxels"] > 1000
     assert stats["miou"] > 0.8, stats
     assert stats["accuracy"] > 0.9, stats
+
+
+def test_synthetic_object_discovery_quality():
+    """Instance-discovery quality on the hermetic scene: every GT box must
+    be found by the production flood-fill layer with the right class and
+    solid voxel overlap, and the scene must not shatter into spurious
+    fragments."""
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    stats = eval_synthetic_labels(num_frames=12, width=96, height=72,
+                                  voxel_size=0.06)
+    obj = stats["objects"]
+    assert obj["objects_detected"] == obj["objects_total"] == 4, obj
+    assert obj["mean_matched_iou"] > 0.5, obj
+    assert obj["spurious_objects"] <= 1, obj
