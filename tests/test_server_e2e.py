@@ -282,3 +282,9 @@ def test_processed_scene_reloads_from_artifacts(env):
     # text query works off the reloaded artifacts
     mesh = m2.clip_text_query("the table")
     assert mesh is not None and len(mesh["vertices"]) == len(m2.verts)
+    # ... and so does the object ranking (same reloaded state: knowledge
+    # json + vertex feats npy + vertex_obj_idx npy)
+    ranked = m2.object_text_query("the table")
+    assert ranked and {o["object_id"] for o in ranked} == set(
+        m2.scene_knowledge["unique_objects"]
+    )
