@@ -169,6 +169,53 @@ def extract_mesh_by_object(vertices, faces, colors, vertex_obj_idx, obj_idx):
     return object_vertices, object_faces, object_colors
 
 
+def extract_meshes_by_object(vertices, faces, colors, vertex_obj_idx,
+                             obj_ids):
+    """Grouped extract_mesh_by_object for MANY ids in one pass.
+
+    Identical per-object outputs (same vertex order, same face reindexing
+    — reindex-by-rank-among-same-id equals the per-call cumsum because
+    the stable sort preserves original vertex order), but O(V log V + F +
+    outputs) total instead of O(len(obj_ids) * (V + F)): the per-object
+    loop was ~0.8 s of the ~2.2 s post-scan host phase at 200 objects /
+    195K faces. Returns {obj_id: (verts, faces, colors)} for every
+    requested id (empty arrays when the id owns nothing)."""
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    colors = np.asarray(colors)
+    vox = np.asarray(vertex_obj_idx)
+
+    # rank of each vertex among vertices of ITS id, in original order
+    sort_idx = np.argsort(vox, kind="stable")
+    sorted_vox = vox[sort_idx]
+    group_start = np.searchsorted(sorted_vox, sorted_vox, side="left")
+    ranks = np.empty(len(vox), np.int64)
+    ranks[sort_idx] = np.arange(len(vox)) - group_start
+
+    # a face belongs to id X iff all three vertices do; group the valid
+    # faces by id once (stable sort keeps each object's original face
+    # order, like the per-call boolean filter)
+    f0 = vox[faces[:, 0]]
+    same = (vox[faces[:, 1]] == f0) & (vox[faces[:, 2]] == f0)
+    vfaces = faces[same]
+    vf0 = f0[same]
+    forder = np.argsort(vf0, kind="stable")
+    vf_sorted = vf0[forder]
+    vfaces = vfaces[forder]
+
+    out = {}
+    for oid in obj_ids:
+        lo = np.searchsorted(sorted_vox, oid, side="left")
+        hi = np.searchsorted(sorted_vox, oid, side="right")
+        # stable argsort keeps equal keys in original order -> already
+        # the per-call vertex order
+        vsel = sort_idx[lo:hi]
+        flo = np.searchsorted(vf_sorted, oid, side="left")
+        fhi = np.searchsorted(vf_sorted, oid, side="right")
+        out[oid] = (vertices[vsel], ranks[vfaces[flo:fhi]], colors[vsel])
+    return out
+
+
 def mesh_to_json(mesh_path: str) -> dict:
     """PLY -> {vertices, faces, colors} JSON-serializable dict
     (reference handy_utils.py:224-241)."""

@@ -223,3 +223,33 @@ def test_extract_mesh_feats_on_device_matches_host():
     assert feats.shape[0] >= v and feats.shape[0] % 16384 == 0
     np.testing.assert_allclose(feats[:v], host["clip_feats"], atol=1e-5)
     assert np.abs(feats[v:]).sum() == 0
+
+
+def test_extract_meshes_by_object_matches_per_object_calls():
+    """The grouped extractor must produce byte-identical per-object meshes
+    to the per-call path (vertex order, face reindexing, colors), including
+    ids that own nothing and negative unlabeled ids."""
+    import numpy as np
+
+    from spatially_aware_ai_tpu.meshing.extract import (
+        extract_mesh_by_object,
+        extract_meshes_by_object,
+    )
+
+    rng = np.random.default_rng(3)
+    V, F = 500, 900
+    verts = rng.random((V, 3)).astype(np.float32)
+    colors = rng.random((V, 3)).astype(np.float32)
+    faces = rng.integers(0, V, (F, 3))
+    obj_idx = rng.integers(-5, 4, V).astype(np.int32)
+    ids = [int(i) for i in np.unique(obj_idx)] + [77]  # 77 owns nothing
+
+    batched = extract_meshes_by_object(verts, faces, colors, obj_idx, ids)
+    for oid in ids:
+        ov, of, oc = extract_mesh_by_object(verts, faces, colors,
+                                            obj_idx, oid)
+        bv, bf, bc = batched[oid]
+        np.testing.assert_array_equal(ov, bv)
+        np.testing.assert_array_equal(of, bf)
+        np.testing.assert_array_equal(oc, bc)
+    assert len(batched[77][0]) == 0 and len(batched[77][1]) == 0
