@@ -349,23 +349,50 @@ class InSituLearning:
 
     @partial(jax.jit, static_argnums=0)
     def _forward(self, variables, pts):
-        return self.model.apply(variables, pts, train=False)
+        # jitted + cached per batch-bucket shape: the eager apply issued
+        # dozens of small dispatches per call
+        fwd = getattr(self, "_fwd_jit", None)
+        if fwd is None:
+            fwd = self._fwd_jit = jax.jit(
+                lambda v, p: self.model.apply(v, p, train=False)
+            )
+        return fwd(variables, pts)
 
     def predict_object(self, clip_feats, rgb, voxels) -> int:
         """Classify one object; returns its label index, or 0 when unknown /
         below the confidence threshold (handy_utils.py:396-425 contract)."""
-        if not self.model_trained or self.variables is None:
-            return 0
-        pts = featurize_object(clip_feats, rgb, voxels, self.num_points,
-                               self._rng)
+        return self.predict_objects([(clip_feats, rgb, voxels)])[0]
+
+    def predict_objects(self, items) -> list:
+        """Batched re-identification: classify MANY objects in one device
+        round trip. items = [(clip_feats, rgb, voxels), ...] per object;
+        returns a label index per item (0 = unknown / below confidence).
+
+        The per-object path paid one dispatch + one blocking device sync
+        per discovered object — a reprocess of a 200-object scene spent
+        ~200 tunnel round trips in the re-id hook alone. Here every object
+        featurizes on host, the batch pads to a power-of-two bucket (one
+        compiled program per bucket), and ONE forward + ONE readback
+        classifies them all."""
+        if not self.model_trained or self.variables is None or not items:
+            return [0] * len(items)
+        pts = np.stack([
+            featurize_object(cf, rgb, vox, self.num_points, self._rng)
+            for cf, rgb, vox in items
+        ]).astype(np.float32)
+        B = len(items)
+        cap = max(8, 1 << (B - 1).bit_length())
+        if cap > B:
+            pts = np.concatenate(
+                [pts, np.zeros((cap - B,) + pts.shape[1:], np.float32)]
+            )
         logits = np.asarray(
-            self._forward(self.variables, jnp.asarray(pts[None]))
-        )[0]
-        n_valid = len(self.labels)
-        logits = logits[:n_valid]
-        probs = np.exp(logits - logits.max())
-        probs /= probs.sum()
-        pred = int(probs.argmax())
-        if pred == 0 or probs[pred] < self.confidence_threshold:
-            return 0
-        return pred
+            self._forward(self.variables, jnp.asarray(pts))
+        )[:B, : len(self.labels)]
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(logits)
+        probs /= probs.sum(axis=-1, keepdims=True)
+        preds = probs.argmax(axis=-1)
+        conf = probs[np.arange(B), preds]
+        preds[(preds == 0) | (conf < self.confidence_threshold)] = 0
+        return [int(p) for p in preds]

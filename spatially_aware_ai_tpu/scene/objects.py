@@ -162,26 +162,48 @@ def flood_fill_3d(
     model_trained = bool(insitu_model.model_trained) if insitu_model else False
     labels_freezed = list(labels_list[1:])
 
-    for class_id, vox_indices in connected_components_3d(class_grid):
-        if len(vox_indices[0]) < min_voxels:
-            continue
+    components = [
+        (class_id, vox_indices)
+        for class_id, vox_indices in connected_components_3d(class_grid)
+        if len(vox_indices[0]) >= min_voxels
+    ]
+
+    # re-identification predictions for ALL components in one batched
+    # device round trip when the model supports it (predict_objects,
+    # models/dgcnn/insitu.py) — per-object predict_object calls cost one
+    # dispatch + one blocking sync EACH (~200 tunnel round trips on a
+    # 200-object scene); custom models exposing only predict_object keep
+    # the per-object fallback
+    if model_trained and components:
+        batch = getattr(insitu_model, "predict_objects", None)
+        if batch is not None:
+            predictions = [int(p) for p in batch([
+                (voxel_clip_feats[vi], voxel_rgb[vi], np.stack(vi, -1))
+                for _, vi in components
+            ])]
+        else:
+            predictions = [
+                int(insitu_model.predict_object(
+                    clip_feats=voxel_clip_feats[vi],
+                    rgb=voxel_rgb[vi],
+                    voxels=np.stack(vi, axis=-1),
+                ))
+                for _, vi in components
+            ]
+    else:
+        predictions = [0] * len(components)
+
+    for (class_id, vox_indices), pred_label_index in zip(
+        components, predictions
+    ):
         class_label = PREDEFINED_CLASSES[class_id]
         user_modified = False
         object_index = negative_object_index
-        pred_label_index = 0
 
-        if model_trained:
-            pred_label_index = int(
-                insitu_model.predict_object(
-                    clip_feats=voxel_clip_feats[vox_indices],
-                    rgb=voxel_rgb[vox_indices],
-                    voxels=np.stack(vox_indices, axis=-1),
-                )
-            )
-            if pred_label_index > 0:
-                class_label = labels_list[pred_label_index]
-                user_modified = True
-                object_index = pred_label_index
+        if pred_label_index > 0:
+            class_label = labels_list[pred_label_index]
+            user_modified = True
+            object_index = pred_label_index
 
         # C-speed list building (a Python loop here costs seconds on a
         # 0.5M-voxel grid); tolist() yields plain ints, JSON-safe

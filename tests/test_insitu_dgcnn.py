@@ -206,3 +206,22 @@ def test_retrain_with_new_data_reuses_compiled_trainer(trained_model):
     assert fn._cache_size() == before, (
         "retraining on new data of the same shape bucket must not re-trace"
     )
+
+
+def test_predict_objects_matches_per_object_calls(trained_model):
+    """The batched re-id path (one forward + one readback for all objects)
+    must agree with per-object predict_object calls — same featurization
+    draw order, same confidence thresholding."""
+    rng = np.random.default_rng(7)
+    items = []
+    for kind in ["mug", "plant", "box", "mug", "box"]:
+        vox, rgb, clip = make_object(kind, rng)
+        items.append((clip, rgb, vox))
+
+    # reset the rng identically for both paths (featurize consumes it)
+    trained_model._rng = np.random.default_rng(123)
+    batched = trained_model.predict_objects(items)
+    trained_model._rng = np.random.default_rng(123)
+    singles = [trained_model.predict_object(*it) for it in items]
+    assert batched == singles
+    assert any(p > 0 for p in batched)  # the mugs/plants re-identify
