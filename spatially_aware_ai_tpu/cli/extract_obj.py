@@ -11,7 +11,7 @@ import numpy as np
 
 
 def main(argv=None):
-    from ..meshing.extract import extract_mesh_by_object
+    from ..meshing.extract import extract_meshes_by_object
     from ..meshing.ply import read_ply, write_ply
 
     parser = argparse.ArgumentParser()
@@ -33,10 +33,12 @@ def main(argv=None):
 
     unique_objects = np.unique(obj_idx)
     print(f"unique object ids: {unique_objects}")
+    per_obj = extract_meshes_by_object(  # grouped: one mesh sort, not
+        verts, faces, colors[:, :3], obj_idx,  # a full scan per object
+        [int(i) for i in unique_objects],
+    )
     for obj_id in unique_objects:
-        ov, of, oc = extract_mesh_by_object(
-            verts, faces, colors[:, :3], obj_idx, obj_id
-        )
+        ov, of, oc = per_obj[int(obj_id)]
         if len(of) == 0:
             continue
         out = os.path.join(out_dir, f"object_{obj_id}_mesh.ply")
