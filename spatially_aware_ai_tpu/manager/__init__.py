@@ -1,2 +1,3 @@
 from .paths import dotdict, get_path
 from .manager import InSituManager
+from .registry import SceneRegistry
