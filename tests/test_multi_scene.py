@@ -344,3 +344,35 @@ def test_live_sessions_route_per_scene(registry):
         assert a.live_status() == {"state": "idle"}
     finally:
         b.live_abort()
+
+
+def test_concurrent_cross_scene_requests(server_url):
+    """Hammer both scenes concurrently (queries + knowledge + /scenes):
+    no deadlock between the registry build lock and the manager RLocks,
+    no 500s, and every response routes to the right scene."""
+    errors = []
+
+    def worker(i):
+        try:
+            scene = ["roomA", "roomB"][i % 2]
+            _, k = _post(server_url, "/requset_scene_knowledge",
+                         {"scan_version": 0, "scene": scene})
+            labels = {v["class_label"]
+                      for v in k["unique_objects"].values()}
+            assert ("suitcase" in labels) == (scene == "roomA"), scene
+            status, _ = _post(server_url, "/text_query",
+                              {"text_query": "a chair", "scene": scene})
+            assert status == 200
+            status, s = _get(server_url, "/scenes")
+            assert status == 200 and s["default"] == "roomA"
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not any(t.is_alive() for t in threads), "request deadlocked"
+    assert not errors, errors
