@@ -130,7 +130,8 @@ def main():
 
     # integrator selection: the sparse-active-voxel integrator is the TPU
     # default (exact; dense fallback on overflow; biggest wins at fine
-    # grids). SAI_BENCH_INTEGRATOR=scan|einsum|pallas|sparse overrides.
+    # grids). SAI_BENCH_INTEGRATOR=scan|einsum|pallas|sparse|brick overrides
+    # ("brick" adds frustum culling of the dense TSDF pass, grid/brick.py).
     integrator = os.environ.get(
         "SAI_BENCH_INTEGRATOR",
         "sparse" if jax.default_backend() == "tpu" else "scan",
@@ -155,6 +156,12 @@ def main():
             )
 
             return integrate_frames_sparse(grid, batch)
+        elif integrator == "brick":
+            from spatially_aware_ai_tpu.grid.brick import (
+                integrate_frames_brick,
+            )
+
+            return integrate_frames_brick(grid, batch)
         return integrate_frames(grid, batch)
 
     def run_chunk(grid):

@@ -5,4 +5,5 @@ from .fusion import (
     integrate_frames_pallas,
     voxel_world_coords,
 )
+from .brick import integrate_frames_brick
 from .checkpoint import save_grid, load_grid

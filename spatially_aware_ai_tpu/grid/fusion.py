@@ -43,6 +43,28 @@ def voxel_world_coords(nvox, origin, voxel_size):
     return idx * voxel_size + jnp.asarray(origin, jnp.float32)
 
 
+def decode_flat_coords(nvox, origin, voxel_size, flat):
+    """World coords of voxel centers for an ARBITRARY array of flat indices.
+
+    `flat` may be any int32 array (not necessarily contiguous); out-of-grid
+    indices (>= prod(nvox)) clamp to the last voxel and are reported False in
+    the returned in_grid mask. nvox may be traced (grid dims are data, not
+    compile-time constants — see FusionGrid.nvox).
+    """
+    nvox = jnp.asarray(nvox, jnp.int32)
+    ny = nvox[1]
+    nz = nvox[2]
+    n = nvox[0] * ny * nz
+    in_grid = flat < n
+    safe = jnp.minimum(flat, n - 1)
+    i0 = safe // (ny * nz)
+    rem = safe % (ny * nz)
+    i1 = rem // nz
+    i2 = rem % nz
+    idx = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
+    return idx * voxel_size + jnp.asarray(origin, jnp.float32), in_grid
+
+
 def voxel_world_coords_flat(nvox, origin, voxel_size, start, count: int):
     """World coords for the flat-index range [start, start+count).
 
@@ -53,19 +75,8 @@ def voxel_world_coords_flat(nvox, origin, voxel_size, start, count: int):
     in_grid [count] bool) where in_grid masks padding voxels past
     prod(nvox).
     """
-    nvox = jnp.asarray(nvox, jnp.int32)
-    ny = nvox[1]
-    nz = nvox[2]
-    n = nvox[0] * ny * nz
     flat = start + jax.lax.broadcasted_iota(jnp.int32, (count, 1), 0)[:, 0]
-    in_grid = flat < n
-    safe = jnp.minimum(flat, n - 1)
-    i0 = safe // (ny * nz)
-    rem = safe % (ny * nz)
-    i1 = rem // nz
-    i2 = rem % nz
-    idx = jnp.stack([i0, i1, i2], axis=-1).astype(jnp.float32)
-    return idx * voxel_size + jnp.asarray(origin, jnp.float32), in_grid
+    return decode_flat_coords(nvox, origin, voxel_size, flat)
 
 
 def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K, labels=None):

@@ -52,15 +52,23 @@ class FusionConfig:
     with_labels: bool = False
     num_classes: int = NUM_CLASSES_WITH_SPARE
     # integrator: None = auto ("einsum" chunk-batched splat on TPU, "scan"
-    # elsewhere); explicit: "scan" | "einsum" | "pallas" | "sparse"
+    # elsewhere); explicit: "scan" | "einsum" | "pallas" | "sparse" | "brick"
     # ("sparse" restricts rgb/feature/label work to near-surface voxels,
-    # exact with dense fallback; see grid/fusion.py)
+    # exact with dense fallback, see grid/fusion.py; "brick" additionally
+    # frustum-culls the dense geometry/TSDF pass at brick granularity,
+    # exact with in-jit fallbacks, see grid/brick.py)
     integrator: Optional[str] = None
     pallas_tile: int = 512
     # sparse integrator active-set slots: 0 = adaptive (start at
     # min(N//4, 64Ki), grow from observed per-chunk union counts); explicit
     # value = fixed. Overflow is exact either way (in-jit dense fallback).
+    # The brick integrator uses this for its phase-2 voxel slots too.
     sparse_capacity: int = 0
+    # brick integrator: flat-index brick granularity (tighter bricks cull
+    # more; scatter stays contiguous per brick) and active-brick slots
+    # (0 = adaptive from observed per-chunk frustum-brick counts)
+    brick_size: int = 128
+    brick_capacity: int = 0
     # round the flat voxel buffer up to this multiple so scans with similar
     # bounds reuse one compiled executable (grid dims are traced data, only
     # the buffer SIZE is baked into the compile). None = auto: 65536 on TPU
@@ -326,7 +334,7 @@ def fuse_scan(
         with_labels=config.with_labels,
         num_classes=config.num_classes,
         pad_to=bucket,
-        min_padding=1 if integrator == "sparse" else 0,
+        min_padding=1 if integrator in ("sparse", "brick") else 0,
     )
 
     n = len(dataset)
@@ -343,12 +351,27 @@ def fuse_scan(
     sparse_cap = 0
     sparse_adaptive = False
     sparse_counts: list = []
-    if integrator == "sparse":
+    if integrator in ("sparse", "brick"):
         n_buf = grid.tsdf_sum.shape[0]
         sparse_cap = config.sparse_capacity or min(
             max(1024, n_buf // 4), _SPARSE_CAP_START
         )
         sparse_adaptive = config.sparse_capacity == 0
+
+    # the brick integrator's second adaptive budget: active-brick slots.
+    # Same controller shape as the voxel capacity (read counts two chunks
+    # behind, grow to 2x observed rounded up), but in brick units.
+    brick_cap = 0
+    brick_adaptive = False
+    brick_counts: list = []
+    if integrator == "brick":
+        nb_total = -(-grid.tsdf_sum.shape[0] // config.brick_size)
+        brick_round = max(64, _SPARSE_CAP_ROUND // config.brick_size)
+        brick_cap = config.brick_capacity or min(
+            max(64, nb_total // 4),
+            max(64, _SPARSE_CAP_START // config.brick_size),
+        )
+        brick_adaptive = config.brick_capacity == 0
 
     start_frame = 0
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
@@ -501,6 +524,38 @@ def fuse_scan(
                         )
                         say(f"sparse capacity -> {sparse_cap} "
                             f"(union {c})")
+        elif integrator == "brick":
+            from .grid.brick import integrate_frames_brick
+
+            grid, nbc, cnt = integrate_frames_brick(
+                grid, batch, rgb_mode=config.rgb_mode,
+                brick_size=config.brick_size, brick_capacity=brick_cap,
+                capacity=sparse_cap, with_count=True,
+                label_vote_mode=config.label_vote_mode,
+            )
+            if brick_adaptive:
+                brick_counts.append(nbc)
+                if len(brick_counts) > 2:
+                    c = int(np.asarray(brick_counts.pop(0)))
+                    if c > brick_cap - brick_cap // 4:
+                        brick_cap = min(
+                            -(-(2 * c) // brick_round) * brick_round,
+                            nb_total,
+                        )
+                        say(f"brick capacity -> {brick_cap} "
+                            f"(frustum bricks {c})")
+            if sparse_adaptive:
+                sparse_counts.append(cnt)
+                if len(sparse_counts) > 2:
+                    c = int(np.asarray(sparse_counts.pop(0)))
+                    if c > sparse_cap - sparse_cap // 4:
+                        sparse_cap = min(
+                            -(-(2 * c) // _SPARSE_CAP_ROUND)
+                            * _SPARSE_CAP_ROUND,
+                            n_buf,
+                        )
+                        say(f"sparse capacity -> {sparse_cap} "
+                            f"(union {c})")
         else:
             grid = integrate_frames(
                 grid, batch, rgb_mode=config.rgb_mode,
@@ -541,8 +596,10 @@ def fuse_scan(
 
     timings["inference_s"] = t_inference
     timings["integrate_s"] = t_integrate
-    if integrator == "sparse":
+    if integrator in ("sparse", "brick"):
         timings["sparse_capacity"] = sparse_cap
+    if integrator == "brick":
+        timings["brick_capacity"] = brick_cap
 
     prefetcher.shutdown(wait=False)
 

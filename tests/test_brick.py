@@ -1,0 +1,200 @@
+"""Brick-culled integrator (grid/brick.py) parity and conservativeness.
+
+The brick integrator must reproduce the dense scan path bit-for-bit for ANY
+input: culling is conservative (plane-AABB frustum test), selected-brick
+processing runs the same math, and both capacity overflows (brick slots,
+near-surface voxel slots) fall back in-jit without changing results.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.grid import FrameBatch, integrate_frames
+from spatially_aware_ai_tpu.grid.brick import (
+    active_brick_mask,
+    integrate_frames_brick,
+)
+from spatially_aware_ai_tpu.grid.voxel_grid import create_grid
+
+from test_fusion import make_scene
+from test_parallel import build_batch, grid_args
+
+RNG = np.random.default_rng(7)
+
+INT_FIELDS = ["tsdf_w", "w", "label_hist"]
+F32_FIELDS = [("tsdf_sum", 1e-5), ("rgb_sum", 1e-5), ("feat_sum", 1e-4)]
+
+
+def assert_grid_parity(out, ref, n):
+    for name in INT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name))[:n],
+            np.asarray(getattr(ref, name)), err_msg=name,
+        )
+    for name, atol in F32_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out, name))[:n],
+            np.asarray(getattr(ref, name)), atol=atol, err_msg=name,
+        )
+    # padding (incl. the scatter sink) stays clean
+    assert np.asarray(out.w)[n:].sum() == 0
+    assert np.abs(np.asarray(out.feat_sum)[n:]).sum() == 0
+
+
+def brick_grid(scene, **over):
+    return create_grid(**dict(grid_args(scene), pad_to=8, min_padding=1),
+                       **over)
+
+
+def test_brick_branch_matches_dense():
+    scene = make_scene(num_frames=5)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    out, nb, cnt = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16, with_count=True,
+    )
+    # default capacities cover the whole tiny grid -> brick branch taken
+    nb_total = -(-out.tsdf_sum.shape[0] // 16)
+    assert 0 < int(nb) <= nb_total
+    assert_grid_parity(out, ref, n)
+
+
+def test_brick_overflow_falls_back_sparse():
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    # brick_capacity=1 certainly overflows -> sparse-integrator fallback
+    out = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16, brick_capacity=1,
+    )
+    assert_grid_parity(out, ref, n)
+
+
+def test_voxel_overflow_within_bricks_falls_back_dense():
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    # bricks fit but the voxel union overflows capacity=8 -> dense-within-
+    # bricks branch
+    out = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16, capacity=8,
+    )
+    assert_grid_parity(out, ref, n)
+
+
+def test_with_count_reports_true_counts():
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+
+    out, nb, cnt = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16, with_count=True,
+    )
+    expect_vox = int((np.asarray(out.w) > 0).sum())
+    assert int(cnt) == expect_vox
+    mask = np.asarray(active_brick_mask(brick_grid(scene), batch, 16))
+    assert int(nb) == int(mask.sum())
+
+
+def test_cull_is_conservative_and_actually_culls():
+    """Every voxel the dense path touches lies in an active brick, and a
+    camera that sees only part of the scene culls a nontrivial fraction."""
+    scene = make_scene(num_frames=1)
+    # move the camera close so the frustum covers only a corner of the grid
+    depth, rgb, pose, K, feat_img, labels = scene["frames"][0]
+    pose = pose.copy()
+    pose[:3, 3] = np.array([-0.2, -0.15, 0.45], np.float32)  # at grid corner
+    scene["frames"][0] = (depth, rgb, pose, K, feat_img, labels)
+    batch = build_batch(scene, with_labels=True)
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    touched = (np.asarray(ref.tsdf_w) > 0) | (np.asarray(ref.w) > 0)
+
+    B = 8
+    g = brick_grid(scene)
+    mask = np.asarray(active_brick_mask(g, batch, B))
+    n = ref.tsdf_sum.shape[0]
+    per_voxel_active = np.repeat(mask, B)[:n]
+    assert (per_voxel_active | ~touched).all(), (
+        "cull dropped a voxel the dense path updates"
+    )
+    assert mask.sum() < mask.size, "nothing culled for a partial view"
+
+    # and the integrate itself still matches
+    out = integrate_frames_brick(g, batch, brick_size=B)
+    assert_grid_parity(out, ref, n)
+
+
+def test_projective_K_parity():
+    """Hypersim-style K with a non-[0,0,1] bottom row: the plane derivation
+    uses the K rows directly, so generalized projective cameras stay exact
+    (core/geometry.py:hypersim_M_to_K produces such K)."""
+    scene = make_scene(num_frames=3)
+    fixed = []
+    for depth, rgb, pose, K, feat_img, labels in scene["frames"]:
+        K = K.copy()
+        K[2] = np.array([0.01, -0.02, 1.0], np.float32)
+        fixed.append((depth, rgb, pose, K, feat_img, labels))
+    scene["frames"] = fixed
+    batch = build_batch(scene, with_labels=True)
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    out = integrate_frames_brick(brick_grid(scene), batch, brick_size=16)
+    assert_grid_parity(out, ref, ref.tsdf_sum.shape[0])
+
+
+def test_invalid_frames_are_noops_and_culled():
+    scene = make_scene(num_frames=3)
+    batch = build_batch(scene, with_labels=True)
+    pad = lambda x: jnp.concatenate([x, x[-1:]], axis=0)
+    padded = FrameBatch(
+        depth=pad(batch.depth), rgb=pad(batch.rgb), pose=pad(batch.pose),
+        K=pad(batch.K), feat_img=pad(batch.feat_img),
+        labels=pad(batch.labels),
+        frame_valid=jnp.array([True, True, True, False]),
+    )
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    out = integrate_frames_brick(brick_grid(scene), padded, brick_size=16)
+    assert_grid_parity(out, ref, ref.tsdf_sum.shape[0])
+
+    # an all-invalid chunk activates no bricks at all
+    none = FrameBatch(
+        depth=batch.depth, rgb=batch.rgb, pose=batch.pose, K=batch.K,
+        feat_img=batch.feat_img, labels=batch.labels,
+        frame_valid=jnp.zeros(3, bool),
+    )
+    mask = np.asarray(active_brick_mask(brick_grid(scene), none, 16))
+    assert mask.sum() == 0
+
+
+def test_near_surface_votes_parity():
+    from spatially_aware_ai_tpu.grid.fusion import integrate_frames_sparse
+
+    scene = make_scene(num_frames=4)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames_sparse(
+        brick_grid(scene), batch, label_vote_mode="near_surface",
+    )
+    out = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16,
+        label_vote_mode="near_surface",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.label_hist), np.asarray(ref.label_hist)
+    )
+
+
+def test_nearest_rgb_parity():
+    scene = make_scene(num_frames=3)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(
+        create_grid(**grid_args(scene)), batch, rgb_mode="nearest"
+    )
+    out = integrate_frames_brick(
+        brick_grid(scene), batch, brick_size=16, rgb_mode="nearest"
+    )
+    assert_grid_parity(out, ref, ref.tsdf_sum.shape[0])

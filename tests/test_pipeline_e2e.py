@@ -165,6 +165,40 @@ def test_sparse_integrator_pipeline_matches_scan():
     )
 
 
+def test_brick_integrator_pipeline_matches_scan(monkeypatch):
+    """The brick-culled integrator through fuse_scan, with BOTH adaptive
+    budgets (active-brick slots and near-surface voxel slots) forced to
+    start tiny so growth and the in-jit fallbacks all exercise — results
+    must match the scan integrator bit-for-bit on the integer channels."""
+    from spatially_aware_ai_tpu import pipeline as P
+
+    monkeypatch.setattr(P, "_SPARSE_CAP_START", 64)
+    monkeypatch.setattr(P, "_SPARSE_CAP_ROUND", 64)
+
+    ds = SyntheticSceneDataset(num_frames=12, width=64, height=48)
+    engine = ClipEngine.tiny()
+    base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=3)
+    r_scan = fuse_scan(ds, engine, FusionConfig(**base, integrator="scan"))
+    r_brick = fuse_scan(
+        ds, engine, FusionConfig(**base, integrator="brick", brick_size=32)
+    )
+    assert r_brick.timings["brick_capacity"] > 0
+    np.testing.assert_array_equal(
+        r_brick.values["weight"], r_scan.values["weight"]
+    )
+    np.testing.assert_array_equal(
+        r_brick.values["tsdf_weight"], r_scan.values["tsdf_weight"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_brick.feat_grid), np.asarray(r_scan.feat_grid),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        r_brick.values["rgb"], r_scan.values["rgb"], atol=1e-5
+    )
+
+
 def test_scan_smaller_than_one_chunk():
     ds = SyntheticSceneDataset(num_frames=2, width=48, height=36)
     engine = ClipEngine.tiny()
