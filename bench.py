@@ -105,14 +105,19 @@ def main():
     poses = np.stack(poses).astype(np.float32)
     Ks = np.stack(Ks).astype(np.float32)
 
-    # --- grid at the reference's default scale: ~57x56x55 voxels ---
-    nvox = (57, 56, 55)
+    # --- grid at the reference's default scale: ~57x56x55 voxels at
+    # 0.04 m. SAI_BENCH_VOXEL overrides the voxel size (same world bounds,
+    # so 0.02 quadruples... 8x the voxel count) for fine-grid integrator
+    # A/Bs. ---
+    vox = float(os.environ.get("SAI_BENCH_VOXEL", "0.04"))
+    scale = 0.04 / vox
+    nvox = tuple(int(np.ceil(d * scale)) for d in (57, 56, 55))
     origin = np.array([-1.2, -0.7, -1.2], np.float32)
 
     engine = ClipEngine.tiny() if tiny else ClipEngine.random(seed=0)
 
     grid = create_grid(
-        origin, 0.04, nvox, trunc=3 * 0.04,
+        origin, vox, nvox, trunc=3 * vox,
         feature_dim=engine.feature_dim, with_labels=True, pad_to=1024,
         min_padding=1,
     )
@@ -350,6 +355,7 @@ def main_full():
         cfg = FusionConfig(
             voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=64, clip_patch_stride=32,
+            integrator=os.environ.get("SAI_BENCH_INTEGRATOR"),
         )
     else:
         engine = ClipEngine.random(seed=0)
@@ -357,6 +363,9 @@ def main_full():
         cfg = FusionConfig(
             voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=256, clip_patch_stride=128,
+            # None = pipeline auto (sparse on TPU); SAI_BENCH_INTEGRATOR
+            # A/Bs the full pipeline too (e.g. brick, grid/brick.py)
+            integrator=os.environ.get("SAI_BENCH_INTEGRATOR"),
         )
 
     # --- kMaX-only throughput: device-resident input, one sync across the

@@ -50,4 +50,12 @@ step bench_kmax2 1800 python benchmarks/bench_kmax2.py
 # 5. end-to-end product loop (reconstruct, query, learn, missing-object)
 step demo 3600 python examples/demo.py "$OUT/demo_scene"
 
+# 6. integrator A/B: brick frustum culling vs sparse, default + fine grid
+#    (grid/brick.py; expected to win where frames see part of the grid)
+step bench_brick 1800 env SAI_BENCH_INTEGRATOR=brick python bench.py
+step bench_sparse_fine 2400 env SAI_BENCH_INTEGRATOR=sparse \
+    SAI_BENCH_VOXEL=0.02 python bench.py
+step bench_brick_fine 2400 env SAI_BENCH_INTEGRATOR=brick \
+    SAI_BENCH_VOXEL=0.02 python bench.py
+
 note "batch complete; see $OUT/*.out"
