@@ -49,20 +49,16 @@ def _replicated_specs(tree):
     return jax.tree.map(lambda x: P(), tree)
 
 
-def integrate_frames_sharded(
+def make_sharded_integrate(
     mesh, grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
     axis: str = AXIS, integrator: str = "scan", pallas_tile: int = 512,
-    pallas_interpret: bool = False, use_pallas: bool = False,
-) -> FusionGrid:
-    """shard_map fusion: grid voxel-sharded, frames replicated, no comms.
-
-    integrator: "scan" (reference-exact oracle), "einsum" (chunk-batched
-    splat, the production fast path — each shard splats its local voxel
-    slice), or "pallas" (fused kernel; local shard size must be a multiple
-    of pallas_tile). `use_pallas=True` is a deprecated alias for
-    integrator="pallas"."""
-    if use_pallas:
-        integrator = "pallas"
+    pallas_interpret: bool = False, label_vote_mode: str = "uniform",
+):
+    """Build ONE jitted shard_map fusion step (grid, frames) -> grid for the
+    given example structures. Build it once per scan and call it per chunk —
+    `integrate_frames_sharded` constructs (and re-jits) the program on every
+    call, which is fine for tests but pays a trace per chunk in a pipeline
+    loop."""
     n_dev = mesh.shape[axis]
     n_local = grid.tsdf_sum.shape[0] // n_dev
     if grid.tsdf_sum.shape[0] % n_dev != 0:
@@ -79,9 +75,12 @@ def integrate_frames_sharded(
             return integrate_frames_hybrid_impl(
                 g, f, rgb_mode=rgb_mode, voxel_start=start,
                 tile=pallas_tile, interpret=pallas_interpret,
-                splat=integrator,
+                splat=integrator, label_vote_mode=label_vote_mode,
             )
-        return integrate_frames_impl(g, f, rgb_mode=rgb_mode, voxel_start=start)
+        return integrate_frames_impl(
+            g, f, rgb_mode=rgb_mode, voxel_start=start,
+            label_vote_mode=label_vote_mode,
+        )
 
     fn = jax.shard_map(
         body,
@@ -90,7 +89,30 @@ def integrate_frames_sharded(
         out_specs=_grid_specs(grid, axis),
         check_vma=False,
     )
-    return jax.jit(fn, donate_argnums=(0,))(grid, frames)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def integrate_frames_sharded(
+    mesh, grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
+    axis: str = AXIS, integrator: str = "scan", pallas_tile: int = 512,
+    pallas_interpret: bool = False, use_pallas: bool = False,
+    label_vote_mode: str = "uniform",
+) -> FusionGrid:
+    """shard_map fusion: grid voxel-sharded, frames replicated, no comms.
+
+    integrator: "scan" (reference-exact oracle), "einsum" (chunk-batched
+    splat, the production fast path — each shard splats its local voxel
+    slice), or "pallas" (fused kernel; local shard size must be a multiple
+    of pallas_tile). `use_pallas=True` is a deprecated alias for
+    integrator="pallas"."""
+    if use_pallas:
+        integrator = "pallas"
+    fn = make_sharded_integrate(
+        mesh, grid, frames, rgb_mode=rgb_mode, axis=axis,
+        integrator=integrator, pallas_tile=pallas_tile,
+        pallas_interpret=pallas_interpret, label_vote_mode=label_vote_mode,
+    )
+    return fn(grid, frames)
 
 
 def make_sharded_fusion_step(

@@ -11,6 +11,7 @@ recompiling.
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import time
 from typing import Callable, Dict, Optional
@@ -69,6 +70,14 @@ class FusionConfig:
     # (0 = adaptive from observed per-chunk frustum-brick counts)
     brick_size: int = 128
     brick_capacity: int = 0
+    # multi-chip: voxel-shard the grid over all local devices and run the
+    # shard_map fusion step (parallel/sharded.py — zero collectives in the
+    # hot loop; every chip integrates all frames into its own voxel shard).
+    # Opt-in: single-chip benches and CPU tests keep the unsharded paths.
+    # With >1 device this overrides integrator with the sharded step
+    # ("scan"/"einsum"/"pallas" honored inside the shard; sparse/brick
+    # map to einsum).
+    shard_voxels: bool = False
     # round the flat voxel buffer up to this multiple so scans with similar
     # bounds reuse one compiled executable (grid dims are traced data, only
     # the buffer SIZE is baked into the compile). None = auto: 65536 on TPU
@@ -314,6 +323,22 @@ def fuse_scan(
     if integrator is None:
         integrator = "sparse" if jax.default_backend() == "tpu" else "scan"
 
+    # multi-chip voxel sharding (opt-in): the shard_map step hosts the
+    # scan/einsum/pallas integrators; sparse/brick compaction is per-device
+    # bookkeeping, so those map to the einsum splat inside the shard
+    mesh_obj = None
+    shard_integrator = None
+    if config.shard_voxels and len(jax.devices()) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh()
+        shard_integrator = (
+            integrator if integrator in ("scan", "einsum", "pallas")
+            else "einsum"
+        )
+        say(f"voxel-sharded fusion over {len(jax.devices())} devices "
+            f"({shard_integrator} in-shard)")
+
     bucket = config.grid_size_bucket
     if bucket is None:
         bucket = 65536 if jax.default_backend() == "tpu" else 1
@@ -324,6 +349,13 @@ def fuse_scan(
                 f"grid_size_bucket {bucket} must be a multiple of "
                 f"pallas_tile {config.pallas_tile}"
             )
+    if mesh_obj is not None:
+        # buffer length must split evenly over the mesh (and each local
+        # pallas shard must still be tile-aligned)
+        n_dev = mesh_obj.devices.size
+        bucket = math.lcm(bucket, n_dev * (
+            config.pallas_tile if shard_integrator == "pallas" else 1
+        ))
 
     grid = create_grid(
         minbound,
@@ -336,6 +368,11 @@ def fuse_scan(
         pad_to=bucket,
         min_padding=1 if integrator in ("sparse", "brick") else 0,
     )
+    if mesh_obj is not None:
+        from .parallel.sharded import shard_grid
+
+        grid = shard_grid(mesh_obj, grid)
+    shard_step = None  # built lazily at the first chunk (needs the batch)
 
     n = len(dataset)
     F = config.frame_chunk
@@ -385,6 +422,8 @@ def fuse_scan(
                 and frames_done % F == 0
             ):
                 grid = ck_grid
+                if mesh_obj is not None:
+                    grid = shard_grid(mesh_obj, grid)
                 start_frame = frames_done
                 say(f"resumed from checkpoint at frame {start_frame}")
         except Exception as e:  # corrupt checkpoint: start over
@@ -493,7 +532,18 @@ def fuse_scan(
             ),
         )
         t1 = time.perf_counter()
-        if integrator == "pallas":
+        if mesh_obj is not None:
+            if shard_step is None:
+                from .parallel.sharded import make_sharded_integrate
+
+                shard_step = make_sharded_integrate(
+                    mesh_obj, grid, batch, rgb_mode=config.rgb_mode,
+                    integrator=shard_integrator,
+                    pallas_tile=config.pallas_tile,
+                    label_vote_mode=config.label_vote_mode,
+                )
+            grid = shard_step(grid, batch)
+        elif integrator == "pallas":
             grid = integrate_frames_pallas(
                 grid, batch, rgb_mode=config.rgb_mode,
                 tile=config.pallas_tile,

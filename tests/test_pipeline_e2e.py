@@ -199,6 +199,72 @@ def test_brick_integrator_pipeline_matches_scan(monkeypatch):
     )
 
 
+def test_shard_voxels_pipeline_matches_single_device():
+    """fuse_scan with shard_voxels=True runs the shard_map fusion step over
+    the test mesh (8 virtual CPU devices, conftest) and must match the
+    single-device scan path bit-for-bit on integer channels — the sum-form
+    accumulators make voxel sharding communication-free (parallel/sharded.py)
+    so there is no numerical difference to tolerate beyond matmul order."""
+    import jax
+
+    assert len(jax.devices()) > 1  # conftest provisions the virtual mesh
+
+    ds = SyntheticSceneDataset(num_frames=9, width=64, height=48)
+    engine = ClipEngine.tiny()
+
+    def segmenter(rgb):
+        rgb = np.asarray(rgb)
+        for i in range(len(ds)):
+            f = ds[i]
+            if f.rgb.shape == rgb.shape and np.allclose(
+                f.rgb, rgb, atol=1.0 / 254
+            ):
+                lab = ds.render_labels(i).copy()
+                lab[lab < 0] = NULL_CLASS_ID
+                return lab
+        raise AssertionError("frame not found")
+
+    base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=4, with_labels=True)
+    r_one = fuse_scan(
+        ds, engine, FusionConfig(**base, integrator="scan"),
+        segmenter=segmenter,
+    )
+    r_shard = fuse_scan(
+        ds, engine,
+        FusionConfig(**base, integrator="scan", shard_voxels=True),
+        segmenter=segmenter,
+    )
+    np.testing.assert_array_equal(
+        r_shard.values["weight"], r_one.values["weight"]
+    )
+    np.testing.assert_array_equal(
+        r_shard.values["class_id"], r_one.values["class_id"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_shard.feat_grid), np.asarray(r_one.feat_grid),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        r_shard.values["rgb"], r_one.values["rgb"], atol=1e-5
+    )
+
+    # the sharded einsum production path (used when integrator is
+    # sparse/brick under sharding) stays exact too
+    r_shard_e = fuse_scan(
+        ds, engine,
+        FusionConfig(**base, integrator="sparse", shard_voxels=True),
+        segmenter=segmenter,
+    )
+    np.testing.assert_array_equal(
+        r_shard_e.values["weight"], r_one.values["weight"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_shard_e.feat_grid), np.asarray(r_one.feat_grid),
+        atol=1e-4,
+    )
+
+
 def test_scan_smaller_than_one_chunk():
     ds = SyntheticSceneDataset(num_frames=2, width=48, height=36)
     engine = ClipEngine.tiny()
