@@ -154,6 +154,11 @@ class InSituManager:
             "label_vote_mode": os.environ.get(
                 "SAI_LABEL_VOTES", "uniform"
             ),
+            # integrator override (scan|einsum|pallas|sparse|brick; empty =
+            # pipeline auto) and multi-chip voxel sharding (parallel/
+            # sharded.py) — deployment knobs, echoed into config.yml
+            "integrator": os.environ.get("SAI_INTEGRATOR") or None,
+            "shard_voxels": os.environ.get("SAI_SHARD_VOXELS") == "1",
         }
         self.config = dotdict(config)
         self.curr_ver = curr_ver
@@ -245,6 +250,26 @@ class InSituManager:
             self.run_clipfusion(curr_ver=curr_ver)
 
     # -- version / config ---------------------------------------------------
+
+    def _fusion_config(self, voxel_size=None):
+        """The ONE place the manager turns its config dict into a pipeline
+        FusionConfig: scan rebuilds, live sessions, and post-crash live
+        resume must never diverge on fusion semantics. `voxel_size`
+        overrides the configured default (live sessions accept a per-stream
+        value; live_resume replays with the crashed session's)."""
+        cfg = self.config
+        return FusionConfig(
+            voxel_size=float(voxel_size or cfg.voxel_size),
+            trunc_vox=cfg.trunc_vox,
+            clip_patch_size=cfg.clip_patch_size,
+            clip_patch_stride=cfg.clip_patch_stride,
+            frame_chunk=self.frame_chunk,
+            with_labels=True,
+            rgb_mode="bilinear",
+            label_vote_mode=cfg.get("label_vote_mode", "uniform"),
+            integrator=cfg.get("integrator"),
+            shard_voxels=bool(cfg.get("shard_voxels", False)),
+        )
 
     def update_config(self, target_version: int):
         with self.lock:
@@ -369,16 +394,7 @@ class InSituManager:
                 views_limit if views_limit is not None else self.views_limit,
             )
 
-        fusion_cfg = FusionConfig(
-            voxel_size=cfg.voxel_size,
-            trunc_vox=cfg.trunc_vox,
-            clip_patch_size=cfg.clip_patch_size,
-            clip_patch_stride=cfg.clip_patch_stride,
-            frame_chunk=self.frame_chunk,
-            with_labels=True,
-            rgb_mode="bilinear",
-            label_vote_mode=cfg.get("label_vote_mode", "uniform"),
-        )
+        fusion_cfg = self._fusion_config()
         say("fusing")
         on_chunk = None
         if on_preview is not None:
@@ -734,7 +750,6 @@ class InSituManager:
         import shutil
 
         from ..data.live import staging_parts
-        from ..pipeline import FusionConfig
         from .live import LiveScanSession
 
         with self.lock, self._staging_lock:
@@ -750,17 +765,7 @@ class InSituManager:
                         "discard_staged=1 to drop them"
                     )
                 shutil.rmtree(staging, ignore_errors=True)
-            cfg = self.config
-            fusion_cfg = FusionConfig(
-                voxel_size=float(voxel_size or cfg.voxel_size),
-                trunc_vox=cfg.trunc_vox,
-                clip_patch_size=cfg.clip_patch_size,
-                clip_patch_stride=cfg.clip_patch_stride,
-                frame_chunk=self.frame_chunk,
-                with_labels=True,
-                rgb_mode="bilinear",
-                label_vote_mode=cfg.get("label_vote_mode", "uniform"),
-            )
+            fusion_cfg = self._fusion_config(voxel_size=voxel_size)
             self._live = LiveScanSession(
                 self.clip_model, self.seg_model, fusion_cfg,
                 margin_m=margin_m, staging_dir=staging,
@@ -887,7 +892,6 @@ class InSituManager:
         offline version). The sum-form grid makes the replay exact: staged
         parts re-integrate in order, then new pushes append as usual."""
         from ..data.live import staging_parts
-        from ..pipeline import FusionConfig
         from .live import LiveScanSession
 
         from ..data.live import load_staging_parts
@@ -906,18 +910,8 @@ class InSituManager:
                     params = json.load(f)
             except (OSError, json.JSONDecodeError):
                 pass  # torn/missing meta: fall back to current defaults
-            cfg = self.config
-            fusion_cfg = FusionConfig(
-                voxel_size=float(
-                    params.get("voxel_size", cfg.voxel_size)
-                ),
-                trunc_vox=cfg.trunc_vox,
-                clip_patch_size=cfg.clip_patch_size,
-                clip_patch_stride=cfg.clip_patch_stride,
-                frame_chunk=self.frame_chunk,
-                with_labels=True,
-                rgb_mode="bilinear",
-                label_vote_mode=cfg.get("label_vote_mode", "uniform"),
+            fusion_cfg = self._fusion_config(
+                voxel_size=params.get("voxel_size")
             )
             sess = LiveScanSession(
                 self.clip_model, self.seg_model, fusion_cfg,

@@ -57,6 +57,49 @@ def test_manager_label_votes_from_env(monkeypatch, tmp_path):
     assert manager.config.label_vote_mode == "near_surface"
 
 
+def test_manager_integrator_and_sharding_from_env(monkeypatch, tmp_path):
+    """SAI_INTEGRATOR / SAI_SHARD_VOXELS select the fusion integrator and
+    multi-chip voxel sharding for every manager fusion path (scan rebuilds
+    AND live sessions go through the shared _fusion_config)."""
+    monkeypatch.setenv("SAI_INTEGRATOR", "brick")
+    monkeypatch.setenv("SAI_SHARD_VOXELS", "1")
+    manager = InSituManager(
+        scan_dir=str(tmp_path / "scans"),
+        scan_name="demo",
+        dataset="synthetic",
+        output_dir=str(tmp_path / "out"),
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        insitu_model=object(),
+        auto_reconstruct=False,
+    )
+    fc = manager._fusion_config()
+    assert fc.integrator == "brick"
+    assert fc.shard_voxels is True
+    # live sessions get the identical semantics plus the per-stream voxel
+    # size override
+    fc_live = manager._fusion_config(voxel_size=0.02)
+    assert fc_live.integrator == "brick"
+    assert fc_live.shard_voxels is True
+    assert fc_live.voxel_size == 0.02
+
+    monkeypatch.delenv("SAI_INTEGRATOR")
+    monkeypatch.delenv("SAI_SHARD_VOXELS")
+    manager2 = InSituManager(
+        scan_dir=str(tmp_path / "scans"),
+        scan_name="demo",
+        dataset="synthetic",
+        output_dir=str(tmp_path / "out"),
+        clip_engine=ClipEngine.tiny(),
+        seg_model=ColorSegmenter(SyntheticScene.demo_room()),
+        insitu_model=object(),
+        auto_reconstruct=False,
+    )
+    fc2 = manager2._fusion_config()
+    assert fc2.integrator is None  # pipeline auto
+    assert fc2.shard_voxels is False
+
+
 def test_kmax_from_checkpoint_roundtrip(tmp_path):
     """from_checkpoint loads a params pickle produced by the converter CLI
     and reproduces the same outputs."""
