@@ -104,6 +104,12 @@ class LiveScanSession:
         self.timings = {"inference_s": 0.0, "integrate_s": 0.0,
                         "bounds_s": 0.0}
 
+        # adaptive sparse/brick slot budgets (see _integrate_compact),
+        # carried across the stream's chunks
+        self._sparse_cap = 0
+        self._brick_cap = 0
+        self._cap_counts: list = []
+
     # -- push ---------------------------------------------------------------
 
     def push(self, rgb, depth, pose, K, _stage: bool = True) -> dict:
@@ -229,6 +235,17 @@ class LiveScanSession:
 
     # -- grid + integration --------------------------------------------------
 
+    def _integrator(self) -> str:
+        """Effective integrator for this stream. Default stays einsum on
+        TPU (not fuse_scan's sparse: a short stream has no scan length to
+        amortize adaptive capacity growth against, and einsum is within ~5%
+        at the default operating point); FusionConfig.integrator /
+        SAI_INTEGRATOR overrides — live grids carry the 1 m empty margin,
+        where the brick/sparse compaction pays off on long streams."""
+        if self.cfg.integrator:
+            return self.cfg.integrator
+        return "einsum" if self.on_tpu else "scan"
+
     def _ensure_grid(self):
         if self.grid is not None:
             return
@@ -244,13 +261,19 @@ class LiveScanSession:
         self.nvox = compute_grid_dims(minb, maxb, cfg.voxel_size)
         self.origin = np.asarray(minb, np.float32)
         self.maxbound = np.asarray(maxb, np.float32)
+        integ = self._integrator()
+        pad_to = self.bucket
+        if integ == "pallas":
+            import math
+
+            pad_to = math.lcm(pad_to, cfg.pallas_tile)
         self.grid = create_grid(
             minb, cfg.voxel_size, self.nvox, cfg.trunc_m,
             feature_dim=self.clip.feature_dim,
             with_labels=cfg.with_labels,
             num_classes=cfg.num_classes,
-            pad_to=self.bucket,
-            min_padding=0,
+            pad_to=pad_to,
+            min_padding=1 if integ in ("sparse", "brick") else 0,
         )
 
     def _integrate(self, chunk, n_real: int):
@@ -296,12 +319,18 @@ class LiveScanSession:
             ),
         )
         t0 = time.perf_counter()
-        if self.on_tpu:
-            # einsum (not fuse_scan's sparse default): the sparse
-            # integrator's win comes from an adaptively-sized active-set
-            # capacity tuned over a whole scan; a live stream has no scan
-            # length to amortize capacity growth against, and einsum is
-            # within ~5% at the default operating point
+        integ = self._integrator()
+        if integ in ("sparse", "brick"):
+            self._integrate_compact(integ, batch)
+        elif integ == "pallas":
+            from ..grid.fusion import integrate_frames_pallas
+
+            self.grid = integrate_frames_pallas(
+                self.grid, batch, rgb_mode=cfg.rgb_mode,
+                tile=cfg.pallas_tile,
+                label_vote_mode=cfg.label_vote_mode,
+            )
+        elif integ == "einsum":
             self.grid = integrate_frames_einsum(
                 self.grid, batch, rgb_mode=cfg.rgb_mode,
                 label_vote_mode=cfg.label_vote_mode,
@@ -313,6 +342,62 @@ class LiveScanSession:
             )
         self.timings["integrate_s"] += time.perf_counter() - t0
         self.frames_integrated += n_real
+
+    def _integrate_compact(self, integ: str, batch):
+        """sparse/brick integration with the pipeline's adaptive slot
+        budgets, carried chunk-over-chunk as session state (a live stream
+        has no fixed scan length, so the budgets tune over the stream's own
+        history; counts are read two chunks behind to keep dispatch
+        async — same controller as fuse_scan)."""
+        from ..pipeline import _SPARSE_CAP_ROUND, _SPARSE_CAP_START
+
+        cfg = self.cfg
+        n_buf = self.grid.tsdf_sum.shape[0]
+        if self._sparse_cap == 0:
+            self._sparse_cap = cfg.sparse_capacity or min(
+                max(1024, n_buf // 4), _SPARSE_CAP_START
+            )
+        nb_total = -(-n_buf // cfg.brick_size)
+        brick_round = max(64, _SPARSE_CAP_ROUND // cfg.brick_size)
+        if integ == "brick":
+            from ..grid.brick import integrate_frames_brick
+
+            if self._brick_cap == 0:
+                self._brick_cap = cfg.brick_capacity or min(
+                    max(64, nb_total // 4),
+                    max(64, _SPARSE_CAP_START // cfg.brick_size),
+                )
+            self.grid, nbc, cnt = integrate_frames_brick(
+                self.grid, batch, rgb_mode=cfg.rgb_mode,
+                brick_size=cfg.brick_size, brick_capacity=self._brick_cap,
+                capacity=self._sparse_cap, with_count=True,
+                label_vote_mode=cfg.label_vote_mode,
+            )
+            self._cap_counts.append((nbc, cnt))
+        else:
+            from ..grid.fusion import integrate_frames_sparse
+
+            self.grid, cnt = integrate_frames_sparse(
+                self.grid, batch, rgb_mode=cfg.rgb_mode,
+                capacity=self._sparse_cap, with_count=True,
+                label_vote_mode=cfg.label_vote_mode,
+            )
+            self._cap_counts.append((None, cnt))
+        if len(self._cap_counts) > 2:
+            nbc, cnt = self._cap_counts.pop(0)
+            c = int(np.asarray(cnt))
+            if (cfg.sparse_capacity == 0
+                    and c > self._sparse_cap - self._sparse_cap // 4):
+                self._sparse_cap = min(
+                    -(-(2 * c) // _SPARSE_CAP_ROUND) * _SPARSE_CAP_ROUND,
+                    n_buf,
+                )
+            if nbc is not None and cfg.brick_capacity == 0:
+                b = int(np.asarray(nbc))
+                if b > self._brick_cap - self._brick_cap // 4:
+                    self._brick_cap = min(
+                        -(-(2 * b) // brick_round) * brick_round, nb_total
+                    )
 
     # -- snapshot ------------------------------------------------------------
 

@@ -286,3 +286,38 @@ def test_live_push_shape_mismatch_rejected(manager):
             manager.live_push(rgb[0], depth[0], pose[0][:3, :3], K[0])
     finally:
         manager.live_abort()
+
+
+def test_live_integrator_override_matches_default(tmp_path, monkeypatch):
+    """SAI_INTEGRATOR routes the live session through the sparse/brick
+    compact integrators (manager/live.py:_integrate_compact) — the fused
+    grid must match the default path bit-for-bit on integer channels
+    (both are exact; only dispatch differs)."""
+    rgb, depth, pose, K = _frames(8)
+
+    def run(env_val, root):
+        if env_val:
+            monkeypatch.setenv("SAI_INTEGRATOR", env_val)
+        else:
+            monkeypatch.delenv("SAI_INTEGRATOR", raising=False)
+        m = make_manager(root)
+        m.live_begin()
+        for i in range(8):
+            m.live_push(rgb[i], depth[i], pose[i], K[i])
+        sess = m._live
+        caps = (sess._brick_cap, sess._sparse_cap)
+        out = m.live_end()
+        from spatially_aware_ai_tpu.manager.paths import get_path
+
+        sk = get_path(m.config, out["version"], "scene_knowledge")
+        w = np.load(os.path.join(os.path.dirname(sk), "voxel_rgb.npy"))
+        return caps, w
+
+    caps0, w0 = run(None, tmp_path / "a")
+    caps1, w1 = run("brick", tmp_path / "b")
+    caps2, w2 = run("sparse", tmp_path / "c")
+    assert caps1[0] > 0 and caps1[1] > 0  # brick compact path ran
+    assert caps2[1] > 0                   # sparse compact path ran
+    assert caps0 == (0, 0)                # default path untouched
+    np.testing.assert_allclose(w1, w0, atol=1e-5)
+    np.testing.assert_allclose(w2, w0, atol=1e-5)
