@@ -137,10 +137,12 @@ def main():
     # default (exact; dense fallback on overflow; biggest wins at fine
     # grids). SAI_BENCH_INTEGRATOR=scan|einsum|pallas|sparse|brick overrides
     # ("brick" adds frustum culling of the dense TSDF pass, grid/brick.py).
-    integrator = os.environ.get(
-        "SAI_BENCH_INTEGRATOR",
-        "sparse" if jax.default_backend() == "tpu" else "scan",
+    integrator = os.environ.get("SAI_BENCH_INTEGRATOR") or (
+        "sparse" if jax.default_backend() == "tpu" else "scan"
     )
+    if integrator not in ("scan", "einsum", "pallas", "sparse", "brick"):
+        raise SystemExit(f"unknown SAI_BENCH_INTEGRATOR {integrator!r}")
+    brick_caps: dict = {}  # sized at warmup from the measured cull
 
     def run_integrate(grid, batch):
         if integrator == "pallas":
@@ -163,10 +165,25 @@ def main():
             return integrate_frames_sparse(grid, batch)
         elif integrator == "brick":
             from spatially_aware_ai_tpu.grid.brick import (
+                active_brick_mask,
                 integrate_frames_brick,
             )
 
-            return integrate_frames_brick(grid, batch)
+            if not brick_caps:
+                # size the static budgets from the measured frustum-brick
+                # count (the production pipeline adapts these from observed
+                # counts; the bench reuses one chunk, so one probe sizes
+                # them exactly) — the default NB//2 budget could silently
+                # take the sparse fallback and mislabel the A/B
+                B = 128
+                mask = np.asarray(active_brick_mask(grid, batch, B))
+                nb, NB = int(mask.sum()), int(mask.size)
+                cap = min(NB, ((nb * 5 // 4 + 63) // 64) * 64)
+                brick_caps.update(B=B, nb=nb, NB=NB, cap=cap)
+            return integrate_frames_brick(
+                grid, batch, brick_size=brick_caps["B"],
+                brick_capacity=brick_caps["cap"],
+            )
         return integrate_frames(grid, batch)
 
     def run_chunk(grid):
@@ -261,6 +278,15 @@ def main():
         "link": link,
         "est_500frame_scan_s_on_8chips_clip_only": round(500.0 / (fps * 8), 2),
     }
+    if brick_caps:
+        diag["brick_cull"] = {
+            "frustum_bricks": brick_caps["nb"],
+            "total_bricks": brick_caps["NB"],
+            "brick_capacity": brick_caps["cap"],
+            "culled_fraction": round(
+                1 - brick_caps["nb"] / max(1, brick_caps["NB"]), 3
+            ),
+        }
     # memory: memory_stats() returns nothing over the axon tunnel; publish a
     # real number or none at all (never a fake 0.0 — VERDICT r1 weak #3)
     try:
@@ -355,7 +381,7 @@ def main_full():
         cfg = FusionConfig(
             voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=64, clip_patch_stride=32,
-            integrator=os.environ.get("SAI_BENCH_INTEGRATOR"),
+            integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
         )
     else:
         engine = ClipEngine.random(seed=0)
@@ -365,7 +391,7 @@ def main_full():
             clip_patch_size=256, clip_patch_stride=128,
             # None = pipeline auto (sparse on TPU); SAI_BENCH_INTEGRATOR
             # A/Bs the full pipeline too (e.g. brick, grid/brick.py)
-            integrator=os.environ.get("SAI_BENCH_INTEGRATOR"),
+            integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
         )
 
     # --- kMaX-only throughput: device-resident input, one sync across the

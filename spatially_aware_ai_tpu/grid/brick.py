@@ -123,7 +123,14 @@ def active_brick_mask(grid: FusionGrid, frames: FrameBatch, brick_size: int):
 
     s = jnp.einsum("nk,fpk->nfp", center, m) + d[None]          # [NB, F, 6]
     r = jnp.einsum("nk,fpk->nfp", extent, jnp.abs(m))
-    excluded = jnp.any(s < -r, axis=2)                          # [NB, F]
+    # rounding margin: the plane form multiplies the frustum inequalities
+    # out (u >= -0.5 becomes (r0 + 0.5 r2).x >= 0) while frame_geometry
+    # divides then compares — the two f32 evaluations can disagree by a few
+    # ulps at the boundary, and a non-conservative cull there would break
+    # the bit-for-bit exactness contract. A relative epsilon keeps every
+    # boundary voxel in (cull efficiency loss is negligible).
+    eps = 1e-5 * (1.0 + jnp.abs(s) + r)
+    excluded = jnp.any(s < -(r + eps), axis=2)                  # [NB, F]
     visible = (~excluded) & frames.frame_valid[None, :]
     active = jnp.any(visible, axis=1)
 

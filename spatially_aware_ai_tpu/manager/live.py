@@ -69,6 +69,16 @@ class LiveScanSession:
         self.on_tpu = jax.default_backend() == "tpu"
         self.bucket = 65536 if self.on_tpu else 1
 
+        # multi-chip voxel sharding (FusionConfig.shard_voxels): same
+        # shard_map step as fuse_scan — every chip integrates the stream
+        # into its own voxel shard, zero collectives per chunk
+        self._mesh = None
+        self._shard_step = None
+        if config.shard_voxels and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh()
+
         self.pending: list = []  # per-frame dicts awaiting a full chunk
         self.frames_seen = 0
         self.frames_integrated = 0
@@ -104,11 +114,10 @@ class LiveScanSession:
         self.timings = {"inference_s": 0.0, "integrate_s": 0.0,
                         "bounds_s": 0.0}
 
-        # adaptive sparse/brick slot budgets (see _integrate_compact),
-        # carried across the stream's chunks
-        self._sparse_cap = 0
-        self._brick_cap = 0
-        self._cap_counts: list = []
+        # adaptive sparse/brick slot budgets (pipeline.AdaptiveCap, built
+        # lazily in _integrate_compact), carried across the stream's chunks
+        self._sparse_cap = None
+        self._brick_cap = None
 
     # -- push ---------------------------------------------------------------
 
@@ -246,6 +255,14 @@ class LiveScanSession:
             return self.cfg.integrator
         return "einsum" if self.on_tpu else "scan"
 
+    def _shard_integrator(self) -> str:
+        """In-shard integrator when voxel sharding is on: the shard_map
+        step hosts scan/einsum/pallas; sparse/brick compaction is
+        per-device bookkeeping, so those map to einsum (same rule as
+        fuse_scan)."""
+        integ = self._integrator()
+        return integ if integ in ("scan", "einsum", "pallas") else "einsum"
+
     def _ensure_grid(self):
         if self.grid is not None:
             return
@@ -261,12 +278,17 @@ class LiveScanSession:
         self.nvox = compute_grid_dims(minb, maxb, cfg.voxel_size)
         self.origin = np.asarray(minb, np.float32)
         self.maxbound = np.asarray(maxb, np.float32)
-        integ = self._integrator()
+        import math
+
+        integ = (
+            self._shard_integrator() if self._mesh is not None
+            else self._integrator()
+        )
         pad_to = self.bucket
         if integ == "pallas":
-            import math
-
             pad_to = math.lcm(pad_to, cfg.pallas_tile)
+        if self._mesh is not None:
+            pad_to = math.lcm(pad_to, self._mesh.devices.size)
         self.grid = create_grid(
             minb, cfg.voxel_size, self.nvox, cfg.trunc_m,
             feature_dim=self.clip.feature_dim,
@@ -275,6 +297,10 @@ class LiveScanSession:
             pad_to=pad_to,
             min_padding=1 if integ in ("sparse", "brick") else 0,
         )
+        if self._mesh is not None:
+            from ..parallel.sharded import shard_grid
+
+            self.grid = shard_grid(self._mesh, self.grid)
 
     def _integrate(self, chunk, n_real: int):
         import jax.numpy as jnp
@@ -320,7 +346,18 @@ class LiveScanSession:
         )
         t0 = time.perf_counter()
         integ = self._integrator()
-        if integ in ("sparse", "brick"):
+        if self._mesh is not None:
+            if self._shard_step is None:
+                from ..parallel.sharded import make_sharded_integrate
+
+                self._shard_step = make_sharded_integrate(
+                    self._mesh, self.grid, batch, rgb_mode=cfg.rgb_mode,
+                    integrator=self._shard_integrator(),
+                    pallas_tile=cfg.pallas_tile,
+                    label_vote_mode=cfg.label_vote_mode,
+                )
+            self.grid = self._shard_step(self.grid, batch)
+        elif integ in ("sparse", "brick"):
             self._integrate_compact(integ, batch)
         elif integ == "pallas":
             from ..grid.fusion import integrate_frames_pallas
@@ -344,60 +381,52 @@ class LiveScanSession:
         self.frames_integrated += n_real
 
     def _integrate_compact(self, integ: str, batch):
-        """sparse/brick integration with the pipeline's adaptive slot
+        """sparse/brick integration with the pipeline's AdaptiveCap slot
         budgets, carried chunk-over-chunk as session state (a live stream
         has no fixed scan length, so the budgets tune over the stream's own
-        history; counts are read two chunks behind to keep dispatch
-        async — same controller as fuse_scan)."""
-        from ..pipeline import _SPARSE_CAP_ROUND, _SPARSE_CAP_START
+        history — same controller as fuse_scan)."""
+        from ..pipeline import AdaptiveCap, _SPARSE_CAP_ROUND, _SPARSE_CAP_START
 
         cfg = self.cfg
         n_buf = self.grid.tsdf_sum.shape[0]
-        if self._sparse_cap == 0:
-            self._sparse_cap = cfg.sparse_capacity or min(
-                max(1024, n_buf // 4), _SPARSE_CAP_START
+        if self._sparse_cap is None:
+            self._sparse_cap = AdaptiveCap(
+                cfg.sparse_capacity or min(
+                    max(1024, n_buf // 4), _SPARSE_CAP_START
+                ),
+                _SPARSE_CAP_ROUND, n_buf,
             )
-        nb_total = -(-n_buf // cfg.brick_size)
-        brick_round = max(64, _SPARSE_CAP_ROUND // cfg.brick_size)
         if integ == "brick":
             from ..grid.brick import integrate_frames_brick
 
-            if self._brick_cap == 0:
-                self._brick_cap = cfg.brick_capacity or min(
-                    max(64, nb_total // 4),
-                    max(64, _SPARSE_CAP_START // cfg.brick_size),
+            if self._brick_cap is None:
+                nb_total = -(-n_buf // cfg.brick_size)
+                self._brick_cap = AdaptiveCap(
+                    cfg.brick_capacity or min(
+                        max(64, nb_total // 4),
+                        max(64, _SPARSE_CAP_START // cfg.brick_size),
+                    ),
+                    max(64, _SPARSE_CAP_ROUND // cfg.brick_size), nb_total,
                 )
             self.grid, nbc, cnt = integrate_frames_brick(
                 self.grid, batch, rgb_mode=cfg.rgb_mode,
-                brick_size=cfg.brick_size, brick_capacity=self._brick_cap,
-                capacity=self._sparse_cap, with_count=True,
+                brick_size=cfg.brick_size,
+                brick_capacity=self._brick_cap.value,
+                capacity=self._sparse_cap.value, with_count=True,
                 label_vote_mode=cfg.label_vote_mode,
             )
-            self._cap_counts.append((nbc, cnt))
+            if cfg.brick_capacity == 0:
+                self._brick_cap.observe(nbc)
         else:
             from ..grid.fusion import integrate_frames_sparse
 
             self.grid, cnt = integrate_frames_sparse(
                 self.grid, batch, rgb_mode=cfg.rgb_mode,
-                capacity=self._sparse_cap, with_count=True,
+                capacity=self._sparse_cap.value, with_count=True,
                 label_vote_mode=cfg.label_vote_mode,
             )
-            self._cap_counts.append((None, cnt))
-        if len(self._cap_counts) > 2:
-            nbc, cnt = self._cap_counts.pop(0)
-            c = int(np.asarray(cnt))
-            if (cfg.sparse_capacity == 0
-                    and c > self._sparse_cap - self._sparse_cap // 4):
-                self._sparse_cap = min(
-                    -(-(2 * c) // _SPARSE_CAP_ROUND) * _SPARSE_CAP_ROUND,
-                    n_buf,
-                )
-            if nbc is not None and cfg.brick_capacity == 0:
-                b = int(np.asarray(nbc))
-                if b > self._brick_cap - self._brick_cap // 4:
-                    self._brick_cap = min(
-                        -(-(2 * b) // brick_round) * brick_round, nb_total
-                    )
+        if cfg.sparse_capacity == 0:
+            self._sparse_cap.observe(cnt)
 
     # -- snapshot ------------------------------------------------------------
 
@@ -444,6 +473,10 @@ class LiveScanSession:
                 raise ValueError(
                     "prime_from_snapshot requires a fresh session"
                 )
+            if self._mesh is not None:
+                from ..parallel.sharded import shard_grid
+
+                grid = shard_grid(self._mesh, grid)
             self.grid = grid
             self.origin = np.asarray(origin, np.float32)
             self.maxbound = np.asarray(maxbound, np.float32)

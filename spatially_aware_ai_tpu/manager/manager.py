@@ -884,6 +884,15 @@ class InSituManager:
             return None
         if (grid.label_hist is None) == fusion_cfg.with_labels:
             return None
+        if fusion_cfg.shard_voxels:
+            # a snapshot taken before sharding was enabled may have a
+            # buffer that does not split over the mesh: reject -> full
+            # replay allocates a properly padded grid
+            import jax
+
+            n_dev = len(jax.devices())
+            if n_dev > 1 and grid.tsdf_sum.shape[0] % n_dev != 0:
+                return None
         return grid, meta, frames_done
 
     def live_resume(self) -> dict:

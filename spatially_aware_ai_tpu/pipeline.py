@@ -41,6 +41,37 @@ _SPARSE_CAP_START = 65536
 _SPARSE_CAP_ROUND = 65536
 
 
+class AdaptiveCap:
+    """Chunk-over-chunk slot-budget controller shared by fuse_scan and the
+    live session (manager/live.py). Observed counts are read two chunks
+    behind — already computed on device, so the host readback never stalls
+    the async dispatch pipeline. When a count crosses 75% of the budget,
+    grow to 2x the count rounded up to `round_to` (each distinct budget is
+    one compiled executable, persistent-cached), capped at `limit`.
+    Undershooting is always exact (the integrators fall back in-jit), so
+    growth lag is safe."""
+
+    def __init__(self, start: int, round_to: int, limit: int):
+        self.value = int(start)
+        self.round_to = int(round_to)
+        self.limit = int(limit)
+        self._pending: list = []
+
+    def observe(self, count):
+        """Queue a (device scalar) count; returns the host count when a
+        growth decision was just made, else None."""
+        self._pending.append(count)
+        if len(self._pending) > 2:
+            c = int(np.asarray(self._pending.pop(0)))
+            if c > self.value - self.value // 4:
+                self.value = min(
+                    -(-(2 * c) // self.round_to) * self.round_to,
+                    self.limit,
+                )
+                return c
+        return None
+
+
 @dataclasses.dataclass
 class FusionConfig:
     voxel_size: float = 0.04
@@ -110,6 +141,21 @@ class FusionConfig:
     # native format; 1 mm resolution vs 40 mm voxels). 4x/2x less transfer —
     # the dominant per-chunk cost over a slow host<->device link.
     quantize_transfer: bool = True
+
+    def __post_init__(self):
+        # fail misconfiguration loudly: an unrecognized integrator would
+        # otherwise fall through every dispatch elif into the dense scan
+        # path, which looks like a perf regression rather than a typo
+        valid = (None, "scan", "einsum", "pallas", "sparse", "brick")
+        if self.integrator not in valid:
+            raise ValueError(
+                f"unknown integrator {self.integrator!r}; expected one of "
+                f"{[v for v in valid if v]} (None = auto)"
+            )
+        if self.label_vote_mode not in ("uniform", "near_surface"):
+            raise ValueError(
+                f"unknown label_vote_mode {self.label_vote_mode!r}"
+            )
 
     @property
     def trunc_m(self) -> float:
@@ -379,36 +425,30 @@ def fuse_scan(
     t_inference = 0.0
     t_integrate = 0.0
 
-    # adaptive sparse capacity: phase-2 cost in the sparse integrator scales
-    # with the CAPACITY (static slot count), not the actual active union, so
-    # start small and grow from observed per-chunk counts (read two chunks
-    # behind — already computed, so the readback does not stall the async
-    # pipeline). Overflowing a too-small capacity is exact (in-jit dense
-    # fallback), only slower, so growth lag is safe.
-    sparse_cap = 0
-    sparse_adaptive = False
-    sparse_counts: list = []
-    if integrator in ("sparse", "brick"):
+    # adaptive slot budgets: phase-2 cost in the sparse/brick integrators
+    # scales with the CAPACITY (static slot count), not the actual active
+    # union, so start small and grow from observed per-chunk counts
+    # (AdaptiveCap). Not used when the grid is sharded (the shard_map step
+    # hosts scan/einsum/pallas only).
+    sparse_cap = None
+    brick_cap = None
+    if integrator in ("sparse", "brick") and mesh_obj is None:
         n_buf = grid.tsdf_sum.shape[0]
-        sparse_cap = config.sparse_capacity or min(
-            max(1024, n_buf // 4), _SPARSE_CAP_START
+        sparse_cap = AdaptiveCap(
+            config.sparse_capacity or min(
+                max(1024, n_buf // 4), _SPARSE_CAP_START
+            ),
+            _SPARSE_CAP_ROUND, n_buf,
         )
-        sparse_adaptive = config.sparse_capacity == 0
-
-    # the brick integrator's second adaptive budget: active-brick slots.
-    # Same controller shape as the voxel capacity (read counts two chunks
-    # behind, grow to 2x observed rounded up), but in brick units.
-    brick_cap = 0
-    brick_adaptive = False
-    brick_counts: list = []
-    if integrator == "brick":
+    if integrator == "brick" and mesh_obj is None:
         nb_total = -(-grid.tsdf_sum.shape[0] // config.brick_size)
-        brick_round = max(64, _SPARSE_CAP_ROUND // config.brick_size)
-        brick_cap = config.brick_capacity or min(
-            max(64, nb_total // 4),
-            max(64, _SPARSE_CAP_START // config.brick_size),
+        brick_cap = AdaptiveCap(
+            config.brick_capacity or min(
+                max(64, nb_total // 4),
+                max(64, _SPARSE_CAP_START // config.brick_size),
+            ),
+            max(64, _SPARSE_CAP_ROUND // config.brick_size), nb_total,
         )
-        brick_adaptive = config.brick_capacity == 0
 
     start_frame = 0
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
@@ -559,53 +599,34 @@ def fuse_scan(
 
             grid, cnt = integrate_frames_sparse(
                 grid, batch, rgb_mode=config.rgb_mode,
-                capacity=sparse_cap, with_count=True,
+                capacity=sparse_cap.value, with_count=True,
                 label_vote_mode=config.label_vote_mode,
             )
-            if sparse_adaptive:
-                sparse_counts.append(cnt)
-                if len(sparse_counts) > 2:
-                    c = int(np.asarray(sparse_counts.pop(0)))
-                    if c > sparse_cap - sparse_cap // 4:
-                        sparse_cap = min(
-                            -(-(2 * c) // _SPARSE_CAP_ROUND)
-                            * _SPARSE_CAP_ROUND,
-                            n_buf,
-                        )
-                        say(f"sparse capacity -> {sparse_cap} "
-                            f"(union {c})")
+            if config.sparse_capacity == 0:
+                c = sparse_cap.observe(cnt)
+                if c is not None:
+                    say(f"sparse capacity -> {sparse_cap.value} "
+                        f"(union {c})")
         elif integrator == "brick":
             from .grid.brick import integrate_frames_brick
 
             grid, nbc, cnt = integrate_frames_brick(
                 grid, batch, rgb_mode=config.rgb_mode,
-                brick_size=config.brick_size, brick_capacity=brick_cap,
-                capacity=sparse_cap, with_count=True,
+                brick_size=config.brick_size,
+                brick_capacity=brick_cap.value,
+                capacity=sparse_cap.value, with_count=True,
                 label_vote_mode=config.label_vote_mode,
             )
-            if brick_adaptive:
-                brick_counts.append(nbc)
-                if len(brick_counts) > 2:
-                    c = int(np.asarray(brick_counts.pop(0)))
-                    if c > brick_cap - brick_cap // 4:
-                        brick_cap = min(
-                            -(-(2 * c) // brick_round) * brick_round,
-                            nb_total,
-                        )
-                        say(f"brick capacity -> {brick_cap} "
-                            f"(frustum bricks {c})")
-            if sparse_adaptive:
-                sparse_counts.append(cnt)
-                if len(sparse_counts) > 2:
-                    c = int(np.asarray(sparse_counts.pop(0)))
-                    if c > sparse_cap - sparse_cap // 4:
-                        sparse_cap = min(
-                            -(-(2 * c) // _SPARSE_CAP_ROUND)
-                            * _SPARSE_CAP_ROUND,
-                            n_buf,
-                        )
-                        say(f"sparse capacity -> {sparse_cap} "
-                            f"(union {c})")
+            if config.brick_capacity == 0:
+                c = brick_cap.observe(nbc)
+                if c is not None:
+                    say(f"brick capacity -> {brick_cap.value} "
+                        f"(frustum bricks {c})")
+            if config.sparse_capacity == 0:
+                c = sparse_cap.observe(cnt)
+                if c is not None:
+                    say(f"sparse capacity -> {sparse_cap.value} "
+                        f"(union {c})")
         else:
             grid = integrate_frames(
                 grid, batch, rgb_mode=config.rgb_mode,
@@ -646,10 +667,10 @@ def fuse_scan(
 
     timings["inference_s"] = t_inference
     timings["integrate_s"] = t_integrate
-    if integrator in ("sparse", "brick"):
-        timings["sparse_capacity"] = sparse_cap
-    if integrator == "brick":
-        timings["brick_capacity"] = brick_cap
+    if sparse_cap is not None:
+        timings["sparse_capacity"] = sparse_cap.value
+    if brick_cap is not None:
+        timings["brick_capacity"] = brick_cap.value
 
     prefetcher.shutdown(wait=False)
 

@@ -305,7 +305,10 @@ def test_live_integrator_override_matches_default(tmp_path, monkeypatch):
         for i in range(8):
             m.live_push(rgb[i], depth[i], pose[i], K[i])
         sess = m._live
-        caps = (sess._brick_cap, sess._sparse_cap)
+        caps = (
+            sess._brick_cap.value if sess._brick_cap else 0,
+            sess._sparse_cap.value if sess._sparse_cap else 0,
+        )
         out = m.live_end()
         from spatially_aware_ai_tpu.manager.paths import get_path
 
@@ -321,3 +324,36 @@ def test_live_integrator_override_matches_default(tmp_path, monkeypatch):
     assert caps0 == (0, 0)                # default path untouched
     np.testing.assert_allclose(w1, w0, atol=1e-5)
     np.testing.assert_allclose(w2, w0, atol=1e-5)
+
+
+def test_live_shard_voxels_matches_single_device(tmp_path, monkeypatch):
+    """SAI_SHARD_VOXELS=1 routes live streams through the voxel-sharded
+    shard_map step (manager/live.py) on the virtual 8-device mesh — same
+    fused scene as the single-device stream."""
+    import jax
+
+    assert len(jax.devices()) > 1
+    rgb, depth, pose, K = _frames(8)
+
+    def run(shard, root):
+        if shard:
+            monkeypatch.setenv("SAI_SHARD_VOXELS", "1")
+        else:
+            monkeypatch.delenv("SAI_SHARD_VOXELS", raising=False)
+        m = make_manager(root)
+        m.live_begin()
+        for i in range(8):
+            m.live_push(rgb[i], depth[i], pose[i], K[i])
+        sess = m._live
+        sharded = sess._mesh is not None
+        out = m.live_end()
+        from spatially_aware_ai_tpu.manager.paths import get_path
+
+        sk = get_path(m.config, out["version"], "scene_knowledge")
+        w = np.load(os.path.join(os.path.dirname(sk), "voxel_rgb.npy"))
+        return sharded, w
+
+    s0, w0 = run(False, tmp_path / "a")
+    s1, w1 = run(True, tmp_path / "b")
+    assert not s0 and s1
+    np.testing.assert_allclose(w1, w0, atol=1e-5)
