@@ -136,6 +136,9 @@ def main(argv=None):
     lv.add_argument("--snapshot-every", type=int, default=0,
                     help="POST /live_snapshot every N pushes (grid "
                          "checkpoint for instant post-crash resume)")
+    lv.add_argument("--objects-every", type=int, default=0,
+                    help="GET /live_objects every N pushes (mid-stream "
+                         "object inventory)")
 
     args = parser.parse_args(argv)
     s = args.server
@@ -263,6 +266,15 @@ def main(argv=None):
                 and (start // args.chunk + 1) % args.snapshot_every == 0
             ):
                 print("  snapshot:", post(s, "/live_snapshot", {})[1])
+            if args.objects_every and (
+                (start // args.chunk + 1) % args.objects_every == 0
+            ):
+                objs = get(s, "/live_objects")[1].get("objects") or []
+                print(f"  objects so far: "
+                      + ", ".join(
+                          f"{o['object_key']}({o['n_voxels']})"
+                          for o in objs[:8]
+                      ))
         if args.preview_out:
             pv = get(s, "/live_preview")[1]
             if pv.get("mesh"):

@@ -1119,6 +1119,68 @@ class InSituManager:
         )
         return out
 
+    def live_objects(self) -> dict:
+        """Mid-stream object inventory — objects appear WHILE the user
+        scans. Flood-fills the CURRENT live grid (label votes so far) and
+        returns discovered instances with class, voxel count, and world
+        centroid, including in-situ re-identifications of the user's named
+        objects when the model is trained. The reference can only produce
+        scene knowledge from a completed scan + full rebuild
+        (clip_seem_fusion.py:247-437). Preview-grade and read-only: runs on
+        an on-device grid copy, so pushes keep streaming concurrently; the
+        CLIP feature grid is finalized only when re-identification needs
+        it, and only object voxels ever leave the device."""
+        import jax.numpy as jnp
+
+        sess = self._live
+        if sess is None:
+            return {"state": "idle", "objects": None}
+        grid = sess.preview_grid()
+        out = sess.status()
+        if grid is None or grid.label_hist is None:
+            out["objects"] = None
+            return out
+
+        nvox = [int(v) for v in sess.nvox]
+        n = int(np.prod(nvox))
+        any_vote = jnp.any(grid.label_hist != 0, axis=1)
+        class_id = jnp.where(
+            any_vote,
+            jnp.argmax(grid.label_hist, axis=1).astype(jnp.int32),
+            -1,
+        )
+        class_grid = np.asarray(class_id)[:n].reshape(nvox)
+        w = jnp.maximum(grid.w, 1).astype(jnp.float32)
+        rgbg = np.asarray(
+            grid.rgb_sum / w[:, None]
+        )[:n].reshape(*nvox, 3)
+        feats = None
+        if getattr(self.insitu_model, "model_trained", False):
+            feats = (
+                grid.feat_sum.astype(jnp.float32) / w[:, None]
+            )[:n].reshape(*nvox, -1)  # device-resident; gathered per object
+
+        with self.lock:
+            knowledge, _ = flood_fill_3d(
+                class_grid, None, feats, rgbg, self.insitu_model
+            )
+        vs = float(sess.cfg.voxel_size)
+        origin = np.asarray(sess.origin, np.float32)
+        objs = []
+        for key, info in knowledge["unique_objects"].items():
+            vox = np.asarray(info["voxels"], np.float32)
+            c = origin + (vox.mean(axis=0) + 0.5) * vs
+            objs.append({
+                "object_key": key,
+                "class_label": info["class_label"],
+                "n_voxels": int(len(vox)),
+                "centroid_world": [round(float(x), 4) for x in c],
+                "recognized": bool(info.get("user_modified")),
+            })
+        objs.sort(key=lambda o: -o["n_voxels"])
+        out["objects"] = objs
+        return out
+
     def live_end(self) -> dict:
         """Finish the stream: integrate the tail, persist the frames as a
         NEW scan version (live_frames.npz — reprocess/evals/CLI rebuild it

@@ -217,6 +217,14 @@ def create_app(manager_or_registry) -> App:
         manager = _m(req)
         return manager.live_preview(), 200
 
+    @app.route("/live_objects", methods=["GET"])
+    def live_objects(req):
+        """Mid-stream object inventory: instances discovered in the grid so
+        far (class, voxel count, world centroid, in-situ recognitions) —
+        objects appear while the user is still scanning."""
+        manager = _m(req)
+        return manager.live_objects(), 200
+
     @app.route("/live_end", methods=["POST"])
     def live_end(req):
         """Finish the stream: the scan becomes a regular version (persisted

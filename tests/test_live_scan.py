@@ -357,3 +357,39 @@ def test_live_shard_voxels_matches_single_device(tmp_path, monkeypatch):
     s1, w1 = run(True, tmp_path / "b")
     assert not s0 and s1
     np.testing.assert_allclose(w1, w0, atol=1e-5)
+
+
+def test_live_objects_mid_stream(tmp_path):
+    """/live_objects returns the object inventory of the grid streamed SO
+    FAR (beyond parity: the reference only knows objects after a completed
+    scan + rebuild). Read-only: the stream continues and live_end still
+    installs normally afterwards."""
+    rgb, depth, pose, K = _frames(8)
+    m = make_manager(tmp_path)
+    assert m.live_objects()["state"] == "idle"
+
+    m.live_begin()
+    m.live_push(rgb[0], depth[0], pose[0], K[0])
+    assert m.live_objects()["objects"] is None  # no grid before one chunk
+
+    for i in range(1, 6):
+        m.live_push(rgb[i], depth[i], pose[i], K[i])
+    out = m.live_objects()
+    assert out["state"] == "live"
+    objs = out["objects"]
+    assert objs, "no objects discovered mid-stream"
+    assert all(o["n_voxels"] >= 3 for o in objs)
+    labels = {o["class_label"] for o in objs}
+    assert labels & {"table", "chair", "suitcase"}, labels
+    # centroids land inside the live grid's world bounds
+    sess = m._live
+    lo = np.asarray(sess.origin) - 1e-3
+    hi = np.asarray(sess.maxbound) + 1e-3
+    for o in objs:
+        c = np.asarray(o["centroid_world"])
+        assert (c >= lo).all() and (c <= hi).all(), (o, lo, hi)
+
+    for i in range(6, 8):
+        m.live_push(rgb[i], depth[i], pose[i], K[i])
+    out = m.live_end()
+    assert "version" in out
