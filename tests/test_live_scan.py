@@ -393,3 +393,46 @@ def test_live_objects_mid_stream(tmp_path):
         m.live_push(rgb[i], depth[i], pose[i], K[i])
     out = m.live_end()
     assert "version" in out
+
+
+def test_live_objects_recognizes_trained_objects(tmp_path):
+    """The flagship in-situ story, mid-stream: after the user names and
+    memorizes an object and the DGCNN trains, a NEW live scan reports that
+    object as recognized in /live_objects while frames are still arriving
+    (exercises the feature-grid finalize path: re-identification gathers
+    per-object CLIP features from the device-resident live grid)."""
+    from spatially_aware_ai_tpu.scene.objects import (
+        mark_object_of_interest,
+        merge_objects,
+    )
+
+    m = make_manager(tmp_path)  # auto-reconstructs v00
+    box_key = next(
+        k for k in m.scene_knowledge["unique_objects"]
+        if k.startswith("suitcase")
+    )
+    with m.lock:
+        new_name, m.scene_knowledge = merge_objects(
+            m.scene_knowledge, m.vertex_obj_idx, m.insitu_model,
+            [box_key], "my_box",
+        )
+        m.scene_knowledge = mark_object_of_interest(
+            m.scene_knowledge, m.insitu_model, [new_name]
+        )
+        stats = m.insitu_prepare_and_train()
+    assert stats["trained"], stats
+
+    rgb, depth, pose, K = _frames(8)
+    m.live_begin()
+    try:
+        for i in range(8):
+            m.live_push(rgb[i], depth[i], pose[i], K[i])
+        out = m.live_objects()
+        recognized = [o for o in out["objects"] if o["recognized"]]
+        # merge_objects keys the renamed object "my_box:1"; the in-situ
+        # prediction re-assigns that user label mid-stream
+        assert any(o["object_key"] == new_name for o in recognized), (
+            out["objects"]
+        )
+    finally:
+        m.live_abort()
