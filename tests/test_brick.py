@@ -198,3 +198,56 @@ def test_nearest_rgb_parity():
         brick_grid(scene), batch, brick_size=16, rgb_mode="nearest"
     )
     assert_grid_parity(out, ref, ref.tsdf_sum.shape[0])
+
+
+def test_brick_random_adversarial_scenes_exact():
+    """Seeded sweep of hostile geometry: cameras inside/behind/far from the
+    grid, arbitrary look directions, projective K rows, zero/huge/inf
+    depth pixels. The brick path must match the dense scan oracle on the
+    integer channels BIT-FOR-BIT every time (the conservative cull +
+    epsilon margin can only keep extra bricks, never drop a live one)."""
+    rng = np.random.default_rng(123)
+    nvox = (9, 8, 7)
+    origin = np.array([-0.2, -0.15, 0.5], np.float32)
+
+    for trial in range(6):
+        frames = []
+        for _ in range(3):
+            # random orientation via QR; random position around the grid
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = (q * np.sign(np.linalg.det(q))).astype(np.float32)
+            pose[:3, 3] = origin + rng.normal(scale=0.6, size=3).astype(
+                np.float32
+            )
+            K = np.array(
+                [[rng.uniform(10, 60), 0, 16], [0, rng.uniform(10, 60), 12],
+                 [0, 0, 1]], np.float32,
+            )
+            if trial % 2:
+                K[2, :2] = rng.normal(scale=0.02, size=2)
+            depth = rng.uniform(0.05, 1.5, size=(24, 32)).astype(np.float32)
+            if trial % 3 == 0:
+                depth[rng.random(depth.shape) < 0.1] = 0.0
+            if trial % 3 == 1:
+                depth[rng.random(depth.shape) < 0.05] = np.inf
+            rgb = rng.uniform(0, 1, size=(24, 32, 3)).astype(np.float32)
+            feat_img = rng.normal(size=(3, 4, 16)).astype(np.float32)
+            labels = rng.integers(0, 7, size=(24, 32)).astype(np.int32)
+            frames.append((depth, rgb, pose, K, feat_img, labels))
+        scene = dict(
+            nvox=nvox, origin=origin, voxel_size=0.05, trunc=0.1,
+            frames=frames, feat_dim=16, n_classes=7, H=24, W=32,
+        )
+        batch = build_batch(scene, with_labels=True)
+        ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+        for B in (8, 64):
+            out = integrate_frames_brick(
+                brick_grid(scene), batch, brick_size=B
+            )
+            for name in INT_FIELDS:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(out, name))[: ref.tsdf_sum.shape[0]],
+                    np.asarray(getattr(ref, name)),
+                    err_msg=f"trial={trial} B={B} {name}",
+                )
