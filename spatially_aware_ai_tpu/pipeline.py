@@ -519,6 +519,20 @@ def fuse_scan(
             rgb_chunk = jnp.asarray(rgb_chunk)
             depth_dev = jnp.asarray(depth_host)
 
+        # multi-chip: frame-shard the RGB chunk so the CLIP/kMaX inference
+        # jits auto-partition data-parallel over the mesh (GSPMD propagates
+        # the input sharding through the whole forward); the shard_map
+        # integrate step then gathers the (replicated-spec) frame batch
+        # itself. Without this, a sharded run would still bottleneck the
+        # model forwards on one chip.
+        if mesh_obj is not None and F % mesh_obj.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rgb_chunk = jax.device_put(
+                rgb_chunk,
+                NamedSharding(mesh_obj, P("d", None, None, None)),
+            )
+
         # NOTE: feature images stay on device (no host round trip); chunks
         # are dispatched asynchronously and only synced at finalize time
         t1 = time.perf_counter()

@@ -224,8 +224,11 @@ def test_shard_voxels_pipeline_matches_single_device():
                 return lab
         raise AssertionError("frame not found")
 
+    # frame_chunk == mesh size: the RGB chunk frame-shards over the mesh,
+    # so the CLIP forward itself runs GSPMD data-parallel (not just the
+    # integrate step)
     base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
-                clip_patch_stride=16, frame_chunk=4, with_labels=True)
+                clip_patch_stride=16, frame_chunk=8, with_labels=True)
     r_one = fuse_scan(
         ds, engine, FusionConfig(**base, integrator="scan"),
         segmenter=segmenter,
