@@ -318,6 +318,15 @@ class LiveScanSession:
         depth_u16 = np.stack([c["depth"] for c in chunk])
         t0 = time.perf_counter()
         rgb_dev, depth_dev = quantized_chunk_to_device(rgb_u8, depth_u16)
+        if self._mesh is not None and F % self._mesh.devices.size == 0:
+            # frame-shard the chunk so the CLIP/kMaX forwards GSPMD-
+            # partition over the mesh (same as fuse_scan's sharded path)
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rgb_dev = jax.device_put(
+                rgb_dev, NamedSharding(self._mesh, P("d", None, None, None))
+            )
         feat_imgs = self.clip.img_inference_tiled_batch(
             rgb_dev, cfg.clip_patch_size, cfg.clip_patch_stride
         )

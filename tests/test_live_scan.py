@@ -17,7 +17,7 @@ from spatially_aware_ai_tpu.manager import InSituManager
 from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
 
 
-def make_manager(root):
+def make_manager(root, frame_chunk=3):
     d = root / "scans" / "demo" / "v00"
     os.makedirs(d, exist_ok=True)
     with open(d / "synthetic_scene.json", "w") as f:
@@ -33,7 +33,7 @@ def make_manager(root):
         clip_patch_stride=16,
         clip_engine=ClipEngine.tiny(),
         seg_model=ColorSegmenter(SyntheticScene.demo_room()),
-        frame_chunk=3,
+        frame_chunk=frame_chunk,
     )
 
 
@@ -340,7 +340,9 @@ def test_live_shard_voxels_matches_single_device(tmp_path, monkeypatch):
             monkeypatch.setenv("SAI_SHARD_VOXELS", "1")
         else:
             monkeypatch.delenv("SAI_SHARD_VOXELS", raising=False)
-        m = make_manager(root)
+        # frame_chunk == mesh size: the live inference forwards frame-shard
+        # over the mesh too (manager/live.py:_integrate)
+        m = make_manager(root, frame_chunk=8)
         m.live_begin()
         for i in range(8):
             m.live_push(rgb[i], depth[i], pose[i], K[i])
