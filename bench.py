@@ -106,9 +106,8 @@ def main():
     Ks = np.stack(Ks).astype(np.float32)
 
     # --- grid at the reference's default scale: ~57x56x55 voxels at
-    # 0.04 m. SAI_BENCH_VOXEL overrides the voxel size (same world bounds,
-    # so 0.02 quadruples... 8x the voxel count) for fine-grid integrator
-    # A/Bs. ---
+    # 0.04 m. SAI_BENCH_VOXEL overrides the voxel size over the same world
+    # bounds (0.02 -> 8x the voxel count) for fine-grid integrator A/Bs. ---
     vox = float(os.environ.get("SAI_BENCH_VOXEL", "0.04"))
     scale = 0.04 / vox
     nvox = tuple(int(np.ceil(d * scale)) for d in (57, 56, 55))

@@ -264,16 +264,16 @@ def integrate_frames_brick_impl(
         )
         w_counts_pad = jnp.pad(w_counts, (0, 1))
 
+        def rgb_step(acc, frame):
+            rgb_img, uvw_f = frame
+            s = rgb_sample(rgb_img, to_pixel(uvw_f[:, :2]))
+            return acc + s * uvw_f[:, 2:3], None
+
         def sparse_inner(g):
             (active_local,) = jnp.nonzero(union, size=capacity, fill_value=KBB)
             active_global = jnp.take(idx_pad, active_local)
             uvw_a = jnp.take(uvw_pad, active_local, axis=1)  # [F, K, 3]
             labs_a = jnp.take(labs_pad, active_local, axis=1)
-
-            def rgb_step(acc, frame):
-                rgb_img, uvw_f = frame
-                s = rgb_sample(rgb_img, to_pixel(uvw_f[:, :2]))
-                return acc + s * uvw_f[:, 2:3], None
 
             rgb_contrib, _ = jax.lax.scan(
                 rgb_step, jnp.zeros((capacity, 3), jnp.float32),
@@ -310,11 +310,6 @@ def integrate_frames_brick_impl(
         def dense_inner(g):
             # voxel union overflowed `capacity`: process every selected-brick
             # voxel (still KBB, not N_buf)
-            def rgb_step(acc, frame):
-                rgb_img, uvw_f = frame
-                s = rgb_sample(rgb_img, to_pixel(uvw_f[:, :2]))
-                return acc + s * uvw_f[:, 2:3], None
-
             rgb_contrib, _ = jax.lax.scan(
                 rgb_step, jnp.zeros((KBB, 3), jnp.float32),
                 (frames.rgb, uvws),

@@ -284,11 +284,16 @@ class LiveScanSession:
             self._shard_integrator() if self._mesh is not None
             else self._integrator()
         )
-        pad_to = self.bucket
-        if integ == "pallas":
-            pad_to = math.lcm(pad_to, cfg.pallas_tile)
         if self._mesh is not None:
-            pad_to = math.lcm(pad_to, self._mesh.devices.size)
+            from ..pipeline import sharded_grid_bucket
+
+            pad_to = sharded_grid_bucket(
+                self.bucket, self._mesh.devices.size, integ, cfg.pallas_tile
+            )
+        elif integ == "pallas":
+            pad_to = math.lcm(self.bucket, cfg.pallas_tile)
+        else:
+            pad_to = self.bucket
         self.grid = create_grid(
             minb, cfg.voxel_size, self.nvox, cfg.trunc_m,
             feature_dim=self.clip.feature_dim,
@@ -355,6 +360,8 @@ class LiveScanSession:
         )
         t0 = time.perf_counter()
         integ = self._integrator()
+        # compiled Pallas targets TPU; off-TPU the kernel interprets
+        pallas_interp = not self.on_tpu
         if self._mesh is not None:
             if self._shard_step is None:
                 from ..parallel.sharded import make_sharded_integrate
@@ -363,6 +370,7 @@ class LiveScanSession:
                     self._mesh, self.grid, batch, rgb_mode=cfg.rgb_mode,
                     integrator=self._shard_integrator(),
                     pallas_tile=cfg.pallas_tile,
+                    pallas_interpret=pallas_interp,
                     label_vote_mode=cfg.label_vote_mode,
                 )
             self.grid = self._shard_step(self.grid, batch)
@@ -373,7 +381,7 @@ class LiveScanSession:
 
             self.grid = integrate_frames_pallas(
                 self.grid, batch, rgb_mode=cfg.rgb_mode,
-                tile=cfg.pallas_tile,
+                tile=cfg.pallas_tile, interpret=pallas_interp,
                 label_vote_mode=cfg.label_vote_mode,
             )
         elif integ == "einsum":
@@ -394,29 +402,17 @@ class LiveScanSession:
         budgets, carried chunk-over-chunk as session state (a live stream
         has no fixed scan length, so the budgets tune over the stream's own
         history — same controller as fuse_scan)."""
-        from ..pipeline import AdaptiveCap, _SPARSE_CAP_ROUND, _SPARSE_CAP_START
+        from ..pipeline import AdaptiveCap
 
         cfg = self.cfg
         n_buf = self.grid.tsdf_sum.shape[0]
         if self._sparse_cap is None:
-            self._sparse_cap = AdaptiveCap(
-                cfg.sparse_capacity or min(
-                    max(1024, n_buf // 4), _SPARSE_CAP_START
-                ),
-                _SPARSE_CAP_ROUND, n_buf,
-            )
+            self._sparse_cap = AdaptiveCap.for_sparse(n_buf, cfg)
         if integ == "brick":
             from ..grid.brick import integrate_frames_brick
 
             if self._brick_cap is None:
-                nb_total = -(-n_buf // cfg.brick_size)
-                self._brick_cap = AdaptiveCap(
-                    cfg.brick_capacity or min(
-                        max(64, nb_total // 4),
-                        max(64, _SPARSE_CAP_START // cfg.brick_size),
-                    ),
-                    max(64, _SPARSE_CAP_ROUND // cfg.brick_size), nb_total,
-                )
+                self._brick_cap = AdaptiveCap.for_brick(n_buf, cfg)
             self.grid, nbc, cnt = integrate_frames_brick(
                 self.grid, batch, rgb_mode=cfg.rgb_mode,
                 brick_size=cfg.brick_size,

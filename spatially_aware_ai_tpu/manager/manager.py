@@ -885,13 +885,22 @@ class InSituManager:
         if (grid.label_hist is None) == fusion_cfg.with_labels:
             return None
         if fusion_cfg.shard_voxels:
-            # a snapshot taken before sharding was enabled may have a
-            # buffer that does not split over the mesh: reject -> full
+            # a snapshot taken under a different sharding/integrator config
+            # may have a buffer that does not split over the mesh with the
+            # required per-shard (pallas tile) alignment: reject -> full
             # replay allocates a properly padded grid
             import jax
 
+            from ..pipeline import sharded_grid_bucket
+
             n_dev = len(jax.devices())
-            if n_dev > 1 and grid.tsdf_sum.shape[0] % n_dev != 0:
+            integ = fusion_cfg.integrator or "einsum"
+            if integ not in ("scan", "einsum", "pallas"):
+                integ = "einsum"
+            need = sharded_grid_bucket(
+                1, n_dev, integ, fusion_cfg.pallas_tile
+            )
+            if n_dev > 1 and grid.tsdf_sum.shape[0] % need != 0:
                 return None
         return grid, meta, frames_done
 

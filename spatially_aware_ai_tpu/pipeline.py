@@ -71,6 +71,43 @@ class AdaptiveCap:
                 return c
         return None
 
+    @classmethod
+    def for_sparse(cls, n_buf: int, config) -> "AdaptiveCap":
+        """Near-surface voxel slot budget (fuse_scan AND live sessions use
+        this one policy)."""
+        return cls(
+            config.sparse_capacity or min(
+                max(1024, n_buf // 4), _SPARSE_CAP_START
+            ),
+            _SPARSE_CAP_ROUND, n_buf,
+        )
+
+    @classmethod
+    def for_brick(cls, n_buf: int, config) -> "AdaptiveCap":
+        """Active-brick slot budget, in brick units."""
+        nb_total = -(-n_buf // config.brick_size)
+        return cls(
+            config.brick_capacity or min(
+                max(64, nb_total // 4),
+                max(64, _SPARSE_CAP_START // config.brick_size),
+            ),
+            max(64, _SPARSE_CAP_ROUND // config.brick_size), nb_total,
+        )
+
+
+def sharded_grid_bucket(bucket: int, n_devices: int, integrator: str,
+                        pallas_tile: int) -> int:
+    """Flat-buffer rounding multiple for a voxel-sharded grid: the buffer
+    must split evenly over the mesh AND each per-device shard must keep the
+    pallas tile alignment when the in-shard integrator is pallas. One
+    helper shared by fuse_scan and the live session — lcm'ing n_dev and
+    the tile separately does NOT guarantee per-shard alignment (e.g.
+    bucket 1, 8 devices, tile 512 can yield 8640-row shards)."""
+    return math.lcm(
+        bucket,
+        n_devices * (pallas_tile if integrator == "pallas" else 1),
+    )
+
 
 @dataclasses.dataclass
 class FusionConfig:
@@ -396,12 +433,10 @@ def fuse_scan(
                 f"pallas_tile {config.pallas_tile}"
             )
     if mesh_obj is not None:
-        # buffer length must split evenly over the mesh (and each local
-        # pallas shard must still be tile-aligned)
-        n_dev = mesh_obj.devices.size
-        bucket = math.lcm(bucket, n_dev * (
-            config.pallas_tile if shard_integrator == "pallas" else 1
-        ))
+        bucket = sharded_grid_bucket(
+            bucket, mesh_obj.devices.size, shard_integrator,
+            config.pallas_tile,
+        )
 
     grid = create_grid(
         minbound,
@@ -433,22 +468,9 @@ def fuse_scan(
     sparse_cap = None
     brick_cap = None
     if integrator in ("sparse", "brick") and mesh_obj is None:
-        n_buf = grid.tsdf_sum.shape[0]
-        sparse_cap = AdaptiveCap(
-            config.sparse_capacity or min(
-                max(1024, n_buf // 4), _SPARSE_CAP_START
-            ),
-            _SPARSE_CAP_ROUND, n_buf,
-        )
+        sparse_cap = AdaptiveCap.for_sparse(grid.tsdf_sum.shape[0], config)
     if integrator == "brick" and mesh_obj is None:
-        nb_total = -(-grid.tsdf_sum.shape[0] // config.brick_size)
-        brick_cap = AdaptiveCap(
-            config.brick_capacity or min(
-                max(64, nb_total // 4),
-                max(64, _SPARSE_CAP_START // config.brick_size),
-            ),
-            max(64, _SPARSE_CAP_ROUND // config.brick_size), nb_total,
-        )
+        brick_cap = AdaptiveCap.for_brick(grid.tsdf_sum.shape[0], config)
 
     start_frame = 0
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
@@ -586,6 +608,9 @@ def fuse_scan(
             ),
         )
         t1 = time.perf_counter()
+        # compiled Pallas targets TPU; off-TPU (CPU test meshes, dryruns)
+        # the kernel runs in interpret mode
+        pallas_interp = jax.default_backend() != "tpu"
         if mesh_obj is not None:
             if shard_step is None:
                 from .parallel.sharded import make_sharded_integrate
@@ -594,13 +619,14 @@ def fuse_scan(
                     mesh_obj, grid, batch, rgb_mode=config.rgb_mode,
                     integrator=shard_integrator,
                     pallas_tile=config.pallas_tile,
+                    pallas_interpret=pallas_interp,
                     label_vote_mode=config.label_vote_mode,
                 )
             grid = shard_step(grid, batch)
         elif integrator == "pallas":
             grid = integrate_frames_pallas(
                 grid, batch, rgb_mode=config.rgb_mode,
-                tile=config.pallas_tile,
+                tile=config.pallas_tile, interpret=pallas_interp,
                 label_vote_mode=config.label_vote_mode,
             )
         elif integrator == "einsum":

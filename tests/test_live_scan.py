@@ -438,3 +438,27 @@ def test_live_objects_recognizes_trained_objects(tmp_path):
         )
     finally:
         m.live_abort()
+
+
+def test_live_pallas_shard_grid_alignment(tmp_path, monkeypatch):
+    """pallas in-shard integrator + voxel sharding: the live grid's buffer
+    must keep per-SHARD tile alignment (sharded_grid_bucket — lcm'ing the
+    tile and device count separately produced 8640-row shards that crashed
+    fused_feature_splat's N % tile assert on the first chunk)."""
+    import jax
+
+    assert len(jax.devices()) > 1
+    monkeypatch.setenv("SAI_SHARD_VOXELS", "1")
+    monkeypatch.setenv("SAI_INTEGRATOR", "pallas")
+    rgb, depth, pose, K = _frames(8)
+    m = make_manager(tmp_path, frame_chunk=8)
+    m.live_begin()
+    try:
+        st = m.live_push(rgb, depth, pose, K)
+        assert st["frames_integrated"] == 8, st
+        sess = m._live
+        n_dev = sess._mesh.devices.size
+        n_buf = sess.grid.tsdf_sum.shape[0]
+        assert n_buf % (n_dev * sess.cfg.pallas_tile) == 0, n_buf
+    finally:
+        m.live_abort()
