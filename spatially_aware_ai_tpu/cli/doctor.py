@@ -188,9 +188,40 @@ def _check_native():
 def _check_knobs():
     knobs = {k: v for k, v in sorted(os.environ.items())
              if k.startswith("SAI_")}
-    return {"status": "ok", **({"set": knobs} if knobs else
-                               {"note": "no SAI_* overrides set "
-                                        "(measured defaults active)"})}
+    out = {"status": "ok", **({"set": knobs} if knobs else
+                              {"note": "no SAI_* overrides set "
+                                       "(measured defaults active)"})}
+    # validate the high-blast-radius knobs (a typo would otherwise surface
+    # as a ValueError at the first fusion, or worse, a silent perf cliff)
+    integ = os.environ.get("SAI_INTEGRATOR")
+    if integ and integ not in ("scan", "einsum", "pallas", "sparse",
+                               "brick"):
+        out["status"] = "fail"
+        out["SAI_INTEGRATOR"] = (
+            f"unknown value {integ!r} (scan|einsum|pallas|sparse|brick)"
+        )
+    votes = os.environ.get("SAI_LABEL_VOTES")
+    if votes and votes not in ("uniform", "near_surface"):
+        out["status"] = "fail"
+        out["SAI_LABEL_VOTES"] = (
+            f"unknown value {votes!r} (uniform|near_surface)"
+        )
+    if os.environ.get("SAI_SHARD_VOXELS") == "1":
+        try:
+            import jax
+
+            n = len(jax.devices())
+            if n < 2:
+                out.setdefault("status", "ok")
+                out["SAI_SHARD_VOXELS"] = (
+                    f"set, but only {n} device visible — fusion will run "
+                    f"unsharded (the knob is a no-op here)"
+                )
+                if out["status"] == "ok":
+                    out["status"] = "warn"
+        except Exception:  # pragma: no cover - backend probe best-effort
+            pass
+    return out
 
 
 def _resolve_output_dir(scan_dir: str, scan_name: str,
