@@ -91,20 +91,25 @@ def frame_frustum_planes(K, pose, imwidth, imheight, far):
     return m, d
 
 
-def active_brick_mask(grid: FusionGrid, frames: FrameBatch, brick_size: int):
+def active_brick_mask(grid: FusionGrid, frames: FrameBatch, brick_size: int,
+                      voxel_start=0):
     """[NB] bool: bricks that may receive any update from this chunk.
 
     Conservative: a False entry is PROVEN to get no TSDF and no feature
     update from any valid frame. NaN depth/pose/K values fail the exclusion
     comparison and keep the brick (conservative). Pure-padding bricks
-    (entirely past prod(nvox)) are always False.
+    (entirely past prod(nvox)) are always False. `voxel_start` (may be
+    traced) offsets the buffer's rows to global flat indices for
+    shard-local buffers.
     """
     N_buf = grid.tsdf_sum.shape[0]
     B = brick_size
     NB = -(-N_buf // B)
     F = frames.num_frames
 
-    flat = jax.lax.broadcasted_iota(jnp.int32, (NB * B, 1), 0)[:, 0]
+    flat = voxel_start + jax.lax.broadcasted_iota(
+        jnp.int32, (NB * B, 1), 0
+    )[:, 0]
     xyz, _ = decode_flat_coords(grid.nvox, grid.origin, grid.voxel_size, flat)
     bmin = xyz.reshape(NB, B, 3).min(axis=1)
     bmax = xyz.reshape(NB, B, 3).max(axis=1)
@@ -135,7 +140,7 @@ def active_brick_mask(grid: FusionGrid, frames: FrameBatch, brick_size: int):
     active = jnp.any(visible, axis=1)
 
     n_logical = grid.nvox[0] * grid.nvox[1] * grid.nvox[2]
-    brick_start = jnp.arange(NB, dtype=jnp.int32) * B
+    brick_start = voxel_start + jnp.arange(NB, dtype=jnp.int32) * B
     return active & (brick_start < n_logical)
 
 
@@ -148,6 +153,7 @@ def integrate_frames_brick_impl(
     capacity: int = 0,
     with_count: bool = False,
     label_vote_mode: str = "uniform",
+    voxel_start=0,
 ):
     """Brick-culled integration (exact; in-jit fallbacks on overflow).
 
@@ -155,8 +161,9 @@ def integrate_frames_brick_impl(
     for any input. brick_capacity bounds the number of brick slots phase 1
     processes; `capacity` bounds the near-surface voxel slots phase 2
     processes (both static — the pipeline right-sizes them adaptively from
-    the returned counts). Requires the grid buffer padded past prod(nvox)
-    (same scatter-sink contract as the sparse integrator).
+    the returned counts). `voxel_start` (may be traced) maps shard-local
+    buffer rows to global flat voxel indices so the voxel-sharded step can
+    host this integrator per shard (compaction is per-device bookkeeping).
     """
     N_buf = grid.tsdf_sum.shape[0]
     B = brick_size
@@ -175,7 +182,7 @@ def integrate_frames_brick_impl(
     patch_scale = jnp.array([Px / W, Py / H], jnp.float32)
     weighted_votes = label_vote_mode == "near_surface"
 
-    active = active_brick_mask(grid, frames, B)
+    active = active_brick_mask(grid, frames, B, voxel_start=voxel_start)
     nb_count = active.sum()
 
     labels_xs = (
@@ -206,7 +213,7 @@ def integrate_frames_brick_impl(
             sel[:, None] * B + jnp.arange(B, dtype=jnp.int32)[None, :]
         ).reshape(-1)  # [KBB]; fill slots duplicate brick NB-1 (zero adds)
         xyz_c, in_grid_c = decode_flat_coords(
-            g.nvox, g.origin, g.voxel_size, idx
+            g.nvox, g.origin, g.voxel_size, voxel_start + idx
         )
         vox_ok = in_grid_c & jnp.repeat(slot_valid, B)
 
@@ -250,11 +257,12 @@ def integrate_frames_brick_impl(
         union = valids.any(axis=0)
         count = union.sum()
 
-        # one appended dead slot (w = 0 in every frame, mapping to the grid's
-        # padding row) absorbs nonzero's fill indices exactly like the sparse
-        # integrator's sink voxel
+        # one appended dead slot (w = 0 in every frame; its out-of-range
+        # scatter index N_buf drops under mode="drop") absorbs nonzero's
+        # fill indices — no buffer padding row needed, so shard-local
+        # buffers work too
         idx_pad = jnp.concatenate(
-            [idx, jnp.array([N_buf - 1], jnp.int32)]
+            [idx, jnp.array([N_buf], jnp.int32)]
         )
         uvw_pad = jnp.pad(uvws, ((0, 0), (0, 1), (0, 0)))
         labs_pad = jnp.pad(labs, ((0, 0), (0, 1)))
@@ -345,6 +353,7 @@ def integrate_frames_brick_impl(
         return integrate_frames_sparse_impl(
             g, frames, rgb_mode=rgb_mode, capacity=capacity,
             with_count=True, label_vote_mode=label_vote_mode,
+            voxel_start=voxel_start,
         )
 
     grid, vox_count = jax.lax.cond(
@@ -372,6 +381,7 @@ def integrate_frames_brick(
     capacity: int = 0,
     with_count: bool = False,
     label_vote_mode: str = "uniform",
+    voxel_start=0,
 ):
     """Jitted brick-culled entry point (exact; in-jit fallbacks on overflow).
 
@@ -383,4 +393,5 @@ def integrate_frames_brick(
         grid, frames, rgb_mode=rgb_mode, brick_size=brick_size,
         brick_capacity=brick_capacity, capacity=capacity,
         with_count=with_count, label_vote_mode=label_vote_mode,
+        voxel_start=voxel_start,
     )

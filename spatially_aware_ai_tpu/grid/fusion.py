@@ -506,6 +506,7 @@ def integrate_frames_sparse_impl(
     capacity: int = 0,
     with_count: bool = False,
     label_vote_mode: str = "uniform",
+    voxel_start=0,
 ):
     """Sparse-active-voxel integration.
 
@@ -519,19 +520,20 @@ def integrate_frames_sparse_impl(
     whole chunk falls back to the dense einsum path inside the same jit
     (lax.cond) — results are ALWAYS exact, capacity only affects speed.
 
-    Requires the grid buffer to be padded past prod(nvox) (one slot is used
-    as a scatter sink for inactive fill indices; padding rows are masked so
-    sink writes are zeros).
+    `voxel_start` (may be traced): the grid buffer's first row corresponds
+    to this GLOBAL flat voxel index — the voxel-sharded step runs this impl
+    per shard (parallel/sharded.py). nonzero's fill slots drain into an
+    appended dead compaction slot (zero weight in every frame), so no
+    padding row in the buffer is required.
     """
     N_buf = grid.tsdf_sum.shape[0]
     xyz_world, vox_valid = voxel_world_coords_flat(
-        grid.nvox, grid.origin, grid.voxel_size, 0, N_buf
+        grid.nvox, grid.origin, grid.voxel_size, voxel_start, N_buf
     )
     F_, H, W = frames.depth.shape
     Py, Px = frames.feat_img.shape[1], frames.feat_img.shape[2]
     patch_scale = jnp.array([Px / W, Py / H], jnp.float32)
     capacity = capacity or max(1024, N_buf // 4)
-    sink = N_buf - 1  # padding slot; its contributions are always zero
 
     track_labels = grid.label_hist is not None
     if track_labels and frames.labels is None:
@@ -595,9 +597,17 @@ def integrate_frames_sparse_impl(
 
     # ---- phase 2a: sparse branch ----
     def sparse_branch(g):
-        (active,) = jnp.nonzero(union, size=capacity, fill_value=sink)
-        uvw_a = jnp.take(uvws, active, axis=1)  # [F, K, 3]
-        labs_a = jnp.take(labs, active, axis=1)  # [F, K]
+        # nonzero's fill slots point at an APPENDED dead slot (w = 0 in
+        # every frame): its contributions are structurally zero and the
+        # out-of-range scatter index N_buf drops (mode="drop"), so no
+        # buffer padding row is needed — shard-local buffers (voxel_start
+        # > 0) have no padding rows at all
+        (active,) = jnp.nonzero(union, size=capacity, fill_value=N_buf)
+        uvw_pad = jnp.pad(uvws, ((0, 0), (0, 1), (0, 0)))
+        labs_pad = jnp.pad(labs, ((0, 0), (0, 1)))
+        w_counts_pad = jnp.pad(w_counts, (0, 1))
+        uvw_a = jnp.take(uvw_pad, active, axis=1)  # [F, K, 3]
+        labs_a = jnp.take(labs_pad, active, axis=1)  # [F, K]
 
         def rgb_step(acc, frame):
             rgb_img, uvw_f = frame
@@ -617,18 +627,22 @@ def integrate_frames_sparse_impl(
         )
 
         new = dict(
-            rgb_sum=g.rgb_sum.at[active].add(rgb_contrib),
-            w=g.w.at[active].add(jnp.take(w_counts, active)),
-            feat_sum=g.feat_sum.at[active].add(feat_contrib),
+            rgb_sum=g.rgb_sum.at[active].add(rgb_contrib, mode="drop"),
+            w=g.w.at[active].add(
+                jnp.take(w_counts_pad, active), mode="drop"
+            ),
+            feat_sum=g.feat_sum.at[active].add(feat_contrib, mode="drop"),
         )
         if track_labels:
             hist_contrib = blocked_label_splat(
                 jnp.zeros((capacity, g.label_hist.shape[1]), jnp.int32),
                 labs_a,
-                jnp.take(votes, active, axis=1) if weighted_votes
-                else uvw_a[:, :, 2] > 0,
+                jnp.take(jnp.pad(votes, ((0, 0), (0, 1))), active, axis=1)
+                if weighted_votes else uvw_a[:, :, 2] > 0,
             )
-            new["label_hist"] = g.label_hist.at[active].add(hist_contrib)
+            new["label_hist"] = g.label_hist.at[active].add(
+                hist_contrib, mode="drop"
+            )
         return g.replace(**new)
 
     # ---- phase 2b: dense fallback ----
@@ -676,6 +690,7 @@ def integrate_frames_sparse(
     capacity: int = 0,
     with_count: bool = False,
     label_vote_mode: str = "uniform",
+    voxel_start=0,
 ):
     """Jitted sparse-active-voxel entry point (exact; dense fallback on
     capacity overflow).
@@ -688,4 +703,5 @@ def integrate_frames_sparse(
     return integrate_frames_sparse_impl(
         grid, frames, rgb_mode=rgb_mode, capacity=capacity,
         with_count=with_count, label_vote_mode=label_vote_mode,
+        voxel_start=voxel_start,
     )

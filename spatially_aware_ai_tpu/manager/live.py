@@ -257,11 +257,10 @@ class LiveScanSession:
 
     def _shard_integrator(self) -> str:
         """In-shard integrator when voxel sharding is on: the shard_map
-        step hosts scan/einsum/pallas; sparse/brick compaction is
-        per-device bookkeeping, so those map to einsum (same rule as
-        fuse_scan)."""
-        integ = self._integrator()
-        return integ if integ in ("scan", "einsum", "pallas") else "einsum"
+        step hosts every integrator (sparse/brick compact per shard via
+        voxel_start with static shard-scaled budgets — the AdaptiveCap
+        controller stays single-device-only, same rule as fuse_scan)."""
+        return self._integrator()
 
     def _ensure_grid(self):
         if self.grid is not None:
@@ -372,6 +371,9 @@ class LiveScanSession:
                     pallas_tile=cfg.pallas_tile,
                     pallas_interpret=pallas_interp,
                     label_vote_mode=cfg.label_vote_mode,
+                    capacity=cfg.sparse_capacity,
+                    brick_size=cfg.brick_size,
+                    brick_capacity=cfg.brick_capacity,
                 )
             self.grid = self._shard_step(self.grid, batch)
         elif integ in ("sparse", "brick"):

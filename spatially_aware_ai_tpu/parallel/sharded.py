@@ -53,12 +53,18 @@ def make_sharded_integrate(
     mesh, grid: FusionGrid, frames: FrameBatch, rgb_mode: str = "bilinear",
     axis: str = AXIS, integrator: str = "scan", pallas_tile: int = 512,
     pallas_interpret: bool = False, label_vote_mode: str = "uniform",
+    capacity: int = 0, brick_size: int = 128, brick_capacity: int = 0,
 ):
     """Build ONE jitted shard_map fusion step (grid, frames) -> grid for the
     given example structures. Build it once per scan and call it per chunk —
     `integrate_frames_sharded` constructs (and re-jits) the program on every
     call, which is fine for tests but pays a trace per chunk in a pipeline
-    loop."""
+    loop.
+
+    integrator "sparse"/"brick" runs the compaction PER SHARD (each device
+    compacts its own voxel slice via voxel_start; slot budgets `capacity` /
+    `brick_capacity` are per-shard static sizes, 0 = the integrators'
+    defaults scaled to the shard)."""
     n_dev = mesh.shape[axis]
     n_local = grid.tsdf_sum.shape[0] // n_dev
     if grid.tsdf_sum.shape[0] % n_dev != 0:
@@ -69,6 +75,21 @@ def make_sharded_integrate(
 
     def body(g, f):
         start = jax.lax.axis_index(axis) * n_local
+        if integrator == "sparse":
+            from ..grid.fusion import integrate_frames_sparse_impl
+
+            return integrate_frames_sparse_impl(
+                g, f, rgb_mode=rgb_mode, capacity=capacity,
+                label_vote_mode=label_vote_mode, voxel_start=start,
+            )
+        if integrator == "brick":
+            from ..grid.brick import integrate_frames_brick_impl
+
+            return integrate_frames_brick_impl(
+                g, f, rgb_mode=rgb_mode, brick_size=brick_size,
+                brick_capacity=brick_capacity, capacity=capacity,
+                label_vote_mode=label_vote_mode, voxel_start=start,
+            )
         if integrator in ("pallas", "einsum"):
             from ..grid.fusion import integrate_frames_hybrid_impl
 

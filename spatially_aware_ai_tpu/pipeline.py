@@ -142,9 +142,10 @@ class FusionConfig:
     # shard_map fusion step (parallel/sharded.py — zero collectives in the
     # hot loop; every chip integrates all frames into its own voxel shard).
     # Opt-in: single-chip benches and CPU tests keep the unsharded paths.
-    # With >1 device this overrides integrator with the sharded step
-    # ("scan"/"einsum"/"pallas" honored inside the shard; sparse/brick
-    # map to einsum).
+    # Every integrator runs inside the shard (sparse/brick compact their
+    # own voxel slice via voxel_start; slot budgets are static per shard —
+    # set sparse_capacity/brick_capacity explicitly to tune, the adaptive
+    # controller is single-device-only).
     shard_voxels: bool = False
     # round the flat voxel buffer up to this multiple so scans with similar
     # bounds reuse one compiled executable (grid dims are traced data, only
@@ -406,19 +407,18 @@ def fuse_scan(
     if integrator is None:
         integrator = "sparse" if jax.default_backend() == "tpu" else "scan"
 
-    # multi-chip voxel sharding (opt-in): the shard_map step hosts the
-    # scan/einsum/pallas integrators; sparse/brick compaction is per-device
-    # bookkeeping, so those map to the einsum splat inside the shard
+    # multi-chip voxel sharding (opt-in): the shard_map step hosts EVERY
+    # integrator — sparse/brick compact per shard via voxel_start, with
+    # static per-shard slot budgets (config.sparse_capacity /
+    # brick_capacity; 0 = the integrators' shard-scaled defaults — the
+    # adaptive controller stays single-device-only)
     mesh_obj = None
     shard_integrator = None
     if config.shard_voxels and len(jax.devices()) > 1:
         from .parallel.mesh import make_mesh
 
         mesh_obj = make_mesh()
-        shard_integrator = (
-            integrator if integrator in ("scan", "einsum", "pallas")
-            else "einsum"
-        )
+        shard_integrator = integrator
         say(f"voxel-sharded fusion over {len(jax.devices())} devices "
             f"({shard_integrator} in-shard)")
 
@@ -621,6 +621,9 @@ def fuse_scan(
                     pallas_tile=config.pallas_tile,
                     pallas_interpret=pallas_interp,
                     label_vote_mode=config.label_vote_mode,
+                    capacity=config.sparse_capacity,
+                    brick_size=config.brick_size,
+                    brick_capacity=config.brick_capacity,
                 )
             grid = shard_step(grid, batch)
         elif integrator == "pallas":

@@ -251,3 +251,47 @@ def test_brick_random_adversarial_scenes_exact():
                     np.asarray(getattr(ref, name)),
                     err_msg=f"trial={trial} B={B} {name}",
                 )
+
+
+def test_sharded_compact_integrators_match_dense():
+    """sparse/brick inside the shard_map step: each device compacts its own
+    voxel slice (voxel_start), incl. the per-shard overflow fallbacks —
+    results match single-device dense integration on the 8-device mesh."""
+    import jax
+
+    from spatially_aware_ai_tpu.parallel import make_mesh, shard_grid
+    from spatially_aware_ai_tpu.parallel.sharded import (
+        make_sharded_integrate,
+    )
+
+    assert len(jax.devices()) > 1
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    scene = make_scene(num_frames=5)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+
+    cases = [
+        dict(integrator="sparse"),
+        dict(integrator="sparse", capacity=8),        # per-shard overflow
+        dict(integrator="brick", brick_size=16),
+        dict(integrator="brick", brick_size=16, brick_capacity=1),
+        dict(integrator="brick", brick_size=16, capacity=8),
+    ]
+    for kw in cases:
+        g = shard_grid(
+            mesh, create_grid(**dict(grid_args(scene), pad_to=n_dev))
+        )
+        step = make_sharded_integrate(mesh, g, batch, **kw)
+        out = step(g, batch)
+        for name in INT_FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(out, name))[:n],
+                np.asarray(getattr(ref, name)), err_msg=f"{kw} {name}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum),
+            atol=1e-4, err_msg=str(kw),
+        )

@@ -252,20 +252,26 @@ def test_shard_voxels_pipeline_matches_single_device():
         r_shard.values["rgb"], r_one.values["rgb"], atol=1e-5
     )
 
-    # the sharded einsum production path (used when integrator is
-    # sparse/brick under sharding) stays exact too
-    r_shard_e = fuse_scan(
-        ds, engine,
-        FusionConfig(**base, integrator="sparse", shard_voxels=True),
-        segmenter=segmenter,
-    )
-    np.testing.assert_array_equal(
-        r_shard_e.values["weight"], r_one.values["weight"]
-    )
-    np.testing.assert_allclose(
-        np.asarray(r_shard_e.feat_grid), np.asarray(r_one.feat_grid),
-        atol=1e-4,
-    )
+    # sparse and brick now compact PER SHARD (voxel_start) — both stay
+    # exact under sharding
+    for integ in ("sparse", "brick"):
+        r_shard_c = fuse_scan(
+            ds, engine,
+            FusionConfig(**base, integrator=integ, shard_voxels=True),
+            segmenter=segmenter,
+        )
+        np.testing.assert_array_equal(
+            r_shard_c.values["weight"], r_one.values["weight"],
+            err_msg=integ,
+        )
+        np.testing.assert_array_equal(
+            r_shard_c.values["class_id"], r_one.values["class_id"],
+            err_msg=integ,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_shard_c.feat_grid), np.asarray(r_one.feat_grid),
+            atol=1e-4, err_msg=integ,
+        )
 
 
 def test_scan_smaller_than_one_chunk():
