@@ -54,6 +54,7 @@ def make_sharded_integrate(
     axis: str = AXIS, integrator: str = "scan", pallas_tile: int = 512,
     pallas_interpret: bool = False, label_vote_mode: str = "uniform",
     capacity: int = 0, brick_size: int = 128, brick_capacity: int = 0,
+    with_count: bool = False,
 ):
     """Build ONE jitted shard_map fusion step (grid, frames) -> grid for the
     given example structures. Build it once per scan and call it per chunk —
@@ -64,7 +65,10 @@ def make_sharded_integrate(
     integrator "sparse"/"brick" runs the compaction PER SHARD (each device
     compacts its own voxel slice via voxel_start; slot budgets `capacity` /
     `brick_capacity` are per-shard static sizes, 0 = the integrators'
-    defaults scaled to the shard)."""
+    defaults scaled to the shard). with_count=True (sparse/brick only)
+    additionally returns the PER-SHARD counts as [n_dev] arrays —
+    (grid, vox_counts) for sparse, (grid, brick_counts, vox_counts) for
+    brick — the feedback for adaptive budget sizing (observe the max)."""
     n_dev = mesh.shape[axis]
     n_local = grid.tsdf_sum.shape[0] // n_dev
     if grid.tsdf_sum.shape[0] % n_dev != 0:
@@ -72,24 +76,36 @@ def make_sharded_integrate(
             f"grid size {grid.tsdf_sum.shape[0]} not divisible by mesh axis "
             f"{n_dev}; create the grid with pad_to={n_dev}"
         )
+    if with_count and integrator not in ("sparse", "brick"):
+        raise ValueError(f"with_count unsupported for {integrator!r}")
 
     def body(g, f):
         start = jax.lax.axis_index(axis) * n_local
         if integrator == "sparse":
             from ..grid.fusion import integrate_frames_sparse_impl
 
-            return integrate_frames_sparse_impl(
+            out = integrate_frames_sparse_impl(
                 g, f, rgb_mode=rgb_mode, capacity=capacity,
                 label_vote_mode=label_vote_mode, voxel_start=start,
+                with_count=with_count,
             )
+            if with_count:
+                g, cnt = out
+                return g, cnt.reshape(1)
+            return out
         if integrator == "brick":
             from ..grid.brick import integrate_frames_brick_impl
 
-            return integrate_frames_brick_impl(
+            out = integrate_frames_brick_impl(
                 g, f, rgb_mode=rgb_mode, brick_size=brick_size,
                 brick_capacity=brick_capacity, capacity=capacity,
                 label_vote_mode=label_vote_mode, voxel_start=start,
+                with_count=with_count,
             )
+            if with_count:
+                g, nb, cnt = out
+                return g, nb.reshape(1), cnt.reshape(1)
+            return out
         if integrator in ("pallas", "einsum"):
             from ..grid.fusion import integrate_frames_hybrid_impl
 
@@ -103,11 +119,16 @@ def make_sharded_integrate(
             label_vote_mode=label_vote_mode,
         )
 
+    out_specs = _grid_specs(grid, axis)
+    if with_count:
+        n_counts = 2 if integrator == "brick" else 1
+        out_specs = (out_specs, *([P(axis)] * n_counts))
+
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(_grid_specs(grid, axis), _replicated_specs(frames)),
-        out_specs=_grid_specs(grid, axis),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))

@@ -463,14 +463,18 @@ def fuse_scan(
     # adaptive slot budgets: phase-2 cost in the sparse/brick integrators
     # scales with the CAPACITY (static slot count), not the actual active
     # union, so start small and grow from observed per-chunk counts
-    # (AdaptiveCap). Not used when the grid is sharded (the shard_map step
-    # hosts scan/einsum/pallas only).
+    # (AdaptiveCap). Under sharding the budgets are PER SHARD: sized from
+    # the shard length and grown from the max per-shard count; a growth
+    # drops the built step so the next chunk re-jits with the new statics.
     sparse_cap = None
     brick_cap = None
-    if integrator in ("sparse", "brick") and mesh_obj is None:
-        sparse_cap = AdaptiveCap.for_sparse(grid.tsdf_sum.shape[0], config)
-    if integrator == "brick" and mesh_obj is None:
-        brick_cap = AdaptiveCap.for_brick(grid.tsdf_sum.shape[0], config)
+    n_cap = grid.tsdf_sum.shape[0]
+    if mesh_obj is not None:
+        n_cap //= mesh_obj.devices.size
+    if integrator in ("sparse", "brick"):
+        sparse_cap = AdaptiveCap.for_sparse(n_cap, config)
+    if integrator == "brick":
+        brick_cap = AdaptiveCap.for_brick(n_cap, config)
 
     start_frame = 0
     if config.checkpoint_path and os.path.exists(config.checkpoint_path):
@@ -612,6 +616,7 @@ def fuse_scan(
         # the kernel runs in interpret mode
         pallas_interp = jax.default_backend() != "tpu"
         if mesh_obj is not None:
+            compact = shard_integrator in ("sparse", "brick")
             if shard_step is None:
                 from .parallel.sharded import make_sharded_integrate
 
@@ -621,11 +626,36 @@ def fuse_scan(
                     pallas_tile=config.pallas_tile,
                     pallas_interpret=pallas_interp,
                     label_vote_mode=config.label_vote_mode,
-                    capacity=config.sparse_capacity,
+                    capacity=sparse_cap.value if compact else 0,
                     brick_size=config.brick_size,
-                    brick_capacity=config.brick_capacity,
+                    brick_capacity=(
+                        brick_cap.value if brick_cap is not None else 0
+                    ),
+                    with_count=compact,
                 )
-            grid = shard_step(grid, batch)
+            if compact and shard_integrator == "brick":
+                grid, nbc, cnt = shard_step(grid, batch)
+            elif compact:
+                grid, cnt = shard_step(grid, batch)
+                nbc = None
+            else:
+                grid = shard_step(grid, batch)
+            if compact:
+                grew = False
+                if config.sparse_capacity == 0:
+                    c = sparse_cap.observe(jnp.max(cnt))
+                    if c is not None:
+                        say(f"per-shard sparse capacity -> "
+                            f"{sparse_cap.value} (max union {c})")
+                        grew = True
+                if nbc is not None and config.brick_capacity == 0:
+                    c = brick_cap.observe(jnp.max(nbc))
+                    if c is not None:
+                        say(f"per-shard brick capacity -> "
+                            f"{brick_cap.value} (max frustum bricks {c})")
+                        grew = True
+                if grew:
+                    shard_step = None  # re-jit with the grown statics
         elif integrator == "pallas":
             grid = integrate_frames_pallas(
                 grid, batch, rgb_mode=config.rgb_mode,

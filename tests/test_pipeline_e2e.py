@@ -274,6 +274,36 @@ def test_shard_voxels_pipeline_matches_single_device():
         )
 
 
+def test_sharded_adaptive_capacity_grows_and_stays_exact(monkeypatch):
+    """Under voxel sharding the budgets are per shard, grown from the MAX
+    per-shard count; a growth re-jits the shard step with the new statics.
+    Results match the single-device scan path regardless of where growth
+    lands."""
+    from spatially_aware_ai_tpu import pipeline as P
+
+    monkeypatch.setattr(P, "_SPARSE_CAP_START", 64)
+    monkeypatch.setattr(P, "_SPARSE_CAP_ROUND", 64)
+
+    ds = SyntheticSceneDataset(num_frames=12, width=64, height=48)
+    engine = ClipEngine.tiny()
+    base = dict(voxel_size=0.07, trunc_vox=2.0, clip_patch_size=32,
+                clip_patch_stride=16, frame_chunk=3)
+    r_scan = fuse_scan(ds, engine, FusionConfig(**base, integrator="scan"))
+    r_shard = fuse_scan(
+        ds, engine,
+        FusionConfig(**base, integrator="brick", shard_voxels=True,
+                     brick_size=32),
+    )
+    assert r_shard.timings["sparse_capacity"] > 64  # growth happened
+    np.testing.assert_array_equal(
+        r_shard.values["weight"], r_scan.values["weight"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_shard.feat_grid), np.asarray(r_scan.feat_grid),
+        atol=1e-4,
+    )
+
+
 def test_scan_smaller_than_one_chunk():
     ds = SyntheticSceneDataset(num_frames=2, width=48, height=36)
     engine = ClipEngine.tiny()
