@@ -381,6 +381,7 @@ def main_full():
             voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=64, clip_patch_stride=32,
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
+            shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
         )
     else:
         engine = ClipEngine.random(seed=0)
@@ -389,8 +390,11 @@ def main_full():
             voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
             clip_patch_size=256, clip_patch_stride=128,
             # None = pipeline auto (sparse on TPU); SAI_BENCH_INTEGRATOR
-            # A/Bs the full pipeline too (e.g. brick, grid/brick.py)
+            # A/Bs the full pipeline too (e.g. brick, grid/brick.py); the
+            # deployment knob SAI_SHARD_VOXELS=1 A/Bs the voxel-sharded
+            # shard_map step (1-device mesh on this host)
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
+            shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
         )
 
     # --- kMaX-only throughput: device-resident input, one sync across the

@@ -58,4 +58,12 @@ step bench_sparse_fine 2400 env SAI_BENCH_INTEGRATOR=sparse \
 step bench_brick_fine 2400 env SAI_BENCH_INTEGRATOR=brick \
     SAI_BENCH_VOXEL=0.02 python bench.py
 
+# 7. depthwise-conv sizing: is a fused dwconv->LN->MLP kernel worth it?
+step bench_dwconv 1800 python benchmarks/bench_dwconv.py
+
+# 8. voxel-sharded fuse with adaptive per-shard budgets, real chip
+#    (1-device mesh: exercises the shard_map path + budget growth on TPU)
+step bench_sharded 3600 env SAI_SHARD_VOXELS=1 SAI_BENCH_INTEGRATOR=brick \
+    SAI_BENCH_FULL=1 python bench.py
+
 note "batch complete; see $OUT/*.out"
