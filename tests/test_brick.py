@@ -295,3 +295,73 @@ def test_sharded_compact_integrators_match_dense():
             np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum),
             atol=1e-4, err_msg=str(kw),
         )
+
+
+def test_sharded_compact_adversarial_scenes_exact():
+    """Adversarial geometry THROUGH the sharded compact step: random
+    orientations/positions, projective K rows, zero/inf depth, shard
+    boundaries splitting bricks, tiny per-shard budgets forcing the
+    in-shard overflow fallbacks. Distilled from a 20-trial offline sweep
+    (all exact); two representative trials keep suite time bounded."""
+    import jax
+
+    from spatially_aware_ai_tpu.parallel import make_mesh, shard_grid
+    from spatially_aware_ai_tpu.parallel.sharded import (
+        make_sharded_integrate,
+    )
+
+    assert len(jax.devices()) > 1
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(2024)
+
+    for trial in range(2):
+        nvox = tuple(int(x) for x in rng.integers(5, 12, 3))
+        origin = rng.normal(scale=0.3, size=3).astype(np.float32)
+        frames = []
+        for _ in range(3):
+            q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = (q * np.sign(np.linalg.det(q))).astype(np.float32)
+            pose[:3, 3] = origin + rng.normal(scale=0.7, size=3).astype(
+                np.float32
+            )
+            K = np.array([[rng.uniform(8, 70), 0, 16],
+                          [0, rng.uniform(8, 70), 12], [0, 0, 1]],
+                         np.float32)
+            if trial % 2:
+                K[2, :2] = rng.normal(scale=0.03, size=2)
+            depth = rng.uniform(0.03, 1.8, size=(24, 32)).astype(np.float32)
+            m = rng.random(depth.shape)
+            depth[m < 0.07] = 0.0
+            depth[(m > 0.07) & (m < 0.12)] = np.inf
+            rgb = rng.uniform(0, 1, size=(24, 32, 3)).astype(np.float32)
+            feat_img = rng.normal(size=(3, 4, 16)).astype(np.float32)
+            labels = rng.integers(0, 7, size=(24, 32)).astype(np.int32)
+            frames.append((depth, rgb, pose, K, feat_img, labels))
+        scene = dict(nvox=nvox, origin=origin,
+                     voxel_size=float(rng.uniform(0.03, 0.08)), trunc=0.1,
+                     frames=frames, feat_dim=16, n_classes=7, H=24, W=32)
+        batch = build_batch(scene, with_labels=True)
+        ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+        n = ref.tsdf_sum.shape[0]
+        for kw in (
+            dict(integrator="sparse", capacity=8),
+            dict(integrator="brick", brick_size=16, brick_capacity=2,
+                 capacity=8),
+        ):
+            g = shard_grid(
+                mesh, create_grid(**dict(grid_args(scene), pad_to=n_dev))
+            )
+            step = make_sharded_integrate(mesh, g, batch, **kw)
+            out = step(g, batch)
+            for name in INT_FIELDS:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(out, name))[:n],
+                    np.asarray(getattr(ref, name)),
+                    err_msg=f"trial={trial} {kw} {name}",
+                )
+            np.testing.assert_allclose(
+                np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum),
+                atol=1e-4, err_msg=f"trial={trial} {kw}",
+            )
