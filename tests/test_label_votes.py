@@ -71,6 +71,44 @@ def test_weighted_votes_cross_integrator_equality():
         )
 
 
+def test_weighted_votes_sharded_compact_equality():
+    """near_surface voting inside the voxel-sharded compact step matches
+    the single-device scan oracle (vote weights are per-observation, so
+    sharding must not change them)."""
+    import jax
+
+    from spatially_aware_ai_tpu.parallel import make_mesh, shard_grid
+    from spatially_aware_ai_tpu.parallel.sharded import (
+        make_sharded_integrate,
+    )
+
+    assert len(jax.devices()) > 1
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    scene = make_scene(num_frames=6)
+    batch = build_batch(scene, with_labels=True)
+    ref = integrate_frames(
+        create_grid(**grid_args(scene)), batch,
+        label_vote_mode="near_surface",
+    )
+    n = ref.tsdf_sum.shape[0]
+
+    for kw in (dict(integrator="sparse"),
+               dict(integrator="brick", brick_size=16)):
+        g = shard_grid(
+            mesh, create_grid(**dict(grid_args(scene), pad_to=n_dev))
+        )
+        step = make_sharded_integrate(
+            mesh, g, batch, label_vote_mode="near_surface", **kw
+        )
+        out = step(g, batch)
+        np.testing.assert_array_equal(
+            np.asarray(out.label_hist)[:n], np.asarray(ref.label_hist),
+            err_msg=f"label_hist mismatch: sharded {kw} vs scan",
+        )
+
+
 def test_weighting_touches_only_labels():
     scene = make_scene(num_frames=5)
     batch = build_batch(scene, with_labels=True)
