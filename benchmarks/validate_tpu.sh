@@ -61,6 +61,11 @@ step bench_brick_fine 2400 env SAI_BENCH_INTEGRATOR=brick \
 # 7. depthwise-conv sizing: is a fused dwconv->LN->MLP kernel worth it?
 step bench_dwconv 1800 python benchmarks/bench_dwconv.py
 
+# 7b. shift-MAC dwconv in the real backbone (SAI_DWCONV=shift): same-batch
+#     A/B against step 4's default grouped-conv numbers
+step bench_kmax2_shift 1800 env SAI_DWCONV=shift \
+    python benchmarks/bench_kmax2.py
+
 # 8. voxel-sharded fuse with adaptive per-shard budgets, real chip
 #    (1-device mesh: exercises the shard_map path + budget growth on TPU)
 step bench_sharded 3600 env SAI_SHARD_VOXELS=1 SAI_BENCH_INTEGRATOR=brick \

@@ -19,6 +19,46 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def use_shift_dwconv(override=None) -> bool:
+    """Gate for the shift-and-add depthwise-conv formulation (pad once +
+    49 static slices, f32 accumulate). Same math as the grouped-conv
+    lowering flax emits for `nn.Conv(feature_group_count=C)`; the slice
+    form gives XLA a pure elementwise MAC chain it can fuse instead of a
+    grouped convolution (whose TPU lowering is the term
+    benchmarks/bench_dwconv.py sizes). Resolution: explicit module
+    override wins, else SAI_DWCONV=shift opts in, SAI_DWCONV=xla pins the
+    conv lowering; default is the conv lowering until the TPU A/B says
+    otherwise."""
+    import os
+
+    if override is not None:
+        return override
+    return os.environ.get("SAI_DWCONV") == "shift"
+
+
+def dwconv7_shift(x, kernel, bias):
+    """Depthwise 7x7 SAME conv as pad + 49 static shifted MACs.
+
+    Args:
+      x: [B, H, W, C] (any float dtype; products/accumulation in f32).
+      kernel: [7, 7, 1, C] — the HWIO param `nn.Conv` registers for a
+        depthwise conv (feature_group_count=C), used as-is so checkpoints
+        and converters are layout-unaffected.
+      bias: [C].
+    Returns [B, H, W, C] in x.dtype.
+    """
+    h, w = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for dy in range(7):
+        for dx in range(7):
+            acc = acc + (
+                xp[:, dy : dy + h, dx : dx + w, :].astype(jnp.float32)
+                * kernel[dy, dx, 0].astype(jnp.float32)
+            )
+    return (acc + bias.astype(jnp.float32)).astype(x.dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class ConvNeXtConfig:
     depths: Tuple[int, ...] = (3, 3, 27, 3)
@@ -37,13 +77,24 @@ class ConvNeXtBlock(nn.Module):
     # None = auto (fused LN->MLP Pallas kernel on TPU); True forces the
     # fused path (interpret mode off-TPU, for tests); False forces unfused
     fused_mlp: Any = None
+    # None = env (SAI_DWCONV=shift); True/False force the shift-MAC /
+    # grouped-conv depthwise formulations (see use_shift_dwconv)
+    shift_dwconv: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(
+        dwconv = nn.Conv(
             self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
-        )(x)
+        )
+        if not self.is_initializing() and use_shift_dwconv(self.shift_dwconv):
+            # params were registered by the grouped-conv module at init;
+            # compute the identical conv as 49 shifted MACs instead
+            v = self.variables["params"]["dwconv"]
+            h = dwconv7_shift(x.astype(self.dtype),
+                              v["kernel"], v["bias"])
+        else:
+            h = dwconv(x)
         norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
         pw1 = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")
         pw2 = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")

@@ -105,3 +105,37 @@ def test_convnext_matches_torch():
             atol=3e-5,
             err_msg=level,
         )
+
+
+def test_shift_dwconv_matches_grouped_conv():
+    """The shift-and-add depthwise formulation (SAI_DWCONV=shift,
+    convnext.dwconv7_shift) computes the exact same block output as the
+    grouped-conv lowering, in f32 and bf16."""
+    from spatially_aware_ai_tpu.models.kmax.convnext import ConvNeXtBlock
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 13, 17, 8)).astype(np.float32)
+    for dtype, atol in ((jnp.float32, 2e-6), (jnp.bfloat16, 3e-2)):
+        ref_blk = ConvNeXtBlock(8, 1e-6, dtype, shift_dwconv=False)
+        params = ref_blk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        ref = ref_blk.apply(params, jnp.asarray(x))
+        shift_blk = ConvNeXtBlock(8, 1e-6, dtype, shift_dwconv=True)
+        got = shift_blk.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=atol, err_msg=str(dtype),
+        )
+
+
+def test_shift_dwconv_env_gate(monkeypatch):
+    """SAI_DWCONV=shift flips the default; explicit overrides win."""
+    from spatially_aware_ai_tpu.models.kmax.convnext import use_shift_dwconv
+
+    monkeypatch.delenv("SAI_DWCONV", raising=False)
+    assert use_shift_dwconv() is False
+    monkeypatch.setenv("SAI_DWCONV", "shift")
+    assert use_shift_dwconv() is True
+    assert use_shift_dwconv(False) is False
+    monkeypatch.setenv("SAI_DWCONV", "xla")
+    assert use_shift_dwconv() is False
+    assert use_shift_dwconv(True) is True
