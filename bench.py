@@ -22,45 +22,106 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _require_reachable_device(deadline_s: float):
-    """Fail FAST (rc 3, no fake metric) when the backend is unreachable.
+# Probe program for FRESH subprocess clients during outage recovery (the
+# wedged parent's client cannot be reused: a hung dispatch has no cancel).
+_PROBE_SRC = (
+    "import sys; sys.path.insert(0, {bench_dir!r}); "
+    "from spatially_aware_ai_tpu.utils.cache import "
+    "enable_compilation_cache; enable_compilation_cache(); "
+    "import jax.numpy as jnp; "
+    "print(float((jnp.ones((8, 128)) + 1.0)[0, 0]))"
+).format(bench_dir=os.path.dirname(os.path.abspath(__file__)))
 
-    The sandbox's TPU rides a remote tunnel that sometimes goes down; a
-    first device op then blocks forever and the whole bench hangs with no
-    diagnostic. Probe a trivial dispatch+sync in a daemon thread: if it
-    doesn't complete within the deadline (generous — a healthy-but-cold
-    tunnel needs ~3 min for its first small compile), print the reason to
-    stderr and exit 3 WITHOUT printing a metric line (a 0-value metric
+
+def _require_reachable_device(deadline_s: float):
+    """Gate on backend health; WAIT for recovery through a transient outage.
+
+    The sandbox's TPU rides a remote tunnel with observed multi-hour
+    outages; a first device op then blocks forever and the whole bench
+    hangs with no diagnostic. Probe a trivial dispatch+sync in a daemon
+    thread; if it doesn't complete within a short window (a healthy-but-
+    cold tunnel needs ~3 min for its first small compile) or errors
+    (UNAVAILABLE at backend init), this process's client is wedged — so
+    poll for recovery with FRESH subprocess probes and, on the first
+    healthy one, re-exec the bench with a clean client (bounded to
+    SAI_BENCH_REEXEC_LEFT times, deadline shared across re-execs via
+    SAI_BENCH_PROBE_T0). If the deadline passes first, print the reason
+    to stderr and exit 3 WITHOUT printing a metric line (a 0-value metric
     would read as a perf regression rather than an infra outage).
     Override the deadline with SAI_BENCH_DEVICE_DEADLINE_S; 0 disables."""
+    import subprocess
     import threading
 
     if deadline_s <= 0:
         return
-    done = {}
+    t0 = float(os.environ.get("SAI_BENCH_PROBE_T0", "0") or 0) or time.time()
+    os.environ["SAI_BENCH_PROBE_T0"] = repr(t0)
+    deadline = t0 + deadline_s
+    # one-shot test hook: pretend THIS process's client is wedged (popped so
+    # a re-exec'd child comes up healthy) — lets tests/test_bench_smoke.py
+    # drive the recovery + re-exec path without a real outage
+    if os.environ.pop("SAI_BENCH_FORCE_UNHEALTHY", None) == "1":
+        reason = "forced unhealthy (SAI_BENCH_FORCE_UNHEALTHY test hook)"
+    else:
+        done = {}
 
-    def probe():
-        try:
-            import jax.numpy as jnp
+        def probe():
+            try:
+                import jax.numpy as jnp
 
-            done["rt"] = float((jnp.ones((8, 128)) + 1.0)[0, 0])
-        except Exception as e:  # pragma: no cover - backend specific
-            done["err"] = f"{type(e).__name__}: {e}"
+                done["rt"] = float((jnp.ones((8, 128)) + 1.0)[0, 0])
+            except Exception as e:  # pragma: no cover - backend specific
+                done["err"] = f"{type(e).__name__}: {e}"
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(deadline_s)
-    if t.is_alive():
-        print(
-            f"bench: device unreachable (trivial dispatch+sync still "
-            f"blocked after {deadline_s:.0f}s) — backend/tunnel outage, "
-            f"not a perf result; aborting without a metric line",
-            file=sys.stderr,
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(max(min(240.0, deadline - time.time()), 30.0))
+        if not t.is_alive() and "err" not in done:
+            return
+        reason = (
+            "trivial dispatch+sync blocked (wedged client)"
+            if t.is_alive()
+            else f"probe failed: {done['err']}"
         )
-        raise SystemExit(3)
-    if "err" in done:
-        print(f"bench: device probe failed: {done['err']}", file=sys.stderr)
-        raise SystemExit(3)
+    print(
+        f"bench: device probe unhealthy ({reason}); polling for backend "
+        f"recovery for up to {max(deadline - time.time(), 0):.0f}s more",
+        file=sys.stderr,
+        flush=True,
+    )
+    left = int(os.environ.get("SAI_BENCH_REEXEC_LEFT", "3"))
+    while time.time() < deadline:  # pragma: no cover - timing dependent
+        try:
+            ok = (
+                subprocess.run(
+                    [sys.executable, "-c", _PROBE_SRC],
+                    timeout=max(min(150.0, deadline - time.time()), 10.0),
+                    capture_output=True,
+                ).returncode
+                == 0
+            )
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            if left <= 0:
+                break  # re-exec budget exhausted; diagnose below
+            os.environ["SAI_BENCH_REEXEC_LEFT"] = str(left - 1)
+            print(
+                "bench: backend recovered; re-exec with a clean client "
+                f"({left} re-exec(s) left)",
+                file=sys.stderr,
+                flush=True,
+            )
+            sys.stdout.flush()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        time.sleep(max(min(30.0, deadline - time.time()), 0.0))
+    print(
+        f"bench: device unreachable ({reason}; no recovery within "
+        f"{deadline_s:.0f}s) — backend/tunnel outage, not a perf result; "
+        f"aborting without a metric line",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
 
 
 def main():
@@ -68,10 +129,6 @@ def main():
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
-
-    _require_reachable_device(
-        float(os.environ.get("SAI_BENCH_DEVICE_DEADLINE_S", "900"))
-    )
 
     from spatially_aware_ai_tpu.data import SyntheticSceneDataset
     from spatially_aware_ai_tpu.grid.fusion import integrate_frames
@@ -537,6 +594,15 @@ def main_full():
 
 
 if __name__ == "__main__":
+    # health gate covers BOTH modes (the full bench used to skip it and
+    # could hang forever on a tunnel outage); persistent compile cache ON
+    # before the first probe dispatch so the gate itself is warm
+    from spatially_aware_ai_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    _require_reachable_device(
+        float(os.environ.get("SAI_BENCH_DEVICE_DEADLINE_S", "900"))
+    )
     if os.environ.get("SAI_BENCH_FULL") == "1":
         main_full()
     else:

@@ -71,6 +71,50 @@ def test_bench_default_mode_contract():
 
 
 @pytest.mark.slow
+def test_bench_outage_recovery_reexec():
+    """A wedged client recovers: the health gate polls with fresh
+    subprocess probes and re-execs the bench, which then completes
+    normally (SAI_BENCH_FORCE_UNHEALTHY simulates the wedge one-shot)."""
+    record, stderr = _run_bench(
+        {
+            "SAI_BENCH_TINY": "1",
+            "SAI_BENCH_FORCE_UNHEALTHY": "1",
+            "SAI_BENCH_DEVICE_DEADLINE_S": "600",
+        }
+    )
+    assert record["metric"] == "fusion_frames_per_sec_per_chip"
+    assert "polling for backend recovery" in stderr
+    assert "re-exec with a clean client" in stderr
+
+
+@pytest.mark.slow
+def test_bench_outage_exhausted_deadline_exits_3():
+    """An outage that outlives the deadline exits 3 with a diagnosis and
+    NO stdout metric line (a bogus platform makes every probe fail)."""
+    env = dict(os.environ)
+    env.update(
+        {
+            "PALLAS_AXON_POOL_IPS": "",
+            "JAX_PLATFORMS": "bogus_platform",
+            "XLA_FLAGS": "",
+            "SAI_BENCH_TINY": "1",
+            "SAI_BENCH_DEVICE_DEADLINE_S": "20",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 3, proc.stderr[-2000:]
+    assert not [l for l in proc.stdout.splitlines() if l.strip()]
+    assert "device unreachable" in proc.stderr
+
+
+@pytest.mark.slow
 def test_bench_full_mode_contract():
     record, stderr = _run_bench(
         {"SAI_BENCH_FULL": "1", "SAI_BENCH_FULL_TINY": "1"}
