@@ -10,7 +10,13 @@ integration, steady state). Baseline: the driver's north star is a 500-frame
 scan queryable in < 30 s on v5e-8 => 16.7 fps on 8 chips => 2.083 fps/chip.
 vs_baseline = fps / 2.083 (>1 beats the target pro-rated per chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+After the contract line, the default run also executes the FULL labeled
+pipeline (kMaX@1281 + CLIP + fusion + flood fill + meshes + text query) and
+prints its north-star line — scan_to_queryable_s_500frame_8chip_est_full,
+with variance tells — to stderr, so the driver tail records it
+(SAI_BENCH_FULL_SKIP=1 disables; SAI_BENCH_FULL=1 runs only that mode with
+the line on stdout).
 """
 import json
 import sys
@@ -54,8 +60,11 @@ def _require_reachable_device(deadline_s: float):
 
     if deadline_s <= 0:
         return
-    t0 = float(os.environ.get("SAI_BENCH_PROBE_T0", "0") or 0) or time.time()
-    os.environ["SAI_BENCH_PROBE_T0"] = repr(t0)
+    try:
+        t0 = float(os.environ.get("SAI_BENCH_PROBE_T0", "0") or 0)
+    except ValueError:
+        t0 = 0.0
+    t0 = t0 or time.time()
     deadline = t0 + deadline_s
     # one-shot test hook: pretend THIS process's client is wedged (popped so
     # a re-exec'd child comes up healthy) — lets tests/test_bench_smoke.py
@@ -77,34 +86,52 @@ def _require_reachable_device(deadline_s: float):
         t.start()
         t.join(max(min(240.0, deadline - time.time()), 30.0))
         if not t.is_alive() and "err" not in done:
+            # healthy: clear the shared-deadline marker so later child
+            # processes (full-bench subphases, a re-run with this env)
+            # don't inherit an already-spent deadline
+            os.environ.pop("SAI_BENCH_PROBE_T0", None)
             return
         reason = (
             "trivial dispatch+sync blocked (wedged client)"
             if t.is_alive()
             else f"probe failed: {done['err']}"
         )
+    # entering the recovery loop: share the deadline with re-exec'd children
+    os.environ["SAI_BENCH_PROBE_T0"] = repr(t0)
     print(
         f"bench: device probe unhealthy ({reason}); polling for backend "
         f"recovery for up to {max(deadline - time.time(), 0):.0f}s more",
         file=sys.stderr,
         flush=True,
     )
-    left = int(os.environ.get("SAI_BENCH_REEXEC_LEFT", "3"))
+    try:
+        left = int(os.environ.get("SAI_BENCH_REEXEC_LEFT", "3"))
+    except ValueError:
+        left = 3
+    recovered_no_budget = False
     while time.time() < deadline:  # pragma: no cover - timing dependent
+        timed_out = False
         try:
             ok = (
                 subprocess.run(
                     [sys.executable, "-c", _PROBE_SRC],
-                    timeout=max(min(150.0, deadline - time.time()), 10.0),
+                    # a cold first compile over this tunnel can need ~3 min;
+                    # give recovery probes the same 240 s window as the
+                    # in-process first probe so a recovering-but-cold backend
+                    # isn't misdiagnosed (and its probe isn't killed, which
+                    # would orphan a compile in the serialized remote helper)
+                    timeout=max(min(240.0, deadline - time.time()), 10.0),
                     capture_output=True,
                 ).returncode
                 == 0
             )
         except subprocess.TimeoutExpired:
             ok = False
+            timed_out = True
         if ok:
             if left <= 0:
-                break  # re-exec budget exhausted; diagnose below
+                recovered_no_budget = True
+                break
             os.environ["SAI_BENCH_REEXEC_LEFT"] = str(left - 1)
             print(
                 "bench: backend recovered; re-exec with a clean client "
@@ -114,13 +141,24 @@ def _require_reachable_device(deadline_s: float):
             )
             sys.stdout.flush()
             os.execv(sys.executable, [sys.executable] + sys.argv)
-        time.sleep(max(min(30.0, deadline - time.time()), 0.0))
-    print(
-        f"bench: device unreachable ({reason}; no recovery within "
-        f"{deadline_s:.0f}s) — backend/tunnel outage, not a perf result; "
-        f"aborting without a metric line",
-        file=sys.stderr,
-    )
+        # a KILLED probe leaves its compile running server-side and the
+        # next probe queues behind it — back off hard after a timeout
+        backoff = 180.0 if timed_out else 30.0
+        time.sleep(max(min(backoff, deadline - time.time()), 0.0))
+    if recovered_no_budget:
+        print(
+            "bench: backend recovered but the re-exec budget is exhausted; "
+            "this process's client is wedged (not a backend outage) — "
+            "aborting without a metric line; re-run to get a number",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            f"bench: device unreachable ({reason}; no recovery within "
+            f"{deadline_s:.0f}s) — backend/tunnel outage, not a perf "
+            f"result; aborting without a metric line",
+            file=sys.stderr,
+        )
     raise SystemExit(3)
 
 
@@ -382,13 +420,18 @@ class _ArrayDataset:
         }
 
 
-def main_full():
-    """SAI_BENCH_FULL=1: the HONEST full labeled pipeline (VERDICT r1 #3) —
-    kMaX ConvNeXt-L panoptic inference at the reference's 1281 long edge +
-    tiled CLIP + label fusion on every frame, then flood fill + mesh +
-    per-object meshes + a text query. Prints one JSON line with the
-    estimated 500-frame scan -> queryable seconds on 8 chips, segmentation
-    included."""
+def main_full(out=None):
+    """The HONEST full labeled pipeline (VERDICT r1 #3) — kMaX ConvNeXt-L
+    panoptic inference at the reference's 1281 long edge + tiled CLIP +
+    label fusion on every frame, then flood fill + mesh + per-object meshes
+    + a text query. Prints one JSON line with the estimated 500-frame
+    scan -> queryable seconds on 8 chips, segmentation included.
+
+    Standalone (SAI_BENCH_FULL=1) the line goes to stdout; in the default
+    combined run it goes to stderr (out=sys.stderr) so the driver's
+    one-stdout-line contract holds while the tail still captures the
+    north-star estimate (VERDICT r2 next #1)."""
+    out = out or sys.stdout
     from spatially_aware_ai_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -461,13 +504,13 @@ def main_full():
     import jax.numpy as _jnp
 
     chunk_rgb_dev = _jnp.asarray(ds.rgb[:CHUNK])
-    out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
-    float(_jnp.ravel(out)[0].astype(_jnp.float32))  # compile + warmup
+    seg_out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
+    float(_jnp.ravel(seg_out)[0].astype(_jnp.float32))  # compile + warmup
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
-    float(_jnp.ravel(out)[0].astype(_jnp.float32))
+        seg_out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
+    float(_jnp.ravel(seg_out)[0].astype(_jnp.float32))
     kmax_s = time.perf_counter() - t0
     kmax_fps = reps * CHUNK / kmax_s
 
@@ -554,8 +597,14 @@ def main_full():
         "value": round(est_scan_s, 2),
         "unit": "s",
         "vs_baseline": round(30.0 / est_scan_s, 3),  # >1 beats the 30 s target
+        # variance tells (VERDICT r2 next #1): bounds_s is the host/tunnel
+        # health canary (1.1 s healthy, 28+ s sick); kMaX device fps is the
+        # stable cross-check (~30 on a healthy run) — a slow estimate with
+        # healthy tells means host contention, not a regression
+        "kmax_device_fps_per_chip": round(kmax_fps, 2),
+        "bounds_s": round(float(result.timings.get("bounds_s", 0.0)), 2),
     }
-    print(json.dumps(result_line))
+    print(json.dumps(result_line), file=out, flush=True)
     print(
         json.dumps(
             {
@@ -593,6 +642,59 @@ def main_full():
     )
 
 
+def _run_full_guarded():
+    """Default-mode tail: run the full labeled pipeline AFTER the contract
+    line so the driver's BENCH_r{N}.json tail carries the north-star
+    estimate (VERDICT r2 next #1). The contract line is already on stdout,
+    so this section must never hang or fail the process: a watchdog thread
+    hard-exits 0 with a reason line if the full bench outlives its budget
+    (mid-run tunnel outage / degraded host), and exceptions degrade to a
+    reason line instead of a traceback."""
+    import threading
+
+    budget = float(os.environ.get("SAI_BENCH_FULL_DEADLINE_S", "2100"))
+    if budget > 0:
+
+        def watchdog():  # pragma: no cover - timing dependent
+            time.sleep(budget)
+            print(
+                json.dumps(
+                    {
+                        "full_pipeline": "aborted",
+                        "reason": (
+                            f"full bench exceeded {budget:.0f}s "
+                            "(SAI_BENCH_FULL_DEADLINE_S) — tunnel outage or "
+                            "degraded host mid-run; the fused contract line "
+                            "above stands"
+                        ),
+                    }
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(0)
+
+        threading.Thread(target=watchdog, daemon=True).start()
+    if os.environ.get("SAI_BENCH_TINY") == "1":
+        # keep the combined flow testable on CPU (tests/test_bench_smoke.py)
+        os.environ.setdefault("SAI_BENCH_FULL_TINY", "1")
+    try:
+        main_full(out=sys.stderr)
+    except BaseException as e:  # noqa: BLE001 - contract line already out
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        print(
+            json.dumps(
+                {
+                    "full_pipeline": "failed",
+                    "reason": f"{type(e).__name__}: {e}",
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     # health gate covers BOTH modes (the full bench used to skip it and
     # could hang forever on a tunnel outage); persistent compile cache ON
@@ -607,3 +709,9 @@ if __name__ == "__main__":
         main_full()
     else:
         main()
+        # VERDICT r2 next #1: the default driver run also captures the full
+        # labeled pipeline estimate (kMaX@1281 + CLIP + fusion + flood fill
+        # + meshes + query) on stderr. SAI_BENCH_FULL_SKIP=1 restores the
+        # fused-only bench.
+        if os.environ.get("SAI_BENCH_FULL_SKIP") != "1":
+            _run_full_guarded()

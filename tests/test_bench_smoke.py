@@ -53,21 +53,30 @@ def _run_bench(extra_env, timeout=900):
     return record, proc.stderr
 
 
-def _diag_line(stderr):
-    """The stderr diagnostics JSON (XLA may interleave warning lines)."""
+def _diag_line(stderr, key=None):
+    """A stderr diagnostics JSON line (XLA may interleave warning lines).
+    With key, returns the last JSON line containing that key."""
     for line in reversed(stderr.splitlines()):
         if line.startswith("{"):
-            return json.loads(line)
+            rec = json.loads(line)
+            if key is None or key in rec:
+                return rec
     raise AssertionError(f"no JSON diagnostics on stderr:\n{stderr[-2000:]}")
 
 
 @pytest.mark.slow
 def test_bench_default_mode_contract():
+    """Default mode: ONE stdout contract line, plus the full-pipeline
+    north-star estimate on stderr (VERDICT r2 next #1)."""
     record, stderr = _run_bench({"SAI_BENCH_TINY": "1"})
     assert record["metric"] == "fusion_frames_per_sec_per_chip"
     assert record["unit"] == "frames/s"
-    diag = _diag_line(stderr)
+    diag = _diag_line(stderr, key="chunk_frames")
     assert diag["chunk_frames"] >= 1
+    full = _diag_line(stderr, key="metric")
+    assert full["metric"] == "scan_to_queryable_s_500frame_8chip_est_full"
+    assert full["value"] > 0
+    assert "bounds_s" in full and "kmax_device_fps_per_chip" in full
 
 
 @pytest.mark.slow
@@ -78,6 +87,7 @@ def test_bench_outage_recovery_reexec():
     record, stderr = _run_bench(
         {
             "SAI_BENCH_TINY": "1",
+            "SAI_BENCH_FULL_SKIP": "1",
             "SAI_BENCH_FORCE_UNHEALTHY": "1",
             "SAI_BENCH_DEVICE_DEADLINE_S": "600",
         }
