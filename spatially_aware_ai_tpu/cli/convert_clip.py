@@ -40,8 +40,9 @@ def main(argv=None):
     else:
         params = convert_hf_state_dict(sd)
 
-    with open(args.out, "wb") as f:
-        pickle.dump(params, f)
+    from ..utils.atomic import atomic_pickle_dump
+
+    atomic_pickle_dump(args.out, params)
     print(f"wrote {args.out}")
 
 

@@ -68,8 +68,9 @@ def main(argv=None):
     else:
         variables = convert_kmax_checkpoint(sd, cfg)
 
-    with open(args.out, "wb") as f:
-        pickle.dump(variables, f)
+    from ..utils.atomic import atomic_pickle_dump
+
+    atomic_pickle_dump(args.out, variables)
     print(f"wrote {args.out}")
 
 

@@ -47,7 +47,10 @@ def run_one(scan_dir: str, output_dir: str, config: dict, engine,
     scan_name = os.path.basename(os.path.normpath(scan_dir))
     outdir = os.path.join(output_dir, scan_name)
     os.makedirs(outdir, exist_ok=True)
-    with open(os.path.join(outdir, "config.yml"), "w") as f:
+    from ..utils.atomic import atomic_path
+
+    with atomic_path(os.path.join(outdir, "config.yml")) as tmp, \
+            open(tmp, "w") as f:
         yaml.safe_dump(config, f)
 
     dataset = make_dataset(config["dataset"], scan_dir, views_limit)
@@ -90,7 +93,10 @@ def run_one(scan_dir: str, output_dir: str, config: dict, engine,
         os.path.join(outdir, "mesh_rgb.ply"),
         mesh["verts_world"], mesh["faces"], mesh["colors"],
     )
-    np.save(os.path.join(outdir, "vertex_clip_feats.npy"), mesh["clip_feats"])
+    from ..utils.atomic import atomic_save_npy
+
+    atomic_save_npy(os.path.join(outdir, "vertex_clip_feats.npy"),
+                    mesh["clip_feats"])
     print(
         f"{scan_name}: {len(mesh['verts_world'])} verts, "
         f"nvox={result.nvox}, timings={json.dumps(result.timings)}"

@@ -30,9 +30,10 @@ def is_live_scan_dir(scan_dir: str) -> bool:
 
 
 def save_live_frames(scan_dir: str, rgb_u8, depth_u16, pose, K) -> str:
-    os.makedirs(scan_dir, exist_ok=True)
+    from ..utils.atomic import atomic_savez
+
     path = os.path.join(scan_dir, LIVE_FRAMES_FILE)
-    np.savez(
+    atomic_savez(
         path,
         rgb=np.asarray(rgb_u8, np.uint8),
         depth=np.asarray(depth_u16, np.uint16),
@@ -52,22 +53,20 @@ def save_live_frames(scan_dir: str, rgb_u8, depth_u16, pose, K) -> str:
 def save_staging_part(staging_dir: str, part_idx: int,
                       rgb_u8, depth_u16, pose, K) -> str:
     os.makedirs(staging_dir, exist_ok=True)
+    from ..utils.atomic import atomic_savez
+
     path = os.path.join(staging_dir, f"part_{part_idx:05d}.npz")
-    tmp = path + ".tmp"
     # atomic AND durable: fsync before the rename, otherwise an OS-level
     # crash can leave a present-but-torn part that breaks both recovery
     # paths exactly when they're needed
-    with open(tmp, "wb") as f:
-        np.savez(
-            f,
-            rgb=np.asarray(rgb_u8, np.uint8),
-            depth=np.asarray(depth_u16, np.uint16),
-            pose=np.asarray(pose, np.float32),
-            K=np.asarray(K, np.float32),
-        )
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+    atomic_savez(
+        path,
+        durable=True,
+        rgb=np.asarray(rgb_u8, np.uint8),
+        depth=np.asarray(depth_u16, np.uint16),
+        pose=np.asarray(pose, np.float32),
+        K=np.asarray(K, np.float32),
+    )
     return path
 
 

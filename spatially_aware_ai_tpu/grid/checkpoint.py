@@ -33,11 +33,9 @@ def save_grid(path: str, grid: FusionGrid, frames_done: int = 0):
     arrays["meta"] = np.asarray(
         [grid.voxel_size, grid.trunc, float(frames_done)], np.float64
     )
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez_compressed(f, **arrays)
-    os.replace(tmp, path)
+    from ..utils.atomic import atomic_savez
+
+    atomic_savez(path, compressed=True, **arrays)
 
 
 def load_grid(path: str) -> Tuple[FusionGrid, int]:

@@ -5,7 +5,6 @@ and PLY read/write, e.g. clipfusion.py:1172-1177, handy_utils.py:224-241).
 from __future__ import annotations
 
 import io
-import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -51,8 +50,11 @@ def write_ply(
         header.append("property list uchar int vertex_indices")
     header.append("end_header")
 
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic: meshes are served to live clients while reprocess rewrites
+    # them; a reader must never see a torn PLY (utils/atomic.py)
+    from ..utils.atomic import atomic_path
+
+    with atomic_path(path) as tmp, open(tmp, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))
         if binary:
             if has_color:

@@ -122,16 +122,16 @@ class InSituLearning:
             self.model_trained = True
 
     def save(self):
+        # atomic (utils/atomic.py): weights/labels persist across scan
+        # versions and server restarts; a crash mid-save must leave the
+        # previous complete checkpoint, never a torn pickle
+        from ...utils.atomic import atomic_json_dump, atomic_pickle_dump
+
         if self.model_path and self.variables is not None:
-            os.makedirs(os.path.dirname(os.path.abspath(self.model_path)),
-                        exist_ok=True)
-            with open(self.model_path, "wb") as f:
-                pickle.dump(jax.device_get(self.variables), f)
+            atomic_pickle_dump(self.model_path,
+                               jax.device_get(self.variables))
         if self.label_path:
-            os.makedirs(os.path.dirname(os.path.abspath(self.label_path)),
-                        exist_ok=True)
-            with open(self.label_path, "w") as f:
-                json.dump(self.labels, f, default=str)
+            atomic_json_dump(self.label_path, self.labels, default=str)
 
     def reset_model(self, delete_weights: bool = True):
         """app_unity.py:191-194 contract."""

@@ -1,0 +1,172 @@
+"""Atomic artifact persistence (VERDICT r2 weak #1 / next #2).
+
+Round 2's suite observed a real torn read: a background `np.save` on the
+final path raced a reader in another manager context and numpy's format
+reader raised `ValueError: cannot reshape array of size 262112 into shape
+(53, 36, 53, 3)`. Every artifact writer now goes through
+utils/atomic.py (tmp + os.replace), so a reader can only ever see a
+complete previous or next version. These tests hammer exactly that
+contract: concurrent readers during repeated saves of CHANGING shapes
+must never observe a partial file.
+"""
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.meshing.ply import read_ply, write_ply
+from spatially_aware_ai_tpu.utils.atomic import (
+    atomic_json_dump,
+    atomic_path,
+    atomic_pickle_dump,
+    atomic_save_npy,
+    atomic_savez,
+)
+
+
+def test_atomic_path_replaces_on_success(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("old")
+    with atomic_path(str(p)) as tmp:
+        with open(tmp, "w") as f:
+            f.write("new")
+    assert p.read_text() == "new"
+    assert os.listdir(tmp_path) == ["a.txt"]  # no tmp residue
+
+
+def test_atomic_path_preserves_old_on_failure(tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("old")
+    with pytest.raises(RuntimeError):
+        with atomic_path(str(p)) as tmp:
+            with open(tmp, "w") as f:
+                f.write("half-writ")
+            raise RuntimeError("simulated crash mid-save")
+    assert p.read_text() == "old"
+    assert os.listdir(tmp_path) == ["a.txt"]  # failed tmp cleaned up
+
+
+def test_atomic_helpers_roundtrip(tmp_path):
+    atomic_save_npy(str(tmp_path / "x.npy"), np.arange(7))
+    assert (np.load(tmp_path / "x.npy") == np.arange(7)).all()
+    atomic_savez(str(tmp_path / "x.npz"), a=np.ones(3), compressed=True)
+    with np.load(tmp_path / "x.npz") as z:
+        assert (z["a"] == 1).all()
+    atomic_json_dump(str(tmp_path / "x.json"), {"k": [1, 2]})
+    import json
+
+    assert json.load(open(tmp_path / "x.json")) == {"k": [1, 2]}
+    atomic_pickle_dump(str(tmp_path / "x.pkl"), {"w": np.zeros(2)})
+    import pickle
+
+    assert "w" in pickle.load(open(tmp_path / "x.pkl", "rb"))
+    # np.save must not have appended a second .npy to the tmp name
+    assert sorted(os.listdir(tmp_path)) == [
+        "x.json", "x.npy", "x.npz", "x.pkl",
+    ]
+
+
+def _hammer(write_one, read_one, n_writes=200, n_readers=4):
+    """Run write_one(i) in a loop while n_readers call read_one()
+    continuously; collect every reader exception."""
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                read_one()
+            except FileNotFoundError:
+                continue  # first write not landed yet
+            except Exception as e:  # torn read => test failure
+                errors.append(repr(e))
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(n_readers)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(n_writes):
+            write_one(i)
+            if errors:
+                break
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, f"torn reads observed: {errors[:3]}"
+
+
+def test_concurrent_npy_saves_never_torn(tmp_path):
+    """The exact round-2 failure mode: alternating-shape npy saves racing
+    readers. With in-place np.save this fails within a few iterations on
+    this host; with atomic saves it must never fail."""
+    path = str(tmp_path / "voxel_rgb.npy")
+    shapes = [(53, 36, 53, 3), (11, 7, 5, 3)]
+
+    def write_one(i):
+        atomic_save_npy(path, np.full(shapes[i % 2], i, np.float32))
+
+    def read_one():
+        arr = np.load(path)
+        # a complete artifact always has one of the two exact shapes and
+        # a constant fill value
+        assert arr.shape in shapes
+        assert (arr == arr.flat[0]).all()
+
+    _hammer(write_one, read_one)
+
+
+def test_concurrent_ply_writes_never_torn(tmp_path):
+    path = str(tmp_path / "mesh_rgb.ply")
+    rng = np.random.default_rng(0)
+    sizes = [(100, 40), (1000, 700)]
+
+    def write_one(i):
+        v, fc = sizes[i % 2]
+        verts = rng.standard_normal((v, 3)).astype(np.float32)
+        faces = rng.integers(0, v, (fc, 3))
+        colors = np.full((v, 3), (i % 250) / 255.0, np.float32)
+        write_ply(path, verts, faces, colors)
+
+    def read_one():
+        verts, faces, colors = read_ply(path)
+        assert (len(verts), len(faces)) in sizes
+        assert colors is not None and len(colors) == len(verts)
+        # constant color per version: a mixed file would betray tearing
+        assert np.unique(np.round(colors * 255)).size == 1
+
+    _hammer(write_one, read_one, n_writes=100)
+
+
+def test_concurrent_json_dumps_never_torn(tmp_path):
+    import json
+
+    path = str(tmp_path / "scene_knowledge.json")
+
+    def write_one(i):
+        atomic_json_dump(path, {"ver": i, "objects": ["chair"] * (i % 50)})
+
+    def read_one():
+        with open(path) as f:
+            d = json.load(f)
+        assert len(d["objects"]) == d["ver"] % 50
+
+    _hammer(write_one, read_one)
+
+
+def test_no_inplace_writers_left_in_persistence_paths():
+    """Regression guard: the persistence-critical modules must not write
+    final artifact paths in place. (String-level check — cheap, and it
+    caught the exact round-2 writer had it existed then.)"""
+    import inspect
+
+    from spatially_aware_ai_tpu.manager import manager as m
+    from spatially_aware_ai_tpu.models.dgcnn import insitu as ins
+
+    src = inspect.getsource(m.InSituManager.save_files_and_broadcast)
+    assert "np.save(" not in src
+    assert "json.dump(" not in src
+    src = inspect.getsource(ins)
+    assert "pickle.dump(" not in src.replace("atomic_pickle_dump(", "")
