@@ -89,6 +89,14 @@ def frame_geometry(grid: FusionGrid, xyz_world, depth, pose, K, labels=None):
     xyz_cam = world_to_cam(xyz_world, pose)  # [N, 3]
     uv, z = project_points(xyz_cam, K)  # [N, 2], [N]
     frustum = in_frustum_mask(uv, z, W, H)
+    # Voxels on the camera plane (z == 0) project to inf/NaN uv. The frustum
+    # mask already rejects them (NaN/inf comparisons are false, matching the
+    # reference's normalized-grid bound check), but sampling images at
+    # non-finite uv returns NaN, and `NaN * 0-weight` would poison the
+    # accumulators of voxels that were never validly observed. Sanitize uv to
+    # a harmless in-range coordinate; every consumer weights by the validity
+    # masks below, so the sampled value at these voxels never contributes.
+    uv = jnp.where(jnp.isfinite(uv), uv, 0.0)
 
     if labels is None:
         d = sample_image_at_uv(depth[..., None], uv, mode="nearest")[..., 0]

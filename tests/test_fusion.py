@@ -312,3 +312,53 @@ def test_fusion_fuzz_random_configs():
                 np.asarray(ours["class_id"]), expect,
                 err_msg=f"trial {trial}",
             )
+
+
+def test_camera_plane_voxels_do_not_poison_accumulators():
+    """Voxels on the camera plane (z == 0 in camera frame) project to
+    inf/NaN uv. The frustum mask rejects them, but before the frame_geometry
+    uv sanitization the sampled NaN values poisoned unobserved accumulator
+    rows via `NaN * 0-weight` (found by the 1-vs-8 parity replay in
+    __graft_entry__.dryrun_multichip). Every integrator variant must produce
+    fully finite accumulators and agree on a grid that straddles z == 0."""
+    from spatially_aware_ai_tpu.grid.fusion import (
+        integrate_frames_einsum,
+        integrate_frames_sparse,
+    )
+
+    rng = np.random.default_rng(7)
+    F_, H, W = 3, 20, 24
+    nvox = (6, 5, 8)
+    # origin at negative z so the grid contains the z == 0 camera plane
+    grid_args = dict(
+        origin=np.array([-0.1, -0.1, -0.1], np.float32),
+        voxel_size=0.05, nvox=nvox, trunc=0.1,
+        feature_dim=8, with_labels=True, num_classes=5,
+    )
+    batch = FrameBatch(
+        depth=jnp.asarray(rng.uniform(0.05, 0.4, (F_, H, W)), jnp.float32),
+        rgb=jnp.asarray(rng.uniform(0, 1, (F_, H, W, 3)), jnp.float32),
+        pose=jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (F_, 1, 1))),
+        K=jnp.asarray(np.tile(
+            np.array([[25.0, 0, W / 2], [0, 25.0, H / 2], [0, 0, 1]],
+                     np.float32), (F_, 1, 1))),
+        feat_img=jnp.asarray(rng.normal(size=(F_, 3, 4, 8)), jnp.float32),
+        labels=jnp.asarray(rng.integers(0, 5, (F_, H, W)), jnp.int32),
+        frame_valid=jnp.ones((F_,), bool),
+    )
+
+    base = integrate_frames(create_grid(**grid_args), batch)
+    for name in ("tsdf_sum", "rgb_sum", "feat_sum"):
+        arr = np.asarray(getattr(base, name))
+        assert np.isfinite(arr).all(), f"{name} contains non-finite values"
+    assert int(np.asarray(base.w).sum()) > 0, "scene should observe voxels"
+
+    for fn in (integrate_frames_einsum, integrate_frames_sparse):
+        other = fn(create_grid(**grid_args), batch)
+        for name in ("tsdf_sum", "tsdf_w", "rgb_sum", "feat_sum", "w",
+                     "label_hist"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(other, name)),
+                np.asarray(getattr(base, name)),
+                atol=1e-5, err_msg=f"{fn.__name__}: {name}",
+            )
