@@ -2,19 +2,62 @@
 
 The reference serves through Flask (app_unity.py); Flask is not part of this
 framework's dependency set, so this module provides the tiny slice of it the
-API needs: routing by (method, path), urlencoded/multipart-free form parsing,
-and JSON responses. The WSGI app composes with any server (wsgiref's
-ThreadingWSGIServer in serve(), or gunicorn etc. in production).
+API needs: routing by (method, path), form parsing (urlencoded, JSON, and
+multipart/form-data — Unity's WWWForm posts multipart, and the reference's
+Flask accepts it), and JSON responses. The WSGI app composes with any server
+(wsgiref's ThreadingWSGIServer in serve(), or gunicorn etc. in production).
 """
 from __future__ import annotations
 
 import json
+import re
 import traceback
 from typing import Callable, Dict, Tuple
 from urllib.parse import parse_qs
 
 
 MAX_BODY_BYTES = 64 * 1024 * 1024  # mesh JSON payloads are large; cap abuse
+
+_DISP_NAME = re.compile(r'name="([^"]*)"')
+_DISP_FILENAME = re.compile(r'filename="([^"]*)"')
+
+
+def _parse_multipart(body: bytes, ctype: str):
+    """multipart/form-data -> (text fields dict, file parts dict).
+
+    The tiny subset Flask's request.form/request.files covers for this API:
+    boundary split, per-part Content-Disposition name/filename, text fields
+    utf-8-decoded, file parts kept as raw bytes. Python 3.13 dropped the
+    stdlib `cgi` parser, so this is hand-rolled (RFC 7578 framing:
+    `--boundary\\r\\n headers \\r\\n\\r\\n payload \\r\\n ... --boundary--`).
+    """
+    m = re.search(r'boundary="?([^";]+)"?', ctype)
+    if not m:
+        return {}, {}
+    delim = b"--" + m.group(1).encode("latin-1")
+    form: Dict[str, str] = {}
+    files: Dict[str, bytes] = {}
+    for chunk in body.split(delim)[1:]:
+        if chunk[:2] == b"--":  # closing delimiter
+            break
+        part = chunk[2:] if chunk[:2] == b"\r\n" else chunk
+        head, sep, payload = part.partition(b"\r\n\r\n")
+        if not sep:
+            continue
+        payload = payload[:-2] if payload[-2:] == b"\r\n" else payload
+        disp = ""
+        for line in head.split(b"\r\n"):
+            if line.lower().startswith(b"content-disposition"):
+                disp = line.decode("utf-8", "replace")
+        name_m = _DISP_NAME.search(disp)
+        if not name_m:
+            continue
+        name = name_m.group(1)
+        if _DISP_FILENAME.search(disp):
+            files[name] = payload
+        else:
+            form[name] = payload.decode("utf-8", "replace")
+    return form, files
 
 
 class Request:
@@ -34,8 +77,11 @@ class Request:
         body = environ["wsgi.input"].read(length) if length else b""
         self.body = body
         self.form: Dict[str, str] = {}
+        self.files: Dict[str, bytes] = {}
         ctype = environ.get("CONTENT_TYPE", "")
-        if "json" in ctype:
+        if ctype.lstrip().lower().startswith("multipart/form-data"):
+            self.form, self.files = _parse_multipart(body, ctype)
+        elif "json" in ctype:
             try:
                 data = json.loads(body.decode("utf-8") or "{}")
                 if isinstance(data, dict):

@@ -169,3 +169,61 @@ def test_http_live_scan_lifecycle(server_url):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def _multipart_body(fields, files=None):
+    """Build a multipart/form-data body the way Unity's WWWForm / curl -F
+    do (the reference's Flask parses these; ours must too)."""
+    boundary = "----saiTestBoundary7MA4YWxkTrZu0gW"
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    for k, (fname, blob) in (files or {}).items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"; '
+            f'filename="{fname}"\r\n'
+            f"Content-Type: application/octet-stream\r\n\r\n".encode()
+            + blob + b"\r\n"
+        )
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_http_multipart_form(server_url):
+    """POSTing forms as multipart/form-data (Unity WWWForm, curl -F) must
+    behave identically to urlencoded — the reference's Flask accepts both."""
+    body, ctype = _multipart_body({"text_query": "show me the table"})
+    req = urllib.request.Request(
+        server_url + "/text_query", data=body, method="POST",
+        headers={"Content-Type": ctype},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        mesh = json.loads(resp.read().decode())
+    assert len(mesh["vertices"]) > 0
+
+
+def test_multipart_parser_unit():
+    from spatially_aware_ai_tpu.server.http import _parse_multipart
+
+    blob = bytes(range(256)) + b"\r\n--not-the-boundary\r\n" + b"\x00" * 64
+    body, ctype = _multipart_body(
+        {"a": "hello world", "b": "späces & =signs"},
+        files={"payload": ("f.bin", blob)},
+    )
+    form, files = _parse_multipart(body, ctype)
+    assert form == {"a": "hello world", "b": "späces & =signs"}
+    assert files["payload"] == blob  # binary-exact, CRLF framing stripped
+
+    # quoted boundary spelling (some clients quote it)
+    ctype_q = ctype.replace("boundary=", 'boundary="') + '"'
+    form2, files2 = _parse_multipart(body, ctype_q)
+    assert form2 == form and files2 == files
+
+    # garbage: no boundary param, or truncated body -> empty, no raise
+    assert _parse_multipart(body, "multipart/form-data") == ({}, {})
+    form3, _ = _parse_multipart(body[: len(body) // 2], ctype)
+    assert form3.get("a") == "hello world"
