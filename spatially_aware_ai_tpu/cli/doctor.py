@@ -16,6 +16,9 @@ Checks (each reported ok / warn / fail; exit code 1 iff any check fails):
 - weights: SAI_CLIP_CHECKPOINT / SAI_KMAX_CHECKPOINT / SAI_BPE_VOCAB —
   unset is a WARN (weight-free fallbacks exist, docs/OPERATIONS.md §1),
   set-but-missing/unreadable is a FAIL
+- assets: the sai-fetch-assets dir (SAI_ASSET_DIR or the default cache
+  location) — per-asset presence + sha256-vs-pin/lockfile status; a hash
+  mismatch is a FAIL, absent assets are a WARN
 - native: the C++ helper library (connected components, marching
   tetrahedra) builds/loads; pure-numpy fallbacks exist so failure is a warn
 - knobs: every SAI_* environment override currently set
@@ -171,6 +174,34 @@ def _check_weights():
     return out
 
 
+def _check_assets():
+    """Report the conversion-day asset dir (sai-fetch-assets): presence and
+    hash status of the BPE merges table and the two torch checkpoints. All
+    three absent is a WARN (weight-free fallbacks exist); a hash mismatch
+    against the pin/lockfile is a FAIL (corrupt or swapped asset)."""
+    from .fetch_assets import DEFAULT_DEST, check_assets
+
+    dest = os.environ.get("SAI_ASSET_DIR", DEFAULT_DEST)
+    try:
+        report = check_assets(dest)
+    except Exception as e:  # pragma: no cover - fs-permission edge
+        return {"status": "warn", "dir": dest,
+                "error": f"{type(e).__name__}: {e}"}
+    out = {"dir": dest}
+    status = "ok"
+    for name, r in report.items():
+        out[name] = f"{r['status']}: {r['detail']}"
+        if r["status"] == "mismatch":
+            status = "fail"
+        elif r["status"] == "missing" and status == "ok":
+            status = "warn"
+    if status == "warn":
+        out["note"] = ("missing assets are fine offline; on a connected "
+                       "machine run sai-fetch-assets (docs/MIGRATION.md)")
+    out["status"] = status
+    return out
+
+
 def _check_native():
     try:
         from ..native import native_available
@@ -305,6 +336,7 @@ def main(argv=None):
         report["device"] = _check_device(args.device_timeout)
     report["compile_cache"] = _check_compile_cache()
     report["weights"] = _check_weights()
+    report["assets"] = _check_assets()
     report["native"] = _check_native()
     report["knobs"] = _check_knobs()
     if args.scan_dir and args.scan_name:
