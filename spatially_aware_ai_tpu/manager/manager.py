@@ -598,9 +598,9 @@ class InSituManager:
         w = np.asarray(w_dev)[:n].reshape(nvox)
         tsdf[w == 0] = np.nan
 
-        from ..meshing.extract import run_marching_tetrahedra
+        from ..meshing.extract import extract_surface
 
-        verts, faces = run_marching_tetrahedra(tsdf, 0.0)
+        verts, faces = extract_surface(tsdf, 0.0)
         verts_world = verts * float(np.asarray(grid.voxel_size)) + np.asarray(
             grid.origin, np.float32
         )

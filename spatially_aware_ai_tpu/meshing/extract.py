@@ -52,18 +52,79 @@ def _sample_verts(flat, nvox, coords_padded, mode, n_real):
     return np.asarray(out)[:n_real]
 
 
-def run_marching_tetrahedra(vol, level: float = 0.0):
-    """Dispatch: native C++ extractor when available, vectorized numpy
-    otherwise (identical geometry either way)."""
-    try:
-        from ..native import marching_tetrahedra_native
+def warm_vertex_samplers(flat_rows_device: int, flat_rows_host: int,
+                         feat_dim: int):
+    """Compile (or load from the persistent cache) every vertex-sampler
+    executable extract_mesh will need for a grid of the given padded sizes,
+    ahead of the first real extraction.
 
-        out = marching_tetrahedra_native(vol, level)
+    On this TPU sandbox each new-shape program costs a serialized
+    remote-compile(-cache-load) of seconds; a live session knows its grid
+    shape from the FIRST integrated chunk but only runs extract_mesh at
+    live_end — warming here moves those loads off the end() latency path
+    and overlaps them with the user's scanning time (r2 VERDICT next #7).
+
+    flat_rows_device: padded rows of the device-resident feature buffer
+    (the grid's pad_to size); flat_rows_host: FLAT_BUCKET-padded rows of
+    the host-side rgb/obj/seg arrays (ceil(prod(nvox)/FLAT_BUCKET) *
+    FLAT_BUCKET). Warms the first VERT_BUCKET coordinate bucket; larger
+    scenes pay one more compile for their bigger vertex bucket."""
+    import jax.numpy as jnp
+
+    coords = jnp.full((VERT_BUCKET, 3), -10.0, jnp.float32)
+    nvox = jnp.asarray([2, 2, 2], jnp.int32)
+    outs = []
+    for n, C, mode in [
+        (flat_rows_device, feat_dim, "bilinear"),  # clip feats (device)
+        (flat_rows_host, 3, "bilinear"),           # rgb
+        (flat_rows_host, 1, "nearest"),            # obj idx
+        (flat_rows_host, 3, "nearest"),            # seg colors
+    ]:
+        outs.append(
+            _sample_flat_jit(jnp.zeros((n, C), jnp.float32), nvox, coords,
+                             mode)
+        )
+    # force completion (scalar readbacks; block_until_ready is unreliable
+    # over this tunnel per CLAUDE.md)
+    for o in outs:
+        float(o[0, 0])
+
+
+def extract_surface(vol, level: float = 0.0, method: Optional[str] = None):
+    """Isosurface extraction dispatch.
+
+    method: "mc" (classic table-based marching cubes, the default — same
+    algorithm family as the reference's skimage call, clipfusion.py:727,
+    and ~3x fewer triangles than tetrahedra for the same grid, measured in
+    benchmarks/bench_mesh.py) or "mt" (marching tetrahedra). Overridable
+    via SAI_MESH_EXTRACTOR. Each method prefers its native C++ extractor
+    and falls back to the vectorized numpy implementation (identical
+    geometry either way)."""
+    import os
+
+    method = method or os.environ.get("SAI_MESH_EXTRACTOR", "mc")
+    if method not in ("mc", "mt"):
+        raise ValueError(f"unknown mesh extractor {method!r}")
+    try:
+        from ..native import marching_cubes_native, marching_tetrahedra_native
+
+        native_fn = (marching_cubes_native if method == "mc"
+                     else marching_tetrahedra_native)
+        out = native_fn(vol, level)
         if out is not None:
             return out
     except Exception:
         pass
+    if method == "mc":
+        from .marching import marching_cubes
+
+        return marching_cubes(vol, level)
     return marching_tetrahedra(vol, level)
+
+
+def run_marching_tetrahedra(vol, level: float = 0.0):
+    """Back-compat alias for the pre-MC dispatch: forces method="mt"."""
+    return extract_surface(vol, level, method="mt")
 
 
 def extract_mesh(
@@ -93,7 +154,7 @@ def extract_mesh(
     weight = np.asarray(grid_values["weight"]).reshape(nvox)
     tsdf[weight == 0] = np.nan
 
-    verts, faces = run_marching_tetrahedra(tsdf, level=0.0)
+    verts, faces = extract_surface(tsdf, level=0.0)
 
     # pad vertex coords to a bucket, host-side, with -1 (out-of-bounds ->
     # zeros, sliced away); all samplers then share bucket-stable jits

@@ -28,8 +28,13 @@ _LIB_FAILED = False
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    # hash every native source (the .cpp includes mc_table.h) so header
+    # changes invalidate the cached .so too
+    h = hashlib.sha256()
+    for src in (_SRC, os.path.join(os.path.dirname(_SRC), "mc_table.h")):
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     so_path = os.path.join(
         os.path.dirname(_SRC), f"libsai_native_{digest}.so"
     )
@@ -43,8 +48,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         except (subprocess.SubprocessError, FileNotFoundError):
             return None
     lib = ctypes.CDLL(so_path)
-    lib.mt_extract.restype = ctypes.c_int
-    lib.mt_extract.argtypes = [
+    extract_sig = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
@@ -52,6 +56,10 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.mt_extract.restype = ctypes.c_int
+    lib.mt_extract.argtypes = extract_sig
+    lib.mc_extract.restype = ctypes.c_int
+    lib.mc_extract.argtypes = extract_sig
     lib.mt_free.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64)
     ]
@@ -79,22 +87,14 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
-def marching_tetrahedra_native(
-    vol: np.ndarray, level: float = 0.0
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """C++ marching tetrahedra; returns None when the library is
-    unavailable. Output matches meshing.marching.marching_tetrahedra up to
-    vertex/face ordering (both deduplicate by grid edge)."""
-    lib = get_lib()
-    if lib is None:
-        return None
+def _run_extract(fn, lib, vol, level):
     vol = np.ascontiguousarray(vol, np.float32)
     X, Y, Z = vol.shape
     vp = ctypes.POINTER(ctypes.c_float)()
     fp = ctypes.POINTER(ctypes.c_int64)()
     nv = ctypes.c_int64()
     nf = ctypes.c_int64()
-    rc = lib.mt_extract(
+    rc = fn(
         vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         X, Y, Z, ctypes.c_float(level),
         ctypes.byref(vp), ctypes.byref(nv), ctypes.byref(fp), ctypes.byref(nf),
@@ -113,6 +113,30 @@ def marching_tetrahedra_native(
         return verts.astype(np.float32), faces.astype(np.int64)
     finally:
         lib.mt_free(vp, fp)
+
+
+def marching_tetrahedra_native(
+    vol: np.ndarray, level: float = 0.0
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """C++ marching tetrahedra; returns None when the library is
+    unavailable. Output matches meshing.marching.marching_tetrahedra up to
+    vertex/face ordering (both deduplicate by grid edge)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return _run_extract(lib.mt_extract, lib, vol, level)
+
+
+def marching_cubes_native(
+    vol: np.ndarray, level: float = 0.0
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """C++ classic marching cubes (generated case table, mc_table.h);
+    returns None when the library is unavailable. Output matches
+    meshing.marching.marching_cubes up to vertex/face ordering."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return _run_extract(lib.mc_extract, lib, vol, level)
 
 
 def connected_components_native(
