@@ -119,6 +119,17 @@ class LiveScanSession:
         self._sparse_cap = None
         self._brick_cap = None
 
+        # end()-path executable pre-warm (finalize + preview + vertex
+        # samplers), kicked once the grid shape is known (first chunk) so
+        # the serialized remote compile/cache loads overlap the user's
+        # scanning time instead of sitting on live_end latency
+        # (SAI_LIVE_WARM=0 disables)
+        import os
+
+        self._warm_enabled = os.environ.get("SAI_LIVE_WARM", "1") == "1"
+        self._warm_thread = None
+        self.warm_state = "off" if not self._warm_enabled else "pending"
+
     # -- push ---------------------------------------------------------------
 
     def push(self, rgb, depth, pose, K, _stage: bool = True) -> dict:
@@ -220,6 +231,7 @@ class LiveScanSession:
                 self.clipped_samples / max(1, self.total_samples), 4
             ),
             "elapsed_s": round(time.time() - self.started_at, 3),
+            "warm": self.warm_state,
         }
         if getattr(self, "integrate_warning", None):
             out["warning"] = self.integrate_warning
@@ -398,6 +410,15 @@ class LiveScanSession:
             )
         self.timings["integrate_s"] += time.perf_counter() - t0
         self.frames_integrated += n_real
+        if self._warm_enabled and self._warm_thread is None:
+            # hand the thread its own grid copy NOW (we hold the session
+            # lock here): the thread must never take the lock itself —
+            # end() joins it while holding the lock, which would deadlock
+            self._warm_thread = threading.Thread(
+                target=self._warm_end_programs, daemon=True,
+                name="live-warm", args=(self._copy_grid_locked(),),
+            )
+            self._warm_thread.start()
 
     def _integrate_compact(self, integ: str, batch):
         """sparse/brick integration with the pipeline's AdaptiveCap slot
@@ -434,6 +455,56 @@ class LiveScanSession:
             )
         if cfg.sparse_capacity == 0:
             self._sparse_cap.observe(cnt)
+
+    def _warm_end_programs(self, grid):
+        """Background pre-warm of every end()-path executable the session's
+        grid shape determines: the finalize_grid read-side ops, the preview
+        finalize, the bucket-keyed vertex samplers, and the query-path
+        vertex normalizer. Runs once, right after the first integrated
+        chunk, on its OWN grid copy (taken under the lock at spawn; this
+        thread never locks — end() joins it while holding the lock); all
+        compiles/cache-loads then ride the scanning period. Never raises —
+        a warm failure only costs latency at live_end."""
+        try:
+            import numpy as _np
+
+            from ..grid.voxel_grid import finalize_grid as _finalize
+            from ..meshing.extract import (
+                FLAT_BUCKET,
+                VERT_BUCKET,
+                warm_vertex_samplers,
+            )
+
+            vals = _finalize(grid)
+            # force completion with scalar readbacks (dispatch is async and
+            # block_until_ready is unreliable over this tunnel)
+            float(vals["tsdf"][0])
+            float(vals["feat"][0, 0])
+            if "class_id" in vals:
+                int(vals["class_id"][0])
+            feat_rows = int(vals["feat"].shape[0])
+            feat_dim = int(vals["feat"].shape[-1])
+            del vals
+
+            from .manager import _normalize_feats, _preview_finalize
+
+            tsdf_dev, _w = _preview_finalize(grid)
+            float(tsdf_dev[0])
+            del tsdf_dev, _w, grid
+
+            n_logical = int(_np.prod([int(v) for v in self.nvox]))
+            host_rows = -(-n_logical // FLAT_BUCKET) * FLAT_BUCKET
+            warm_vertex_samplers(feat_rows, host_rows, feat_dim)
+
+            import jax.numpy as jnp
+
+            nf = _normalize_feats(
+                jnp.zeros((VERT_BUCKET, feat_dim), jnp.float32)
+            )
+            float(nf[0, 0])
+            self.warm_state = "done"
+        except Exception as e:  # pragma: no cover - depends on backend
+            self.warm_state = f"failed: {type(e).__name__}: {e}"
 
     # -- snapshot ------------------------------------------------------------
 
@@ -526,6 +597,18 @@ class LiveScanSession:
                 self.pending = []
                 self._integrate(tail, n_real=len(tail))
             self._ensure_grid()  # < chunk frames total: build from tail
+
+            # an in-flight warm is compiling the very programs finalize
+            # needs next; let it finish rather than racing a duplicate
+            # compile through the serialized remote helper
+            if self._warm_thread is not None and self._warm_thread.is_alive():
+                import os
+
+                self._warm_thread.join(
+                    timeout=float(
+                        os.environ.get("SAI_LIVE_WARM_JOIN_S", "600") or 0
+                    )
+                )
 
             n_logical = int(np.prod([int(v) for v in self.nvox]))
             values = {}
