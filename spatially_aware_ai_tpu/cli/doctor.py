@@ -208,7 +208,7 @@ def _check_native():
 
         if native_available():
             return {"status": "ok", "note": "C++ helpers loaded "
-                    "(connected components, marching tetrahedra)"}
+                    "(connected components, marching cubes/tetrahedra)"}
         return {"status": "warn",
                 "note": "C++ build unavailable; pure-numpy/scipy fallbacks "
                         "in use (correct, slower on large scenes)"}
@@ -237,6 +237,16 @@ def _check_knobs():
         out["SAI_LABEL_VOTES"] = (
             f"unknown value {votes!r} (uniform|near_surface)"
         )
+    extractor = os.environ.get("SAI_MESH_EXTRACTOR")
+    if extractor and extractor not in ("mc", "mt"):
+        out["status"] = "fail"
+        out["SAI_MESH_EXTRACTOR"] = (
+            f"unknown value {extractor!r} (mc|mt)"
+        )
+    warm = os.environ.get("SAI_LIVE_WARM")
+    if warm and warm not in ("0", "1"):
+        out["status"] = "fail"
+        out["SAI_LIVE_WARM"] = f"unknown value {warm!r} (0|1)"
     if os.environ.get("SAI_SHARD_VOXELS") == "1":
         try:
             import jax

@@ -177,6 +177,44 @@ class ColorPanopticSegmenter(ColorSegmenter):
                 np.stack([o[1] for o in outs]))
 
 
+class NoisySegmenter:
+    """Wraps a segmenter with controlled label noise for vote-weighting
+    ablations (r2 VERDICT next #9): a real kMaX mis-labels mostly at mask
+    BOUNDARIES (mask misalignment) plus occasional whole-pixel flips.
+
+    shift_px: per-frame random translation of the label map (boundary
+    noise — misvotes land on voxels near surface edges, exactly where
+    near_surface vote weighting should help); flip_prob: fraction of
+    non-null pixels reassigned to a random other scene class."""
+
+    def __init__(self, seg: ColorSegmenter, shift_px: int = 0,
+                 flip_prob: float = 0.0, seed: int = 0):
+        self.seg = seg
+        self.shift_px = int(shift_px)
+        self.flip_prob = float(flip_prob)
+        self.rng = np.random.default_rng(seed)
+        self.null_id = seg.null_id
+
+    def _corrupt(self, label: np.ndarray) -> np.ndarray:
+        if self.shift_px:
+            dx, dy = self.rng.integers(-self.shift_px, self.shift_px + 1,
+                                       size=2)
+            label = np.roll(label, (int(dy), int(dx)), axis=(0, 1))
+        if self.flip_prob > 0:
+            classes = np.unique(self.seg.class_ids)
+            flip = (self.rng.random(label.shape) < self.flip_prob) & (
+                label != self.null_id
+            )
+            rand_cls = classes[
+                self.rng.integers(0, len(classes), size=label.shape)
+            ]
+            label = np.where(flip, rand_cls, label)
+        return label.astype(np.int32)
+
+    def run_on_image(self, rgb) -> np.ndarray:
+        return self._corrupt(self.seg.run_on_image(rgb))
+
+
 class SyntheticSceneDataset(FrameDataset):
     """Orbit of cameras around the demo room, FrameDataset protocol."""
 

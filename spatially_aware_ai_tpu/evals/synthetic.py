@@ -138,7 +138,13 @@ def eval_synthetic_labels(
     seed: int = 0,
     label_vote_mode: str = "uniform",
     integrator=None,
+    seg_shift_px: int = 0,
+    seg_flip_prob: float = 0.0,
 ) -> Dict:
+    """seg_shift_px / seg_flip_prob inject controlled segmenter noise
+    (data.synthetic.NoisySegmenter) for the vote-weighting ablation — a
+    perfect segmenter understates what near_surface voting buys against a
+    real kMaX's boundary errors (r2 VERDICT next #9)."""
     scene = SyntheticScene.demo_room()
     ds = SyntheticSceneDataset(
         scene=scene, num_frames=num_frames, width=width, height=height,
@@ -149,6 +155,11 @@ def eval_synthetic_labels(
 
         clip_engine = ClipEngine.tiny()
     seg = ColorSegmenter(scene)
+    if seg_shift_px or seg_flip_prob:
+        from ..data.synthetic import NoisySegmenter
+
+        seg = NoisySegmenter(seg, shift_px=seg_shift_px,
+                             flip_prob=seg_flip_prob, seed=seed)
     cfg = FusionConfig(
         voxel_size=voxel_size, trunc_vox=2.0,
         clip_patch_size=width // 2, clip_patch_stride=width // 4,
@@ -209,6 +220,8 @@ def eval_synthetic_labels(
         "surface_p95_m": float(np.quantile(sdf, 0.95)),
         "voxel_size_m": voxel_size,
         "label_vote_mode": label_vote_mode,
+        "seg_shift_px": seg_shift_px,
+        "seg_flip_prob": seg_flip_prob,
     }
 
 
@@ -224,10 +237,15 @@ def main(argv=None):
     parser.add_argument("--label-votes", default="uniform",
                         choices=["uniform", "near_surface"])
     parser.add_argument("--integrator", default=None)
+    parser.add_argument("--seg-shift-px", type=int, default=0)
+    parser.add_argument("--seg-flip-prob", type=float, default=0.0)
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     stats = eval_synthetic_labels(
         args.frames, args.width, args.height, args.voxel_size,
+        seed=args.seed,
         label_vote_mode=args.label_votes, integrator=args.integrator,
+        seg_shift_px=args.seg_shift_px, seg_flip_prob=args.seg_flip_prob,
     )
     print(json.dumps(stats))
     return stats

@@ -196,3 +196,28 @@ def test_doctor_scan_check(tmp_path, capsys):
     ])
     out = json.loads(capsys.readouterr().out)
     assert rc == 1 and out["checks"]["scan"]["status"] == "fail"
+
+
+def test_doctor_validates_knob_values(monkeypatch, capsys):
+    """Every high-blast-radius SAI_* knob fails fast on a typo instead of
+    surfacing as a mid-fusion ValueError (or a silent perf cliff)."""
+    from spatially_aware_ai_tpu.cli import doctor
+
+    for knob, bad in [
+        ("SAI_INTEGRATOR", "einsumm"),
+        ("SAI_LABEL_VOTES", "nearsurface"),
+        ("SAI_MESH_EXTRACTOR", "cubes"),
+        ("SAI_LIVE_WARM", "yes"),
+    ]:
+        monkeypatch.setenv(knob, bad)
+        rc = doctor.main(["--no-device", "--json"])
+        out = json.loads(capsys.readouterr().out)
+        assert rc == 1 and "unknown value" in out["checks"]["knobs"][knob], knob
+        monkeypatch.delenv(knob)
+
+    # valid values pass
+    monkeypatch.setenv("SAI_MESH_EXTRACTOR", "mt")
+    monkeypatch.setenv("SAI_LIVE_WARM", "0")
+    rc = doctor.main(["--no-device", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0

@@ -132,3 +132,54 @@ def test_weighting_touches_only_labels():
     assert (hw >= hu).all()
     assert (hw <= LABEL_VOTE_QUANT * hu).all()
     assert (hw > hu).any()  # some observation was actually near the surface
+
+
+def test_noisy_segmenter_corruption_modes():
+    """NoisySegmenter (vote-weighting ablation harness): shift moves the
+    label map, flip reassigns ~p of non-null pixels, null stays null."""
+    import numpy as np
+
+    from spatially_aware_ai_tpu.data.synthetic import (
+        ColorSegmenter,
+        NoisySegmenter,
+        SyntheticScene,
+        SyntheticSceneDataset,
+    )
+
+    scene = SyntheticScene.demo_room()
+    ds = SyntheticSceneDataset(scene=scene, num_frames=2, width=64,
+                               height=48)
+    rgb = ds[0].rgb
+    clean = ColorSegmenter(scene).run_on_image(rgb)
+
+    noisy = NoisySegmenter(ColorSegmenter(scene), flip_prob=0.2, seed=0)
+    lab = noisy.run_on_image(rgb)
+    non_null = clean != noisy.null_id
+    frac = float((lab[non_null] != clean[non_null]).mean())
+    # ~20% flipped to a RANDOM class (which may equal the original)
+    assert 0.05 < frac < 0.35
+    # flips only touch non-null pixels
+    assert (lab[~non_null] == clean[~non_null]).all()
+
+    shifty = NoisySegmenter(ColorSegmenter(scene), shift_px=2, seed=1)
+    lab2 = shifty.run_on_image(rgb)
+    assert lab2.shape == clean.shape
+    # same multiset of labels (roll is a permutation)
+    assert np.array_equal(np.sort(lab2.ravel()), np.sort(clean.ravel()))
+
+    # zero-noise wrapper is the identity
+    ident = NoisySegmenter(ColorSegmenter(scene), seed=2)
+    assert np.array_equal(ident.run_on_image(rgb), clean)
+
+
+def test_eval_accepts_segmenter_noise():
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    clean = eval_synthetic_labels(num_frames=6, width=64, height=48,
+                                  voxel_size=0.08)
+    noisy = eval_synthetic_labels(num_frames=6, width=64, height=48,
+                                  voxel_size=0.08, seg_shift_px=2,
+                                  seg_flip_prob=0.2)
+    assert noisy["seg_shift_px"] == 2
+    # noise must actually hurt the fused labels
+    assert noisy["miou"] < clean["miou"]
