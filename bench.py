@@ -419,6 +419,16 @@ class _ArrayDataset:
             "pose": self.pose[idx], "K": self.K[idx],
         }
 
+    def bounds_samples(self):
+        """49-pixel bounds subsample per frame, like production FrameDataset
+        loaders (data/base.py): the bounds pass then never copies whole
+        depth frames on this 1-vCPU host."""
+        from spatially_aware_ai_tpu.core.bounds import subsample_grid
+
+        H, W = self.depth.shape[1:3]
+        uu, vv = subsample_grid(W, H)
+        return self.depth[:, vv, uu], uu, vv, self.pose, self.K
+
 
 def main_full(out=None):
     """The HONEST full labeled pipeline (VERDICT r1 #3) — kMaX ConvNeXt-L
@@ -515,11 +525,27 @@ def main_full(out=None):
     kmax_fps = reps * CHUNK / kmax_s
 
     # --- full pipeline: warmup scan (compiles), then timed scan ---
+    def drain(res):
+        # fuse_scan returns with the CLIP feature-grid finalize chain still
+        # in flight by design (values["feat"] stays on device, unsliced);
+        # force its completion with a scalar readback (block_until_ready is
+        # unreliable over this tunnel). Without this barrier the warmup
+        # scan's drain lands INSIDE the timed run's host bounds pass on
+        # this 1-vCPU host (observed: bounds_s 12 s vs 0.03 s quiet).
+        float(_jnp.ravel(res.values["feat"])[0].astype(_jnp.float32))
+
     run = lambda: fuse_scan(ds, engine, cfg, segmenter=seg.run_on_image)
-    result = run()  # warmup/compile
+    drain(run())  # warmup/compile, fully drained
     t0 = time.perf_counter()
     result = run()
     fuse_wall = time.perf_counter() - t0
+    # the timed scan's own feat-finalize tail: a real per-scan cost, but a
+    # once-per-scan grid-sized one — measure it separately and charge it
+    # with the finalize term instead of letting the 500/T frame scaling
+    # multiply it
+    t0 = time.perf_counter()
+    drain(result)
+    feat_drain_s = time.perf_counter() - t0
     full_fps = T / fuse_wall
 
     # --- post-processing once per scan: flood fill + meshes + query.
@@ -589,8 +615,8 @@ def main_full(out=None):
     # letting the frames/s extrapolation multiply it by 500/T. The per-frame
     # terms (kMaX + CLIP + integrate + bounds + dispatch) stay in the scaled
     # fuse wall.
-    finalize_s = float(result.timings.get("finalize_s", 0.0))
-    per_frame_wall = max(fuse_wall - finalize_s, 1e-6)
+    finalize_s = float(result.timings.get("finalize_s", 0.0)) + feat_drain_s
+    per_frame_wall = max(fuse_wall - (finalize_s - feat_drain_s), 1e-6)
     est_scan_s = (500.0 * per_frame_wall / T) / 8 + finalize_s + postproc_s
     result_line = {
         "metric": "scan_to_queryable_s_500frame_8chip_est_full",
@@ -613,6 +639,7 @@ def main_full(out=None):
                 "kmax_device_fps_per_chip": round(kmax_fps, 2),
                 "full_pipeline_fps_per_chip": round(full_fps, 2),
                 "fuse_wall_s": round(fuse_wall, 2),
+                "feat_drain_s": round(feat_drain_s, 2),
                 "postproc_s": round(postproc_s, 2),
                 "postproc_phases_s": {
                     "flood_fill": round(flood_s, 2),
