@@ -404,10 +404,19 @@ def main():
 
 
 class _ArrayDataset:
-    """Minimal FrameDataset over in-memory arrays (len + stacked)."""
+    """Minimal FrameDataset over in-memory arrays, with the production
+    loaders' quantized-transfer and native-depth capabilities so the full
+    bench pays the same upload bytes as the real iPhone ingest path
+    (uint8 rgb; native low-res uint16 depth cubic-enlarged on device,
+    core/upsample.py)."""
 
-    def __init__(self, rgb, depth, pose, K):
+    def __init__(self, rgb, depth, pose, K, depth_native_u16=None,
+                 native_depth_scale=0):
         self.rgb, self.depth, self.pose, self.K = rgb, depth, pose, K
+        self.rgb_u8 = np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8)
+        self.depth_native_u16 = depth_native_u16
+        if depth_native_u16 is not None and native_depth_scale > 1:
+            self.native_depth_scale = native_depth_scale
 
     def __len__(self):
         return len(self.rgb)
@@ -418,6 +427,17 @@ class _ArrayDataset:
             "rgb": self.rgb[idx], "depth": self.depth[idx],
             "pose": self.pose[idx], "K": self.K[idx],
         }
+
+    def stacked_u8(self, idx, native_depth=False):
+        idx = list(idx)
+        out = {
+            "rgb": self.rgb_u8[idx], "depth": self.depth[idx],
+            "pose": self.pose[idx], "K": self.K[idx],
+        }
+        if native_depth:
+            out["depth"] = self.depth_native_u16[idx]
+            out["depth_upsample"] = self.native_depth_scale
+        return out
 
     def bounds_samples(self):
         """49-pixel bounds subsample per frame, like production FrameDataset
@@ -465,21 +485,30 @@ def main_full(out=None):
     ]
 
     base = SyntheticSceneDataset(num_frames=8, width=W // 4, height=H // 4)
-    rgbs, depths, poses, Ks = [], [], [], []
+    rgbs, depths, depths_u16, poses, Ks = [], [], [], [], []
     for i in range(T):
         f = base[i % 8]
         rgbs.append(np.kron(f.rgb, np.ones((4, 4, 1), np.float32)))
         depths.append(np.kron(f.depth, np.ones((4, 4), np.float32)))
+        # the iPhone sensor's native form: low-res uint16 mm; the pipeline
+        # uploads THIS and cubic-enlarges on device (SAI_BENCH_NATIVE_DEPTH=0
+        # reverts to full-res u16 uploads for A/B)
+        depths_u16.append(
+            np.clip(np.rint(f.depth * 1000.0), 0, 65535).astype(np.uint16)
+        )
         poses.append(f.pose)
         K = f.K.copy()
         K[0] *= 4
         K[1] *= 4
         Ks.append(K)
+    native = os.environ.get("SAI_BENCH_NATIVE_DEPTH", "1") != "0"
     ds = _ArrayDataset(
         np.stack(rgbs).astype(np.float32),
         np.stack(depths).astype(np.float32),
         np.stack(poses).astype(np.float32),
         np.stack(Ks).astype(np.float32),
+        depth_native_u16=np.stack(depths_u16) if native else None,
+        native_depth_scale=4,
     )
 
     voxel = float(os.environ.get("SAI_BENCH_FULL_VOXEL",

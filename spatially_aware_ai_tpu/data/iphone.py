@@ -62,6 +62,10 @@ class IPhone3DScannerDataset(FrameDataset):
         # upsample depth 4x: 256x192 -> 1024x768
         self.imwidth = self.dep_w * 4
         self.imheight = self.dep_h * 4
+        # the 4x cubic enlarge can run on device from the native uint16
+        # frames (16x fewer depth bytes over the host->device link); the
+        # pipeline checks this capability attribute (core/upsample.py)
+        self.native_depth_scale = 4
 
     def __len__(self):
         return len(self.entries)
@@ -97,13 +101,18 @@ class IPhone3DScannerDataset(FrameDataset):
             K=self._scaled_K(K), index=i,
         )
 
-    def stacked_u8(self, indices=None):
+    def stacked_u8(self, indices=None, native_depth=False):
         """Native-uint8 stacking for the quantized-transfer pipeline: RGB is
         decoded and INTER_AREA-resized in uint8 and passed through — the
         f32/255 -> rint*255 round-trip the default path performs is the
         identity on these values, so this is bit-exact and skips four
         full-frame conversions per chunk. Depth keeps the exact f32 cubic
-        upsample from __getitem__ (the pipeline quantizes it to u16 mm)."""
+        upsample from __getitem__ (the pipeline quantizes it to u16 mm) —
+        unless native_depth=True, in which case the raw 256x192 uint16-mm
+        frames are returned untouched (plus "depth_upsample": 4) and the
+        pipeline performs the identical cubic enlarge on device
+        (core/upsample.py), skipping both the host cv2 pass and 15/16 of
+        the depth upload bytes."""
         if indices is None:
             indices = range(len(self))
         rgbs, depths, poses, Ks, idxs = [], [], [], [], []
@@ -111,17 +120,23 @@ class IPhone3DScannerDataset(FrameDataset):
             img_file, depth_file, _ = self.entries[i]
             K, pose = self.metas[i]
             rgbs.append(self._load_rgb_u8(img_file))
-            depths.append(self._load_depth(depth_file))
+            if native_depth:
+                depths.append(cv2.imread(depth_file, cv2.IMREAD_ANYDEPTH))
+            else:
+                depths.append(self._load_depth(depth_file))
             poses.append(pose)
             Ks.append(self._scaled_K(K))
             idxs.append(i)
-        return {
+        out = {
             "rgb": np.stack(rgbs),
             "depth": np.stack(depths),
             "pose": np.stack(poses),
             "K": np.stack(Ks),
             "index": np.array(idxs),
         }
+        if native_depth:
+            out["depth_upsample"] = self.native_depth_scale
+        return out
 
     def bounds_samples(self, uv_size: int = 7):
         """Depth-only bounds pass: decode just the small 16-bit depth PNGs

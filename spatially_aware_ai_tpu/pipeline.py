@@ -179,6 +179,15 @@ class FusionConfig:
     # native format; 1 mm resolution vs 40 mm voxels). 4x/2x less transfer —
     # the dominant per-chunk cost over a slow host<->device link.
     quantize_transfer: bool = True
+    # device-side depth upsample: loaders whose depth is a native low-res
+    # uint16 sensor frame enlarged by an integer cubic factor (iPhone:
+    # 256x192 -> 4x, reference clipfusion.py:356-360) upload the NATIVE
+    # frames and the pipeline runs the identical cubic enlarge on device
+    # (core/upsample.py; <=1 mm vs the host cv2 path and strictly more
+    # precise than the u16-mm re-quantization it replaces). Cuts depth
+    # upload bytes 16x (~37% of the whole chunk at the iPhone operating
+    # point) and removes the host cv2 pass from the 1-vCPU prefetch thread.
+    device_depth_upsample: bool = True
 
     def __post_init__(self):
         # fail misconfiguration loudly: an unrecognized integrator would
@@ -271,24 +280,37 @@ def null_instance_boundaries(
     return np.where(boundary, null_id, cat).astype(np.int32)
 
 
-def quantized_chunk_to_device(rgb_host, depth_host):
+def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1):
     """Upload one frame chunk in quantized form (uint8 rgb / uint16-mm
     depth, converting only when the loader didn't already provide native
     precision) and return device f32 (rgb [0,1], depth meters). Shared by
-    fuse_scan and the live streaming session."""
+    fuse_scan and the live streaming session.
+
+    depth_upsample > 1 means depth_host is the loader's NATIVE low-res
+    uint16 frame stack (e.g. iPhone 256x192) and the cubic enlarge runs on
+    device after the (16x smaller) upload — see core/upsample.py."""
     if rgb_host.dtype == np.uint8:  # native pass-through
         rgb_u8 = rgb_host
     else:
         rgb_u8 = np.clip(
             np.rint(rgb_host * 255.0), 0, 255
         ).astype(np.uint8)
+    rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
+    if depth_upsample > 1:
+        if depth_host.dtype != np.uint16:
+            raise ValueError(
+                "depth_upsample requires native uint16-mm depth, got "
+                f"{depth_host.dtype}"
+            )
+        from .core.upsample import upsample_depth_u16_device
+
+        return rgb_dev, upsample_depth_u16_device(depth_host, depth_upsample)
     if depth_host.dtype == np.uint16:  # native mm pass-through
         depth_u16 = depth_host
     else:
         depth_u16 = np.clip(
             np.rint(np.nan_to_num(depth_host) * 1000.0), 0, 65535
         ).astype(np.uint16)
-    rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
     depth_dev = jnp.asarray(depth_u16).astype(jnp.float32) / 1000.0
     return rgb_dev, depth_dev
 
@@ -507,12 +529,24 @@ def fuse_scan(
     # has one (uint8 rgb / uint16 mm depth pass-through, data/base.py) —
     # the generic fallback converts on the prefetch thread
     use_u8 = config.quantize_transfer and hasattr(dataset, "stacked_u8")
+    # native-depth capability: upload the sensor-resolution uint16 frames
+    # and cubic-enlarge on device. The depth-scaled patch tiler reads host
+    # depth per frame, so it keeps the host-upsampled path.
+    native_depth = bool(
+        use_u8
+        and config.device_depth_upsample
+        and not config.scale_patches_by_depth
+        and getattr(dataset, "native_depth_scale", 0) > 1
+    )
 
     def load_chunk(start):
         idx = list(range(start, min(n, start + F)))
-        stack = (
-            dataset.stacked_u8(idx) if use_u8 else dataset.stacked(idx)
-        )
+        if native_depth:
+            stack = dataset.stacked_u8(idx, native_depth=True)
+        elif use_u8:
+            stack = dataset.stacked_u8(idx)
+        else:
+            stack = dataset.stacked(idx)
         return idx, stack
 
     pending = prefetcher.submit(load_chunk, chunk_starts[0]) if chunk_starts else None
@@ -539,7 +573,8 @@ def fuse_scan(
         depth_host = pad_tail(stack["depth"])
         if config.quantize_transfer:
             rgb_chunk, depth_dev = quantized_chunk_to_device(
-                rgb_chunk, depth_host
+                rgb_chunk, depth_host,
+                depth_upsample=stack.get("depth_upsample", 1),
             )
         else:
             rgb_chunk = jnp.asarray(rgb_chunk)
