@@ -86,6 +86,36 @@ def _upsampler_fn(h: int, w: int, scale: int):
     return up
 
 
+def sample_upsampled_u16(depth_u16: np.ndarray, uu, vv, scale: int):
+    """Host-side sparse evaluation of the SAME upsample at full-res pixel
+    coordinates (uu, vv) — for bounds passes that need a handful of samples
+    per frame without materializing the enlarged frame. depth_u16 [h, w]
+    uint16 mm -> f32 meters [len(uu)], equal to
+    upsample_depth_u16_device(...)[vv, uu] up to f32 summation order."""
+    h, w = depth_u16.shape
+    Mh = cubic_upsample_matrix(h, scale)[np.asarray(vv)]  # [P, h]
+    Mw = cubic_upsample_matrix(w, scale)[np.asarray(uu)]  # [P, w]
+    d = depth_u16.astype(np.float32)
+    samples = np.einsum("ph,hw,pw->p", Mh, d, Mw, optimize=True)
+    return np.clip(samples, 0.0, 65535.0).astype(np.float32) / 1000.0
+
+
+def infer_native_depth_scale(rgb_hw, depth_hw):
+    """Integer upsample factor implied by rgb [H, W] vs depth [h, w]
+    resolutions: 1 when equal, s >= 2 when (H, W) == (h*s, w*s), else
+    raises (the live-push contract, manager/live.py)."""
+    H, W = rgb_hw
+    h, w = depth_hw
+    if (H, W) == (h, w):
+        return 1
+    if h > 0 and w > 0 and H % h == 0 and W % w == 0 and H // h == W // w:
+        return H // h
+    raise ValueError(
+        f"depth resolution {(h, w)} is neither rgb resolution {(H, W)} nor "
+        "an exact integer divisor of it"
+    )
+
+
 def upsample_depth_u16_device(depth_u16, scale: int):
     """Upload-side entry: native uint16-mm depth [F, h, w] (host or device)
     -> f32 meters [F, h*scale, w*scale] on device, matching the host path

@@ -128,28 +128,79 @@ class LiveScanDataset(FrameDataset):
             self._pose = self._pose[:views_limit]
             self._K = self._K[:views_limit]
         self.imheight, self.imwidth = self._rgb.shape[1:3]
+        # sessions streamed with native low-res depth persist it as-is;
+        # reprocessing enlarges on device exactly like the live integrate
+        # did (core/upsample.py; scale inferred from the array shapes)
+        from ..core.upsample import infer_native_depth_scale
+
+        s = infer_native_depth_scale(
+            self._rgb.shape[1:3], self._depth.shape[1:3]
+        )
+        if s > 1:
+            self.native_depth_scale = s
 
     def __len__(self):
         return len(self._rgb)
 
+    def _depth_scale(self) -> int:
+        return getattr(self, "native_depth_scale", 1)
+
+    def _full_depth_m(self, i: int) -> np.ndarray:
+        s = self._depth_scale()
+        if s == 1:
+            return self._depth[i].astype(np.float32) / 1000.0
+        import cv2
+
+        d = cv2.resize(
+            self._depth[i], (self.imwidth, self.imheight), None, 0, 0,
+            cv2.INTER_CUBIC,
+        )
+        return d.astype(np.float32) / 1000.0
+
     def __getitem__(self, i: int) -> Frame:
         return Frame(
             rgb=self._rgb[i].astype(np.float32) / 255.0,
-            depth=self._depth[i].astype(np.float32) / 1000.0,
+            depth=self._full_depth_m(i),
             pose=self._pose[i],
             K=self._K[i],
             index=i,
         )
 
-    def stacked_u8(self, indices=None):
+    def stacked_u8(self, indices=None, native_depth=False):
         """Native pass-through: the persisted arrays ARE the pipeline's
-        quantized-transfer format."""
+        quantized-transfer format. native_depth=True (only offered when the
+        session streamed low-res depth) returns it untouched with the
+        device-upsample factor."""
         idx = list(indices) if indices is not None else range(len(self))
         idx = list(idx)
-        return {
+        out = {
             "rgb": self._rgb[idx],
             "depth": self._depth[idx],
             "pose": self._pose[idx],
             "K": self._K[idx],
             "index": np.asarray(idx),
         }
+        if native_depth:
+            out["depth_upsample"] = self.native_depth_scale
+        elif self._depth_scale() > 1:
+            out["depth"] = np.stack([self._full_depth_m(i) for i in idx])
+        return out
+
+    def bounds_samples(self, uv_size: int = 7):
+        """Depth-only bounds pass; for native-depth archives the sparse
+        points are cubic-evaluated directly from the low-res frames
+        (core/upsample.py), never materializing the enlarged frames."""
+        from ..core.bounds import subsample_grid
+
+        uu, vv = subsample_grid(self.imwidth, self.imheight, uv_size)
+        s = self._depth_scale()
+        if s == 1:
+            d = self._depth[:, vv, uu].astype(np.float32) / 1000.0
+        else:
+            from ..core.upsample import sample_upsampled_u16
+
+            d = np.stack([
+                sample_upsampled_u16(self._depth[i], uu, vv, s)
+                for i in range(len(self))
+            ])
+        return d, uu, vv, self._pose, self._K

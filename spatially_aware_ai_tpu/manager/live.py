@@ -110,6 +110,9 @@ class LiveScanSession:
         self._rgb_u8: list = []
         self._depth_u16: list = []
         self._frame_hw: Optional[tuple] = None
+        # 1 = depth pushed at rgb resolution; s > 1 = native low-res depth
+        # enlarged s-fold on device (core/upsample.py)
+        self._depth_scale = 1
 
         self.timings = {"inference_s": 0.0, "integrate_s": 0.0,
                         "bounds_s": 0.0}
@@ -134,10 +137,16 @@ class LiveScanSession:
 
     def push(self, rgb, depth, pose, K, _stage: bool = True) -> dict:
         """Add frames. rgb [F, H, W, 3] uint8 or float [0,1]; depth
-        [F, H, W] uint16 mm or float meters; pose [F, 4, 4]; K [F, 3, 3].
+        [F, H, W] uint16 mm or float meters — OR the sensor's native
+        low-res frame [F, H/s, W/s] for an integer s (e.g. the iPhone's
+        256x192 vs 1024x768 rgb): the cubic 4x enlarge then runs on device
+        (core/upsample.py) and the client ships 16x fewer depth bytes.
+        K is always for the RGB resolution. pose [F, 4, 4]; K [F, 3, 3].
         Single frames may omit the leading axis. Returns progress + the
         running clipped_fraction. _stage=False replays already-staged
         frames (manager.live_resume) without re-writing them."""
+        from ..core.upsample import infer_native_depth_scale
+
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         pose = np.asarray(pose, np.float32)
@@ -151,10 +160,13 @@ class LiveScanSession:
                 np.rint(np.nan_to_num(depth) * 1000.0), 0, 65535
             ).astype(np.uint16)
 
-        if rgb.shape[:3] != depth.shape[:3] or rgb.shape[-1] != 3:
+        if rgb.ndim != 4 or depth.ndim != 3 or rgb.shape[-1] != 3:
             raise ValueError(
                 f"rgb {rgb.shape} / depth {depth.shape} mismatch"
             )
+        depth_scale = infer_native_depth_scale(
+            rgb.shape[1:3], depth.shape[1:3]
+        )  # raises on non-integer ratios
         if pose.shape[-2:] != (4, 4) or K.shape[-2:] != (3, 3):
             raise ValueError(
                 f"pose {pose.shape} / K {K.shape}: expected [F,4,4]/[F,3,3]"
@@ -165,13 +177,17 @@ class LiveScanSession:
             if self.ended:
                 raise ValueError("live session already ended")
             t0 = time.perf_counter()
-            H, W = depth.shape[1:3]
-            if self._frame_hw is not None and self._frame_hw != (H, W):
+            H, W = rgb.shape[1:3]
+            if self._frame_hw is not None and (
+                self._frame_hw != (H, W) or self._depth_scale != depth_scale
+            ):
                 raise ValueError(
                     f"frame resolution changed mid-stream: "
-                    f"{self._frame_hw} -> {(H, W)}"
+                    f"{self._frame_hw}/s={self._depth_scale} -> "
+                    f"{(H, W)}/s={depth_scale}"
                 )
             self._frame_hw = (H, W)
+            self._depth_scale = depth_scale
             if self._uu is None:
                 self._uu, self._vv = subsample_grid(W, H)
             if self.staging_dir is not None and _stage:
@@ -185,7 +201,18 @@ class LiveScanSession:
                 )
                 self._staged_parts += 1
             for f in range(len(rgb)):
-                d_m = depth[f, self._vv, self._uu].astype(np.float32) / 1e3
+                if depth_scale > 1:
+                    # sparse evaluation of the device upsample at the 49
+                    # bounds points — no full-frame enlarge on this host
+                    from ..core.upsample import sample_upsampled_u16
+
+                    d_m = sample_upsampled_u16(
+                        depth[f], self._uu, self._vv, depth_scale
+                    )
+                else:
+                    d_m = (
+                        depth[f, self._vv, self._uu].astype(np.float32) / 1e3
+                    )
                 self._depth_samples.append(d_m)
                 self._poses.append(pose[f])
                 self._Ks.append(K[f])
@@ -333,7 +360,9 @@ class LiveScanSession:
         rgb_u8 = np.stack([c["rgb"] for c in chunk])
         depth_u16 = np.stack([c["depth"] for c in chunk])
         t0 = time.perf_counter()
-        rgb_dev, depth_dev = quantized_chunk_to_device(rgb_u8, depth_u16)
+        rgb_dev, depth_dev = quantized_chunk_to_device(
+            rgb_u8, depth_u16, depth_upsample=self._depth_scale
+        )
         if self._mesh is not None and F % self._mesh.devices.size == 0:
             # frame-shard the chunk so the CLIP/kMaX forwards GSPMD-
             # partition over the mesh (same as fuse_scan's sharded path)

@@ -165,8 +165,12 @@ def create_app(manager_or_registry) -> App:
     def live_push(req):
         """Stream frames: body = npz bytes with rgb [F,H,W,3] u8 (or f32
         [0,1]), depth [F,H,W] u16 mm (or f32 m), pose [F,4,4], K [F,3,3].
-        Send QUANTIZED frames and small chunks: bodies over the 64 MB cap
-        are rejected (u8/u16 keeps even large chunks far under it)."""
+        Depth may instead be the sensor's NATIVE low-res frame
+        [F, H/s, W/s] for an integer s (iPhone: 256x192): the cubic
+        enlarge runs on device and the push body shrinks ~16x on the
+        depth term (manager/live.py:push). Send QUANTIZED frames and
+        small chunks: bodies over the 64 MB cap are rejected (u8/u16
+        keeps even large chunks far under it)."""
         manager = _m(req)
         import io
 
