@@ -521,6 +521,7 @@ def main_full(out=None):
             clip_patch_size=64, clip_patch_stride=32,
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
             shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
+            rgb_transfer=os.environ.get("SAI_BENCH_RGB_TRANSFER", "u8"),
         )
     else:
         engine = ClipEngine.random(seed=0)
@@ -534,6 +535,7 @@ def main_full(out=None):
             # shard_map step (1-device mesh on this host)
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
             shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
+            rgb_transfer=os.environ.get("SAI_BENCH_RGB_TRANSFER", "u8"),
         )
 
     # --- kMaX-only throughput: device-resident input, one sync across the

@@ -237,6 +237,12 @@ def _check_knobs():
         out["SAI_LABEL_VOTES"] = (
             f"unknown value {votes!r} (uniform|near_surface)"
         )
+    rgbt = os.environ.get("SAI_RGB_TRANSFER")
+    if rgbt and rgbt not in ("u8", "yuv420"):
+        out["status"] = "fail"
+        out["SAI_RGB_TRANSFER"] = (
+            f"unknown value {rgbt!r} (u8|yuv420)"
+        )
     extractor = os.environ.get("SAI_MESH_EXTRACTOR")
     if extractor and extractor not in ("mc", "mt"):
         out["status"] = "fail"

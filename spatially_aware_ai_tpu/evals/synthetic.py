@@ -140,6 +140,7 @@ def eval_synthetic_labels(
     integrator=None,
     seg_shift_px: int = 0,
     seg_flip_prob: float = 0.0,
+    rgb_transfer: str = "u8",
 ) -> Dict:
     """seg_shift_px / seg_flip_prob inject controlled segmenter noise
     (data.synthetic.NoisySegmenter) for the vote-weighting ablation — a
@@ -165,6 +166,7 @@ def eval_synthetic_labels(
         clip_patch_size=width // 2, clip_patch_stride=width // 4,
         frame_chunk=8, with_labels=True,
         label_vote_mode=label_vote_mode, integrator=integrator,
+        rgb_transfer=rgb_transfer,
     )
     result = fuse_scan(ds, clip_engine, cfg, segmenter=seg.run_on_image)
 
@@ -222,6 +224,7 @@ def eval_synthetic_labels(
         "label_vote_mode": label_vote_mode,
         "seg_shift_px": seg_shift_px,
         "seg_flip_prob": seg_flip_prob,
+        "rgb_transfer": rgb_transfer,
     }
 
 

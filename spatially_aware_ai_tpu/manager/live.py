@@ -360,8 +360,15 @@ class LiveScanSession:
         rgb_u8 = np.stack([c["rgb"] for c in chunk])
         depth_u16 = np.stack([c["depth"] for c in chunk])
         t0 = time.perf_counter()
+        i420_h = 0
+        if cfg.rgb_transfer == "yuv420":
+            from ..core.yuv import rgb_u8_to_i420
+
+            i420_h = rgb_u8.shape[1]
+            rgb_u8 = rgb_u8_to_i420(rgb_u8)
         rgb_dev, depth_dev = quantized_chunk_to_device(
-            rgb_u8, depth_u16, depth_upsample=self._depth_scale
+            rgb_u8, depth_u16, depth_upsample=self._depth_scale,
+            rgb_i420_height=i420_h,
         )
         if self._mesh is not None and F % self._mesh.devices.size == 0:
             # frame-shard the chunk so the CLIP/kMaX forwards GSPMD-

@@ -162,6 +162,9 @@ class InSituManager:
             # sharded.py) — deployment knobs, echoed into config.yml
             "integrator": os.environ.get("SAI_INTEGRATOR") or None,
             "shard_voxels": os.environ.get("SAI_SHARD_VOXELS") == "1",
+            # rgb upload encoding (u8 = parity default; yuv420 halves the
+            # rgb bytes over a slow host->device link, core/yuv.py)
+            "rgb_transfer": os.environ.get("SAI_RGB_TRANSFER", "u8"),
         }
         self.config = dotdict(config)
         self.curr_ver = curr_ver
@@ -272,6 +275,7 @@ class InSituManager:
             label_vote_mode=cfg.get("label_vote_mode", "uniform"),
             integrator=cfg.get("integrator"),
             shard_voxels=bool(cfg.get("shard_voxels", False)),
+            rgb_transfer=cfg.get("rgb_transfer", "u8"),
         )
 
     def update_config(self, target_version: int):

@@ -188,6 +188,12 @@ class FusionConfig:
     # upload bytes 16x (~37% of the whole chunk at the iPhone operating
     # point) and removes the host cv2 pass from the 1-vCPU prefetch thread.
     device_depth_upsample: bool = True
+    # rgb upload encoding: "u8" (default, reference-parity values) or
+    # "yuv420" (opt-in: full-range BT.601 4:2:0 — half the rgb bytes over
+    # the host->device link, decoded on device; lossy only in chroma
+    # resolution + YUV rounding, which the 4:2:0 JPEG sources already
+    # discarded upstream — see core/yuv.py for the measured fidelity)
+    rgb_transfer: str = "u8"
 
     def __post_init__(self):
         # fail misconfiguration loudly: an unrecognized integrator would
@@ -202,6 +208,10 @@ class FusionConfig:
         if self.label_vote_mode not in ("uniform", "near_surface"):
             raise ValueError(
                 f"unknown label_vote_mode {self.label_vote_mode!r}"
+            )
+        if self.rgb_transfer not in ("u8", "yuv420"):
+            raise ValueError(
+                f"unknown rgb_transfer {self.rgb_transfer!r} (u8|yuv420)"
             )
 
     @property
@@ -280,7 +290,8 @@ def null_instance_boundaries(
     return np.where(boundary, null_id, cat).astype(np.int32)
 
 
-def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1):
+def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1,
+                              rgb_i420_height: int = 0):
     """Upload one frame chunk in quantized form (uint8 rgb / uint16-mm
     depth, converting only when the loader didn't already provide native
     precision) and return device f32 (rgb [0,1], depth meters). Shared by
@@ -288,14 +299,23 @@ def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1):
 
     depth_upsample > 1 means depth_host is the loader's NATIVE low-res
     uint16 frame stack (e.g. iPhone 256x192) and the cubic enlarge runs on
-    device after the (16x smaller) upload — see core/upsample.py."""
-    if rgb_host.dtype == np.uint8:  # native pass-through
-        rgb_u8 = rgb_host
+    device after the (16x smaller) upload — see core/upsample.py.
+
+    rgb_i420_height > 0 means rgb_host is a packed 4:2:0 chunk
+    [F, H + H/2, W] (core/yuv.py) decoded on device after the (2x smaller)
+    upload."""
+    if rgb_i420_height > 0:
+        from .core.yuv import i420_to_rgb_device
+
+        rgb_dev = i420_to_rgb_device(rgb_host, rgb_i420_height)
     else:
-        rgb_u8 = np.clip(
-            np.rint(rgb_host * 255.0), 0, 255
-        ).astype(np.uint8)
-    rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
+        if rgb_host.dtype == np.uint8:  # native pass-through
+            rgb_u8 = rgb_host
+        else:
+            rgb_u8 = np.clip(
+                np.rint(rgb_host * 255.0), 0, 255
+            ).astype(np.uint8)
+        rgb_dev = jnp.asarray(rgb_u8).astype(jnp.float32) / 255.0
     if depth_upsample > 1:
         if depth_host.dtype != np.uint16:
             raise ValueError(
@@ -538,6 +558,9 @@ def fuse_scan(
         and not config.scale_patches_by_depth
         and getattr(dataset, "native_depth_scale", 0) > 1
     )
+    # opt-in 4:2:0 rgb transfer (core/yuv.py): encode on the prefetch
+    # thread, decode on device as part of the upload
+    yuv420 = config.rgb_transfer == "yuv420" and config.quantize_transfer
 
     def load_chunk(start):
         idx = list(range(start, min(n, start + F)))
@@ -547,6 +570,15 @@ def fuse_scan(
             stack = dataset.stacked_u8(idx)
         else:
             stack = dataset.stacked(idx)
+        if yuv420:
+            from .core.yuv import rgb_u8_to_i420
+
+            rgb = stack["rgb"]
+            if rgb.dtype != np.uint8:
+                rgb = np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8)
+            stack = dict(stack)
+            stack["rgb_height"] = rgb.shape[1]
+            stack["rgb"] = rgb_u8_to_i420(rgb)
         return idx, stack
 
     pending = prefetcher.submit(load_chunk, chunk_starts[0]) if chunk_starts else None
@@ -575,6 +607,7 @@ def fuse_scan(
             rgb_chunk, depth_dev = quantized_chunk_to_device(
                 rgb_chunk, depth_host,
                 depth_upsample=stack.get("depth_upsample", 1),
+                rgb_i420_height=stack.get("rgb_height", 0),
             )
         else:
             rgb_chunk = jnp.asarray(rgb_chunk)

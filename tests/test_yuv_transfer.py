@@ -1,0 +1,133 @@
+"""Opt-in 4:2:0 rgb transfer (core/yuv.py): packing layout, decode math,
+roundtrip fidelity, and end-to-end pipeline effect (tsdf/weights must be
+byte-identical — only chroma detail may move)."""
+import numpy as np
+import pytest
+
+from spatially_aware_ai_tpu.core.yuv import (
+    _INV,
+    i420_to_rgb_device,
+    rgb_u8_to_i420,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _decode_ref(planes, H):
+    """Numpy reference of the device decoder."""
+    F, HP, W = planes.shape
+    y = planes[:, :H].astype(np.float32)
+    u = planes[:, H:H + H // 4].reshape(F, H // 2, W // 2).astype(np.float32)
+    v = planes[:, H + H // 4:].reshape(F, H // 2, W // 2).astype(np.float32)
+    up = lambda c: np.repeat(np.repeat(c - 128.0, 2, axis=1), 2, axis=2)
+    yuv = np.stack([y, up(u), up(v)], axis=-1)
+    rgb = yuv @ _INV.T
+    return np.clip(rgb / 255.0, 0.0, 1.0)
+
+
+def test_device_decode_matches_reference():
+    planes = RNG.integers(0, 256, (2, 36, 32), dtype=np.uint8)  # H=24
+    dev = np.asarray(i420_to_rgb_device(planes, 24))
+    ref = _decode_ref(planes, 24)
+    np.testing.assert_allclose(dev, ref, atol=1e-5)
+
+
+def test_odd_dims_rejected():
+    with pytest.raises(ValueError, match="even"):
+        rgb_u8_to_i420(np.zeros((1, 23, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="packed plane height"):
+        i420_to_rgb_device(np.zeros((1, 30, 32), np.uint8), 24)
+
+
+def test_forward_matrix_matches_cv2():
+    """The decode matrix must invert cv2.COLOR_RGB2YUV's ACTUAL transform
+    (analog-scaled BT.601 chroma, not JFIF) — probe it around mid-gray."""
+    import cv2
+
+    from spatially_aware_ai_tpu.core.yuv import _FWD
+
+    base = np.full((2, 2, 3), 0.5, np.float32)
+    y0 = cv2.cvtColor(base, cv2.COLOR_RGB2YUV)[0, 0]
+    for c in range(3):
+        x = base.copy()
+        x[..., c] += 0.4
+        d = (cv2.cvtColor(x, cv2.COLOR_RGB2YUV)[0, 0] - y0) / 0.4
+        np.testing.assert_allclose(d, _FWD[:, c], atol=2e-4)
+
+
+@pytest.mark.parametrize("w,h,min_psnr", [(96, 72, 31.0), (512, 384, 38.0)])
+def test_roundtrip_fidelity_synthetic(w, h, min_psnr):
+    """4:2:0 roundtrip fidelity on the synthetic room renders. Tiny frames
+    are edge-dominated (chroma edges are most of the pixels), so the PSNR
+    floor scales with resolution: 42 dB measured at the 1024x768 operating
+    point. Luma is untouched by subsampling so its error stays within YUV
+    u8 rounding."""
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+
+    ds = SyntheticSceneDataset(num_frames=2, width=w, height=h)
+    rgb = np.clip(
+        np.rint(ds.stacked(range(2))["rgb"] * 255), 0, 255
+    ).astype(np.uint8)
+    dec = np.asarray(i420_to_rgb_device(rgb_u8_to_i420(rgb), h))
+    err = dec - rgb.astype(np.float32) / 255.0
+    psnr = -10 * np.log10(np.mean(err**2) + 1e-12)
+    assert psnr >= min_psnr, psnr
+    # luma roundtrip: project both through the Y row of the forward matrix.
+    # Saturated colors can clip a channel on decode (chroma overshoot past
+    # [0,1], as in cv2's own saturate_cast) which shifts luma — exclude
+    # clipped pixels from the tight bound.
+    from spatially_aware_ai_tpu.core.yuv import _FWD
+
+    unclipped = ((dec > 0.0) & (dec < 1.0)).all(axis=-1)
+    y_in = (rgb.astype(np.float32) @ _FWD[0]) / 255.0
+    y_out = (dec * 255.0) @ _FWD[0] / 255.0
+    assert np.abs(y_in - y_out)[unclipped].max() < 2.5 / 255.0
+
+
+def test_pipeline_yuv420_grid_parity():
+    """rgb_transfer only changes what the models/rgb channels see — the
+    depth-driven tsdf and weight accumulators must be IDENTICAL, and the
+    fused rgb within chroma-subsample distance."""
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
+
+    ds = SyntheticSceneDataset(num_frames=4, width=64, height=48)
+    engine = ClipEngine.tiny()
+    kw = dict(
+        voxel_size=0.12, trunc_vox=2.0, clip_patch_size=32,
+        clip_patch_stride=16, frame_chunk=2,
+    )
+    r_u8 = fuse_scan(ds, engine, FusionConfig(rgb_transfer="u8", **kw))
+    r_yuv = fuse_scan(ds, engine, FusionConfig(rgb_transfer="yuv420", **kw))
+    np.testing.assert_array_equal(
+        np.asarray(r_u8.values["weight"]), np.asarray(r_yuv.values["weight"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_u8.values["tsdf_weight"]),
+        np.asarray(r_yuv.values["tsdf_weight"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_u8.values["tsdf"]), np.asarray(r_yuv.values["tsdf"]),
+        atol=1e-6,
+    )
+    w = np.asarray(r_u8.values["weight"]).ravel() > 0
+    rgb_u8v = np.asarray(r_u8.values["rgb"]).reshape(-1, 3)[w]
+    rgb_yuv = np.asarray(r_yuv.values["rgb"]).reshape(-1, 3)[w]
+    assert np.abs(rgb_u8v - rgb_yuv).mean() < 0.01
+    # CLIP features: same tower on near-identical frames
+    f_u8 = np.asarray(r_u8.values["feat"]).reshape(rgb_u8v.shape[0] if False
+                                                   else -1,
+                                                   r_u8.values["feat"].shape[-1])
+    f_yuv = np.asarray(r_yuv.values["feat"]).reshape(f_u8.shape)
+    fu, fy = f_u8[w], f_yuv[w]
+    nu = np.linalg.norm(fu, axis=1) * np.linalg.norm(fy, axis=1)
+    cos = (fu * fy).sum(axis=1) / np.maximum(nu, 1e-9)
+    assert np.quantile(cos, 0.05) > 0.98
+
+
+def test_config_validation():
+    from spatially_aware_ai_tpu.pipeline import FusionConfig
+
+    with pytest.raises(ValueError, match="rgb_transfer"):
+        FusionConfig(rgb_transfer="jpeg")
