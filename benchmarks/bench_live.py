@@ -36,6 +36,11 @@ def main():
     CHUNK = 8
 
     base = SyntheticSceneDataset(num_frames=8, width=W // 4, height=H // 4)
+    # native-depth client contract (manager/live.py:push): rgb at full res,
+    # depth at the sensor's own quarter res — the cubic 4x enlarge runs on
+    # device. SAI_BENCH_LIVE_NATIVE_DEPTH=0 reverts to full-res depth
+    # pushes for A/B.
+    native = os.environ.get("SAI_BENCH_LIVE_NATIVE_DEPTH", "1") != "0"
     rgbs, depths, poses, Ks = [], [], [], []
     for i in range(T):
         f = base[i % 8]
@@ -45,13 +50,10 @@ def main():
                 0, 255,
             ).astype(np.uint8)
         )
+        d = f.depth if native else np.kron(f.depth, np.ones((4, 4),
+                                                            np.float32))
         depths.append(
-            np.clip(
-                np.rint(
-                    np.kron(f.depth, np.ones((4, 4), np.float32)) * 1000
-                ),
-                0, 65535,
-            ).astype(np.uint16)
+            np.clip(np.rint(d * 1000), 0, 65535).astype(np.uint16)
         )
         poses.append(f.pose)
         K = f.K.copy()
@@ -109,6 +111,7 @@ def main():
             session.clipped_samples / max(1, session.total_samples), 4
         ),
         "timings": {k: round(v, 2) for k, v in session.timings.items()},
+        "native_depth": native,
         "device": str(jax.devices()[0]),
     }))
 
