@@ -450,6 +450,22 @@ class _ArrayDataset:
         return self.depth[:, vv, uu], uu, vv, self.pose, self.K
 
 
+_FULL_ABORT = None  # threading.Event set by _run_full_guarded's watchdog
+
+
+def _abort_checkpoint(phase: str):
+    """Phase-boundary budget check for the guarded full bench: raising here
+    (caught by _run_full_guarded) lets an over-budget run die BETWEEN device
+    dispatches instead of being os._exit'd mid-compile — a killed compile
+    client orphans its job in the sandbox's serialized remote-compile helper
+    and queues everyone behind it."""
+    if _FULL_ABORT is not None and _FULL_ABORT.is_set():
+        raise TimeoutError(
+            f"full-bench budget exceeded (SAI_BENCH_FULL_DEADLINE_S) — "
+            f"stopped at phase boundary {phase!r}"
+        )
+
+
 def main_full(out=None):
     """The HONEST full labeled pipeline (VERDICT r1 #3) — kMaX ConvNeXt-L
     panoptic inference at the reference's 1281 long edge + tiled CLIP +
@@ -544,6 +560,7 @@ def main_full(out=None):
     # health while the device time was constant) ---
     import jax.numpy as _jnp
 
+    _abort_checkpoint("setup")
     chunk_rgb_dev = _jnp.asarray(ds.rgb[:CHUNK])
     seg_out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
     float(_jnp.ravel(seg_out)[0].astype(_jnp.float32))  # compile + warmup
@@ -565,8 +582,10 @@ def main_full(out=None):
         # this 1-vCPU host (observed: bounds_s 12 s vs 0.03 s quiet).
         float(_jnp.ravel(res.values["feat"])[0].astype(_jnp.float32))
 
+    _abort_checkpoint("kmax_throughput")
     run = lambda: fuse_scan(ds, engine, cfg, segmenter=seg.run_on_image)
     drain(run())  # warmup/compile, fully drained
+    _abort_checkpoint("warmup_scan")
     t0 = time.perf_counter()
     result = run()
     fuse_wall = time.perf_counter() - t0
@@ -623,7 +642,9 @@ def main_full(out=None):
         return (knowledge, mesh, synthetic_labels, n_obj_meshes,
                 flood_s, mesh_s, objmesh_s)
 
+    _abort_checkpoint("timed_scan")
     (*_, mesh_cold_s, _) = run_postproc(result)  # warmup: sampler programs
+    _abort_checkpoint("postproc_warmup")
     (knowledge, mesh, synthetic_labels, n_obj_meshes,
      flood_s, mesh_s, objmesh_s) = run_postproc(result)
 
@@ -711,19 +732,31 @@ def _run_full_guarded():
     import threading
 
     budget = float(os.environ.get("SAI_BENCH_FULL_DEADLINE_S", "2100"))
+    # grace window between "budget exceeded" (graceful: the next phase
+    # boundary raises) and the hard os._exit backstop. The backstop stays —
+    # a wedged tunnel never reaches a phase boundary — but it should be the
+    # LAST resort: hard-killing this process mid-compile orphans the job in
+    # the sandbox's serialized remote-compile helper (CLAUDE.md quirk).
+    grace = float(os.environ.get("SAI_BENCH_FULL_ABORT_GRACE_S", "420"))
     if budget > 0:
+        global _FULL_ABORT
+        _FULL_ABORT = threading.Event()
+        abort_evt = _FULL_ABORT
 
         def watchdog():  # pragma: no cover - timing dependent
             time.sleep(budget)
+            abort_evt.set()  # phase boundaries in main_full now raise
+            time.sleep(grace)
             print(
                 json.dumps(
                     {
                         "full_pipeline": "aborted",
                         "reason": (
                             f"full bench exceeded {budget:.0f}s "
-                            "(SAI_BENCH_FULL_DEADLINE_S) — tunnel outage or "
-                            "degraded host mid-run; the fused contract line "
-                            "above stands"
+                            f"(SAI_BENCH_FULL_DEADLINE_S) + {grace:.0f}s "
+                            "grace without reaching a phase boundary — "
+                            "tunnel outage or degraded host mid-run; the "
+                            "fused contract line above stands"
                         ),
                     }
                 ),

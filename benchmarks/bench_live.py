@@ -86,8 +86,14 @@ def main():
     # scanning" latency (SAI_BENCH_LIVE_WAIT_WARM=0 to fold it back in)
     warm_wait_s = 0.0
     if os.environ.get("SAI_BENCH_LIVE_WAIT_WARM", "1") == "1":
+        # bounded: if the warm thread was never spawned (first integration
+        # deferred) or a tunnel outage wedges it, warm_state can stay
+        # "pending" forever — end() below has its own bounded join, so give
+        # up here rather than hang without ever printing the JSON line
+        deadline = float(os.environ.get("SAI_BENCH_LIVE_WARM_WAIT_S", "900"))
         t_w = time.perf_counter()
-        while session.warm_state == "pending":
+        while (session.warm_state == "pending"
+               and time.perf_counter() - t_w < deadline):
             time.sleep(0.2)
         warm_wait_s = time.perf_counter() - t_w
     # the pushes dispatch asynchronously; end() forces completion

@@ -40,7 +40,8 @@ import hashlib
 import json
 import os
 import sys
-import tempfile
+
+from ..utils.atomic import atomic_json_dump, atomic_path
 
 # Default asset directory; doctor and the engines look here too.
 DEFAULT_DEST = os.path.join(
@@ -106,28 +107,16 @@ def _read_lock(dest: str) -> dict:
 
 
 def _write_lock(dest: str, lock: dict) -> None:
-    path = _lock_path(dest)
-    fd, tmp = tempfile.mkstemp(dir=dest, prefix=".lock.", suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(lock, f, indent=2, sort_keys=True)
-        os.replace(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
+    atomic_json_dump(_lock_path(dest), lock, indent=2, sort_keys=True)
 
 
 def _download(url: str, out_path: str) -> None:
-    """Stream `url` to `out_path` atomically (tmp + os.replace)."""
+    """Stream `url` to `out_path` atomically (utils/atomic.py: a killed
+    download can never leave a plausible-looking partial file)."""
     import urllib.request
 
-    dest = os.path.dirname(out_path)
-    fd, tmp = tempfile.mkstemp(dir=dest, prefix=".fetch.", suffix=".tmp")
-    try:
-        with os.fdopen(fd, "wb") as f, urllib.request.urlopen(
+    with atomic_path(out_path) as tmp:
+        with open(tmp, "wb") as f, urllib.request.urlopen(
             url, timeout=60
         ) as r:
             while True:
@@ -135,13 +124,6 @@ def _download(url: str, out_path: str) -> None:
                 if not b:
                     break
                 f.write(b)
-        os.replace(tmp, out_path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
 
 
 def verify_asset(name: str, path: str, lock: dict,

@@ -10,7 +10,7 @@ phase.
 Layout: one uint8 array [F, H + H/2, W] per chunk — the Y plane [H, W]
 followed by U then V quarter planes, each packed as H/4 rows of width W
 (two W/2 chroma rows per packed row, the I420 convention, so a plain
-row-major reshape unpacks them). H and W must be even.
+row-major reshape unpacks them). H must be a multiple of 4, W even.
 
 Encode (host, prefetch thread): full-range BT.601 via cv2's SIMD paths —
 COLOR_RGB2YUV then INTER_AREA 2x2 chroma averaging. Decode (device, part
@@ -45,14 +45,25 @@ _FWD = np.array(
 _INV = np.linalg.inv(_FWD.astype(np.float64)).astype(np.float32)
 
 
+def i420_compatible(h: int, w: int) -> bool:
+    """Whether [H, W] frames can carry the packed I420 layout."""
+    return h % 4 == 0 and w % 2 == 0
+
+
 def rgb_u8_to_i420(rgb_u8: np.ndarray) -> np.ndarray:
     """[F, H, W, 3] uint8 RGB -> [F, H + H//2, W] uint8 packed 4:2:0
-    (host-side, cv2 SIMD). H and W must be even."""
+    (host-side, cv2 SIMD). H must be a multiple of 4, W even."""
     import cv2
 
     f, h, w, _ = rgb_u8.shape
-    if h % 2 or w % 2:
-        raise ValueError(f"4:2:0 needs even frame dims, got {(h, w)}")
+    # the I420 row-packing (two W/2 chroma rows per packed row -> H/4 rows
+    # of width W, and the decoder's planes[:, h:h+h//4] slice) needs H to
+    # be a multiple of 4, not merely even
+    if h % 4 or w % 2:
+        raise ValueError(
+            f"4:2:0 packed layout needs H % 4 == 0 and W % 2 == 0, "
+            f"got {(h, w)}"
+        )
     out = np.empty((f, h + h // 2, w), np.uint8)
     for i in range(f):
         yuv = cv2.cvtColor(rgb_u8[i], cv2.COLOR_RGB2YUV)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import threading
 import time
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -362,10 +363,20 @@ class LiveScanSession:
         t0 = time.perf_counter()
         i420_h = 0
         if cfg.rgb_transfer == "yuv420":
-            from ..core.yuv import rgb_u8_to_i420
+            from ..core.yuv import i420_compatible, rgb_u8_to_i420
 
-            i420_h = rgb_u8.shape[1]
-            rgb_u8 = rgb_u8_to_i420(rgb_u8)
+            if i420_compatible(rgb_u8.shape[1], rgb_u8.shape[2]):
+                i420_h = rgb_u8.shape[1]
+                rgb_u8 = rgb_u8_to_i420(rgb_u8)
+            elif not getattr(self, "_warned_i420", False):
+                # crash here and the push loop retries forever with
+                # "integration deferred"; degrade to u8 transfer instead
+                self._warned_i420 = True
+                warnings.warn(
+                    f"rgb_transfer=yuv420 needs H % 4 == 0 and W % 2 == 0, "
+                    f"got {rgb_u8.shape[1:3]}; live session falls back to "
+                    f"u8 transfer", stacklevel=2,
+                )
         rgb_dev, depth_dev = quantized_chunk_to_device(
             rgb_u8, depth_u16, depth_upsample=self._depth_scale,
             rgb_i420_height=i420_h,

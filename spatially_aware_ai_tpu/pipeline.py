@@ -14,6 +14,7 @@ import dataclasses
 import math
 import os
 import time
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
@@ -571,9 +572,18 @@ def fuse_scan(
         else:
             stack = dataset.stacked(idx)
         if yuv420:
-            from .core.yuv import rgb_u8_to_i420
+            from .core.yuv import i420_compatible, rgb_u8_to_i420
 
             rgb = stack["rgb"]
+            if not i420_compatible(rgb.shape[1], rgb.shape[2]):
+                # a crash here would surface from the prefetch thread as an
+                # opaque reshape error; degrade to the u8 transfer instead
+                warnings.warn(
+                    f"rgb_transfer=yuv420 needs H % 4 == 0 and W % 2 == 0, "
+                    f"got {rgb.shape[1:3]}; falling back to u8 transfer",
+                    stacklevel=2,
+                )
+                return idx, stack
             if rgb.dtype != np.uint8:
                 rgb = np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8)
             stack = dict(stack)

@@ -18,8 +18,13 @@ from urllib.parse import parse_qs
 
 MAX_BODY_BYTES = 64 * 1024 * 1024  # mesh JSON payloads are large; cap abuse
 
-_DISP_NAME = re.compile(r'name="([^"]*)"')
-_DISP_FILENAME = re.compile(r'filename="([^"]*)"')
+# `name=` must be anchored at a parameter boundary: a bare name="..." match
+# also hits the substring inside `filename="..."`, so a part whose
+# Content-Disposition lists filename BEFORE name (RFC 7578 mandates no
+# attribute order) would be stored under its filename instead of its field
+# name.
+_DISP_NAME = re.compile(r'(?:^|;\s*)name="([^"]*)"')
+_DISP_FILENAME = re.compile(r'(?:^|;\s*)filename="([^"]*)"')
 
 
 def _parse_multipart(body: bytes, ctype: str):

@@ -34,6 +34,14 @@ def atomic_path(path: str):
         dir=d, prefix=os.path.basename(path) + ".", suffix=".tmp"
     )
     os.close(fd)
+    # mkstemp creates 0600 and os.replace preserves it; artifacts written
+    # through plain open() were umask-default (typically 0644). Restore the
+    # umask-default mode so a different unix user (file server, second
+    # manager) can still read the artifacts.
+    umask = os.umask(0)
+    os.umask(umask)
+    with contextlib.suppress(OSError):
+        os.chmod(tmp, 0o666 & ~umask)
     try:
         yield tmp
         os.replace(tmp, path)

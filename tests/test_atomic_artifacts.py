@@ -47,6 +47,24 @@ def test_atomic_path_preserves_old_on_failure(tmp_path):
     assert os.listdir(tmp_path) == ["a.txt"]  # failed tmp cleaned up
 
 
+def test_atomic_writes_respect_umask(tmp_path):
+    """mkstemp creates 0600 and os.replace preserves the mode; the helper
+    must restore umask-default permissions (0644 under the common 022) so
+    artifacts stay readable by other unix users (file server, second
+    manager) exactly like the plain open() writers they replaced."""
+    old = os.umask(0o022)
+    try:
+        p = tmp_path / "perm.npy"
+        atomic_save_npy(str(p), np.arange(3))
+        assert (p.stat().st_mode & 0o777) == 0o644
+        os.umask(0o027)
+        p2 = tmp_path / "perm2.json"
+        atomic_json_dump(str(p2), {"a": 1})
+        assert (p2.stat().st_mode & 0o777) == 0o640
+    finally:
+        os.umask(old)
+
+
 def test_atomic_helpers_roundtrip(tmp_path):
     atomic_save_npy(str(tmp_path / "x.npy"), np.arange(7))
     assert (np.load(tmp_path / "x.npy") == np.arange(7)).all()

@@ -227,3 +227,27 @@ def test_multipart_parser_unit():
     assert _parse_multipart(body, "multipart/form-data") == ({}, {})
     form3, _ = _parse_multipart(body[: len(body) // 2], ctype)
     assert form3.get("a") == "hello world"
+
+
+def test_multipart_filename_before_name():
+    """RFC 7578 mandates no attribute order: a part whose Content-Disposition
+    lists filename BEFORE name must still be stored under its field name
+    (the unanchored name=\"...\" regex used to match inside filename=...)."""
+    from spatially_aware_ai_tpu.server.http import _parse_multipart
+
+    b = "xBOUNDx"
+    body = (
+        f"--{b}\r\n"
+        'Content-Disposition: form-data; filename="payload.bin"; '
+        'name="file"\r\n'
+        "Content-Type: application/octet-stream\r\n\r\n"
+        "DATA\r\n"
+        f"--{b}\r\n"
+        'Content-Disposition: form-data; filename="x.txt"; name="note"; '
+        'dummy="name=\\"decoy\\""\r\n\r\n'
+        "hi\r\n"
+        f"--{b}--\r\n"
+    ).encode()
+    form, files = _parse_multipart(body, f"multipart/form-data; boundary={b}")
+    assert files == {"file": b"DATA", "note": b"hi"}
+    assert form == {}

@@ -33,10 +33,52 @@ def test_device_decode_matches_reference():
 
 
 def test_odd_dims_rejected():
-    with pytest.raises(ValueError, match="even"):
+    with pytest.raises(ValueError, match="H % 4"):
         rgb_u8_to_i420(np.zeros((1, 23, 32, 3), np.uint8))
+    # even-but-not-multiple-of-4 height: the I420 row-packing (H/4 rows of
+    # width W) can't carry it — must be a clear error, not a reshape crash
+    with pytest.raises(ValueError, match="H % 4"):
+        rgb_u8_to_i420(np.zeros((1, 258, 32, 3), np.uint8))
     with pytest.raises(ValueError, match="packed plane height"):
         i420_to_rgb_device(np.zeros((1, 30, 32), np.uint8), 24)
+
+    from spatially_aware_ai_tpu.core.yuv import i420_compatible
+
+    assert i420_compatible(192, 256) and i420_compatible(768, 1024)
+    assert not i420_compatible(258, 256)  # even H, not mult of 4
+    assert not i420_compatible(192, 255)
+
+
+def test_pipeline_falls_back_to_u8_on_incompatible_dims():
+    """rgb_transfer=yuv420 with H % 4 != 0 frames must degrade to the u8
+    transfer with a warning, not crash in the prefetch thread (where the
+    reshape error would surface as an opaque chunk-load failure)."""
+    import warnings as _w
+
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+    from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
+    from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
+
+    # H=54 is even but not a multiple of 4 -> the packed I420 layout can't
+    # carry it; the scan must still complete (u8 transfer) with a warning.
+    # (patch/stride chosen so the CLIP tiler accepts 76x54 frames)
+    ds = SyntheticSceneDataset(num_frames=4, width=76, height=54)
+    engine = ClipEngine.tiny()
+    kw = dict(voxel_size=0.12, trunc_vox=2.0, clip_patch_size=32,
+              clip_patch_stride=22, frame_chunk=2)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        r_yuv = fuse_scan(ds, engine,
+                          FusionConfig(rgb_transfer="yuv420", **kw))
+    assert any("falling back to u8" in str(w.message) for w in rec)
+    r_u8 = fuse_scan(ds, engine, FusionConfig(rgb_transfer="u8", **kw))
+    np.testing.assert_array_equal(
+        np.asarray(r_u8.values["weight"]), np.asarray(r_yuv.values["weight"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_u8.values["rgb"]), np.asarray(r_yuv.values["rgb"]),
+        atol=1e-6,
+    )
 
 
 def test_forward_matrix_matches_cv2():
