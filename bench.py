@@ -18,6 +18,7 @@ with variance tells — to stderr, so the driver tail records it
 (SAI_BENCH_FULL_SKIP=1 disables; SAI_BENCH_FULL=1 runs only that mode with
 the line on stdout).
 """
+import contextlib
 import json
 import sys
 import time
@@ -301,12 +302,26 @@ def main():
     compile_s = time.perf_counter() - t0
 
     # chunks dispatch asynchronously (as in the production pipeline); one
-    # sync at the end measures pipelined throughput
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        grid = run_chunk(grid)
-    sync(grid)
-    elapsed = time.perf_counter() - t0
+    # sync at the end measures pipelined throughput.
+    # SAI_BENCH_TRACE=<logdir> wraps the timed loop in a jax.profiler device
+    # trace (utils/profiling.trace_to) for TensorBoard op-level attribution;
+    # trace overhead lands inside the timed window, so treat the fps of a
+    # traced run as diagnostic, not the headline.
+    trace_dir = os.environ.get("SAI_BENCH_TRACE")
+    trace_ctx = (
+        __import__(
+            "spatially_aware_ai_tpu.utils.profiling",
+            fromlist=["trace_to"],
+        ).trace_to(trace_dir)
+        if trace_dir
+        else contextlib.nullcontext()
+    )
+    with trace_ctx:
+        t0 = time.perf_counter()
+        for _ in range(REPEATS):
+            grid = run_chunk(grid)
+        sync(grid)
+        elapsed = time.perf_counter() - t0
     fps = (REPEATS * F) / elapsed
 
     # --- per-phase timings (attributable regressions, VERDICT r1 weak #7):

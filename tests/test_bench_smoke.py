@@ -135,3 +135,37 @@ def test_bench_full_mode_contract():
     assert diag["n_objects"] >= 1
     assert diag["postproc_phases_s"]["mesh"] >= 0.0
     assert "mesh_first" in diag["postproc_phases_s"]
+
+
+@pytest.mark.slow
+def test_bench_trace_artifact(tmp_path):
+    """SAI_BENCH_TRACE wraps the timed loop in a jax.profiler device trace
+    (SURVEY §5.1: tracing is a first-class subsystem here, not prints)."""
+    trace_dir = str(tmp_path / "trace")
+    record, _ = _run_bench(
+        {"SAI_BENCH_TINY": "1", "SAI_BENCH_TRACE": trace_dir,
+         # the trace is about the fused loop; skip the full tail for speed
+         "SAI_BENCH_FULL_SKIP": "1"}
+    )
+    assert record["value"] > 0
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith((".pb", ".json.gz",
+                                                  ".trace.json.gz"))]
+    assert found, f"no trace files under {trace_dir}"
+
+
+@pytest.mark.slow
+def test_bench_full_budget_aborts_at_phase_boundary():
+    """An exhausted full-bench budget must abort BETWEEN phases (reason line
+    naming the boundary) instead of os._exit'ing mid-compile — a killed
+    remote-compile client orphans its job in the serialized helper."""
+    record, stderr = _run_bench(
+        {"SAI_BENCH_TINY": "1",
+         "SAI_BENCH_FULL_DEADLINE_S": "0.05",
+         "SAI_BENCH_FULL_ABORT_GRACE_S": "600"}
+    )
+    assert record["metric"] == "fusion_frames_per_sec_per_chip"
+    reason = _diag_line(stderr, key="full_pipeline")
+    assert reason["full_pipeline"] == "failed"
+    assert "phase boundary" in reason["reason"]
