@@ -312,6 +312,10 @@ def test_live_integrator_override_matches_default(tmp_path, monkeypatch):
         out = m.live_end()
         from spatially_aware_ai_tpu.manager.paths import get_path
 
+        # artifact persistence is async (manager._save_executor): direct
+        # disk readers must wait like production readers do, or under host
+        # contention the npy may not exist yet
+        m._wait_for_save()
         sk = get_path(m.config, out["version"], "scene_knowledge")
         w = np.load(os.path.join(os.path.dirname(sk), "voxel_rgb.npy"))
         return caps, w
@@ -351,6 +355,7 @@ def test_live_shard_voxels_matches_single_device(tmp_path, monkeypatch):
         out = m.live_end()
         from spatially_aware_ai_tpu.manager.paths import get_path
 
+        m._wait_for_save()  # async persistence; see note above
         sk = get_path(m.config, out["version"], "scene_knowledge")
         w = np.load(os.path.join(os.path.dirname(sk), "voxel_rgb.npy"))
         return sharded, w

@@ -4,6 +4,7 @@ must stay consistent under concurrent queries."""
 import json
 import os
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from wsgiref.simple_server import WSGIServer, make_server
@@ -227,6 +228,39 @@ def test_multipart_parser_unit():
     assert _parse_multipart(body, "multipart/form-data") == ({}, {})
     form3, _ = _parse_multipart(body[: len(body) // 2], ctype)
     assert form3.get("a") == "hello world"
+
+
+def test_http_live_push_malformed_bodies_are_400(server_url):
+    """Fuzz the binary live_push surface: garbage bytes, a valid npz with
+    missing keys, and wrong-shape arrays must all be clean 400s (client
+    bugs), never 500s (which a headset client would retry forever)."""
+    import io
+
+    def post_raw(path, body):
+        req = urllib.request.Request(
+            server_url + path, data=body, method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    # the first three fail body validation before touching session state;
+    # the last reaches manager.live_push which rejects it ("no live
+    # session") — every malformed path must end as a 400
+    assert post_raw("/live_push", b"") == 400
+    assert post_raw("/live_push", b"\x89not-an-npz\x00" * 64) == 400
+    buf = io.BytesIO()
+    np.savez(buf, rgb=np.zeros((2, 8, 8, 3), np.uint8))  # missing keys
+    assert post_raw("/live_push", buf.getvalue()) == 400
+    buf = io.BytesIO()
+    np.savez(buf, rgb=np.zeros((2, 8, 8, 3), np.uint8),
+             depth=np.zeros((3, 8, 8), np.uint16),  # frame-count mismatch
+             pose=np.stack([np.eye(4, dtype=np.float32)] * 2),
+             K=np.stack([np.eye(3, dtype=np.float32)] * 2))
+    assert post_raw("/live_push", buf.getvalue()) == 400
 
 
 def test_multipart_filename_before_name():
