@@ -63,6 +63,23 @@ class MLP(nn.Module):
         return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
 
 
+def _attention_mode() -> str:
+    """'folded' routes Attention through the head-folded einsum formulation
+    (see Attention.__call__); 'legacy' is the split/transpose original.
+
+    Why folded exists: a device trace of the headline tiled encode
+    (bench.py SAI_BENCH_TRACE, v5e) attributed 32% of the encode module to
+    attention DATA MOVEMENT — qkv split 19.2 ms, head reshape 18.9 ms,
+    output transpose 8.1 ms per 6 chunks — while the projection matmuls ran
+    at 179 TF/s (91% of bf16 peak). Folding the head dim into the
+    projection einsums removes those copies from the graph instead of
+    trying to out-schedule XLA with a Pallas kernel (which measured neutral
+    because it only covered softmax(QK^T)V, not this plumbing)."""
+    import os
+
+    return os.environ.get("SAI_ATTN", "folded")
+
+
 class Attention(nn.Module):
     width: int
     heads: int
@@ -76,7 +93,36 @@ class Attention(nn.Module):
         # hand-rolled formulation fuses better with the surrounding program.
         B, T, _ = x.shape
         hd = self.width // self.heads
-        qkv = nn.Dense(self.width * 3, dtype=self.dtype, name="in_proj")(x)
+        in_proj = nn.Dense(self.width * 3, dtype=self.dtype, name="in_proj")
+        out_proj = nn.Dense(self.width, dtype=self.dtype, name="out_proj")
+        if not self.is_initializing() and _attention_mode() == "folded":
+            # Head-folded formulation: identical math and the identical
+            # parameter tree (in_proj [D,3D] / out_proj [D,D], open_clip
+            # layout), but q/k/v come out of three einsums whose OUTPUT is
+            # already [B,H,T,hd] and the output projection consumes
+            # [B,H,T,hd] directly — no split, no head reshape/transpose,
+            # no merge transpose. The weight reshapes below are free views.
+            p = self.variables["params"]
+            w = jnp.asarray(p["in_proj"]["kernel"], self.dtype)
+            b = jnp.asarray(p["in_proj"]["bias"], self.dtype)
+            wo = jnp.asarray(p["out_proj"]["kernel"], self.dtype)
+            bo = jnp.asarray(p["out_proj"]["bias"], self.dtype)
+            D = self.width
+            w = w.reshape(D, 3, self.heads, hd)
+            b = b.reshape(3, self.heads, hd)
+            xc = jnp.asarray(x, self.dtype)
+            q = jnp.einsum("btd,dhc->bhtc", xc, w[:, 0]) + b[0][:, None]
+            k = jnp.einsum("btd,dhc->bhtc", xc, w[:, 1]) + b[1][:, None]
+            v = jnp.einsum("btd,dhc->bhtc", xc, w[:, 2]) + b[2][:, None]
+            att = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(hd)
+            if mask is not None:
+                att = att + mask
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
+            att = att.astype(xc.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
+            out = jnp.einsum("bhtc,hcd->btd", out, wo.reshape(self.heads, hd, D))
+            return out + bo
+        qkv = in_proj(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -89,7 +135,7 @@ class Attention(nn.Module):
         att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", att, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.width)
-        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
+        return out_proj(out)
 
 
 class ResidualBlock(nn.Module):

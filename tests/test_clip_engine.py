@@ -88,3 +88,29 @@ def test_from_checkpoint_requires_standard_vocab(tmp_path, monkeypatch):
     assert eng.tokenizer.has_standard_vocab
     ids = eng.tokenizer(["red table"])
     assert ids.shape == (1, 77)
+
+
+def test_folded_attention_matches_legacy(monkeypatch):
+    """SAI_ATTN=folded (head-folded einsum attention, the default) must be
+    numerically equivalent to the split/transpose formulation — same params,
+    same math, only the data movement differs (models/clip/model.py:
+    _attention_mode). Covers both towers incl. the text causal mask."""
+    import jax
+
+    eng = ClipEngine.tiny(seed=3)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 224, 224, 3), np.float32))
+    texts = ["a photo of a chair", "suitcase"]
+
+    monkeypatch.setenv("SAI_ATTN", "legacy")
+    img_l = np.asarray(eng.encode_image(imgs))
+    txt_l = np.asarray(eng.text_inference(texts))
+    jax.clear_caches()  # the env knob is read at trace time
+
+    monkeypatch.setenv("SAI_ATTN", "folded")
+    img_f = np.asarray(eng.encode_image(imgs))
+    txt_f = np.asarray(eng.text_inference(texts))
+    jax.clear_caches()
+
+    np.testing.assert_allclose(img_f, img_l, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(txt_f, txt_l, atol=2e-5, rtol=2e-5)
