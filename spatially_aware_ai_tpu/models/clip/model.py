@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..attention import attention_mode as _attention_mode
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPConfig:
@@ -61,23 +63,6 @@ class MLP(nn.Module):
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(x)
         h = quick_gelu(h) if self.quick else jax.nn.gelu(h, approximate=False)
         return nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
-
-
-def _attention_mode() -> str:
-    """'folded' routes Attention through the head-folded einsum formulation
-    (see Attention.__call__); 'legacy' is the split/transpose original.
-
-    Why folded exists: a device trace of the headline tiled encode
-    (bench.py SAI_BENCH_TRACE, v5e) attributed 32% of the encode module to
-    attention DATA MOVEMENT — qkv split 19.2 ms, head reshape 18.9 ms,
-    output transpose 8.1 ms per 6 chunks — while the projection matmuls ran
-    at 179 TF/s (91% of bf16 peak). Folding the head dim into the
-    projection einsums removes those copies from the graph instead of
-    trying to out-schedule XLA with a Pallas kernel (which measured neutral
-    because it only covered softmax(QK^T)V, not this plumbing)."""
-    import os
-
-    return os.environ.get("SAI_ATTN", "folded")
 
 
 class Attention(nn.Module):

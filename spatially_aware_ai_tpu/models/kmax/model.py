@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..attention import attention_mode
 from .convnext import ConvNeXt, ConvNeXtConfig, CONVNEXT_LARGE, CONVNEXT_TINY_TEST
 
 
@@ -195,8 +196,34 @@ class AxialAttention(nn.Module):
                 f"KMaxConfig.axial_span"
             )
         qkv = ConvBN(3 * self.dim, (1, 1), dtype=self.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = self.dim // self.heads
+        rel = self.param(
+            "rel_bias", nn.initializers.zeros, (self.heads, 2 * self.span - 1)
+        )
+        idx = jnp.arange(L)[:, None] - jnp.arange(L)[None, :] + self.span - 1
+        bias = rel.astype(self.dtype)[:, idx]  # [h, L, L]
+
+        if attention_mode() == "folded":
+            # Transpose-free formulation (see models/attention.py): the only
+            # reshape splits the contiguous minor channel dim into
+            # [3, heads, hd] — a free view — and every einsum is written
+            # over the untransposed [B,H,W,h,hd] layout so XLA folds the
+            # layout choice into dot_general instead of emitting the
+            # explicit relayout copies the legacy path forces.
+            q5 = qkv.reshape(B, H, W, 3, self.heads, hd)
+            q, k, v = q5[..., 0, :, :], q5[..., 1, :, :], q5[..., 2, :, :]
+            if self.axis == 1:  # attend over H within each column
+                logits = jnp.einsum("bqwnc,bkwnc->bwnqk", q, k) / np.sqrt(hd)
+                attn = jax.nn.softmax(logits + bias[None, None], axis=-1)
+                out = jnp.einsum("bwnqk,bkwnc->bqwnc", attn, v)
+            else:  # attend over W within each row
+                logits = jnp.einsum("bhqnc,bhknc->bhnqk", q, k) / np.sqrt(hd)
+                attn = jax.nn.softmax(logits + bias[None, None], axis=-1)
+                out = jnp.einsum("bhnqk,bhknc->bhqnc", attn, v)
+            out = out.reshape(B, H, W, self.dim)
+            return FrozenBatchNorm(dtype=self.dtype, name="out_bn")(out)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_split(t):  # [B,H,W,dim] -> [B,h,H,W,hd]
             return t.reshape(B, H, W, self.heads, hd).transpose(0, 3, 1, 2, 4)
@@ -206,11 +233,7 @@ class AxialAttention(nn.Module):
             q, k, v = (t.transpose(0, 1, 3, 2, 4) for t in (q, k, v))
         # now shape [B, h, other, L, hd]
         logits = jnp.einsum("bhoqd,bhokd->bhoqk", q, k) / np.sqrt(hd)
-        rel = self.param(
-            "rel_bias", nn.initializers.zeros, (self.heads, 2 * self.span - 1)
-        )
-        idx = jnp.arange(L)[:, None] - jnp.arange(L)[None, :] + self.span - 1
-        logits = logits + rel.astype(self.dtype)[:, idx][None, :, None]
+        logits = logits + bias[None, :, None]
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhoqk,bhokd->bhoqd", attn, v)
         if self.axis == 1:
@@ -422,18 +445,28 @@ class KMaxTransformerLayer(nn.Module):
 
         # ---- query self-attention (conv1d qkv + BN) ----
         qkv = ConvBN(3 * D, (1,), dtype=self.dtype, name="qkv")(query)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = D // c.num_heads
 
-        def split(t):
-            return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
+        if attention_mode() == "folded":
+            # Transpose-free (models/attention.py): free-view reshape of the
+            # minor dim into [3, heads, hd]; einsums written over [B,N,h,hd].
+            q5 = qkv.reshape(B, N, 3, c.num_heads, hd)
+            q, k, v = q5[..., 0, :, :], q5[..., 1, :, :], q5[..., 2, :, :]
+            att = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(hd)
+            att = jax.nn.softmax(att, axis=-1)
+            sa = jnp.einsum("bhnm,bmhd->bnhd", att, v).reshape(B, N, D)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        att = jnp.einsum(
-            "bhnd,bhmd->bhnm", split(q), split(k)
-        ) / np.sqrt(hd)
-        att = jax.nn.softmax(att, axis=-1)
-        sa = jnp.einsum("bhnm,bhmd->bhnd", att, split(v))
-        sa = sa.transpose(0, 2, 1, 3).reshape(B, N, D)
+            def split(t):
+                return t.reshape(B, N, c.num_heads, hd).transpose(0, 2, 1, 3)
+
+            att = jnp.einsum(
+                "bhnd,bhmd->bhnm", split(q), split(k)
+            ) / np.sqrt(hd)
+            att = jax.nn.softmax(att, axis=-1)
+            sa = jnp.einsum("bhnm,bhmd->bhnd", att, split(v))
+            sa = sa.transpose(0, 2, 1, 3).reshape(B, N, D)
         sa = ConvBN(D, (1,), dtype=self.dtype, name="attn_out")(sa)
         query = query + sa
 

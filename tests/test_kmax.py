@@ -254,3 +254,24 @@ def test_segmenter_run_on_batch_panoptic_shapes():
     cat, inst = seg.run_on_batch_panoptic(rgbs)
     assert cat.shape == (2, 96, 128) and inst.shape == (2, 96, 128)
     assert inst.dtype == np.int32 and inst.min() >= 0
+
+
+def test_folded_attention_matches_legacy(monkeypatch):
+    """SAI_ATTN=folded (transpose-free axial + query self-attention, the
+    default) must match the legacy split/transpose formulation bit-for-bit
+    in architecture: same params, same math, only the compiled data
+    movement differs (models/attention.py)."""
+    x = jnp.asarray(RNG.normal(size=(1, 64, 64, 3)).astype(np.float32))
+
+    monkeypatch.setenv("SAI_ATTN", "legacy")
+    model = KMaxDeepLab(KMAX_TINY_TEST)
+    params = model.init(jax.random.PRNGKey(7), x)
+    cls_l, masks_l = (np.asarray(t) for t in model.apply(params, x))
+    jax.clear_caches()  # the env knob is read at trace time
+
+    monkeypatch.setenv("SAI_ATTN", "folded")
+    cls_f, masks_f = (np.asarray(t) for t in model.apply(params, x))
+    jax.clear_caches()
+
+    np.testing.assert_allclose(cls_f, cls_l, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(masks_f, masks_l, atol=2e-5, rtol=2e-5)
