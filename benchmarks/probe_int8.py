@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -30,7 +31,7 @@ import numpy as np
 # persistent compile cache (same as bench.py)
 from spatially_aware_ai_tpu.utils import cache as _cache  # noqa: F401
 
-REPS = int(os.environ.get("SAI_PROBE_REPS", "10") or 10)
+REPS = max(1, int(os.environ.get("SAI_PROBE_REPS", "10") or 10))
 
 # (name, N, D, F): the three dense-weight matmul shapes of one ViT-B/32
 # residual block at the tiled-encode operating point.
@@ -73,9 +74,11 @@ def loop_int8(xq, wqs):
         y = jax.lax.dot_general(
             xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        return acc + y.sum(dtype=jnp.int32), None
+        # float32 accumulation: the int32 sum over ~10M large products would
+        # wrap, making the sync readback scalar meaningless
+        return acc + y.astype(jnp.float32).sum(), None
 
-    return jax.lax.scan(body, jnp.int32(0), wqs)[0]
+    return jax.lax.scan(body, jnp.float32(0), wqs)[0]
 
 
 @jax.jit
@@ -112,7 +115,9 @@ def main():
     key = jax.random.PRNGKey(0)
     print(json.dumps({"device": str(jax.devices()[0]), "reps": REPS, "k": K}))
     for name, n, d, f in SHAPES:
-        kx, kw = jax.random.split(jax.random.fold_in(key, hash(name) % 2**31))
+        kx, kw = jax.random.split(
+            jax.random.fold_in(key, zlib.crc32(name.encode()) % 2**31)
+        )
         x32 = jax.random.normal(kx, (n, d), jnp.float32)
         w32 = jax.random.normal(kw, (K, d, f), jnp.float32) * 0.02
         x16 = x32.astype(jnp.bfloat16)

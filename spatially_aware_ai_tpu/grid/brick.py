@@ -60,7 +60,7 @@ from .fusion import (
     label_vote_weights,
     sample_image_at_uv,
 )
-from .voxel_grid import FrameBatch, FusionGrid
+from .voxel_grid import FrameBatch, FusionGrid, accumulate_label_hist
 
 
 def frame_frustum_planes(K, pose, imwidth, imheight, far):
@@ -310,8 +310,14 @@ def integrate_frames_brick_impl(
                     jnp.take(votes_pad, active_local, axis=1)
                     if weighted_votes else uvw_a[:, :, 2] > 0,
                 )
-                out["label_hist"] = g.label_hist.at[active_global].add(
-                    hist_contrib, mode="drop"
+                # gather/saturate/set keeps the narrow-dtype histogram's
+                # saturating-update contract (indices unique; fills drop)
+                old_rows = g.label_hist.at[active_global].get(
+                    mode="fill", fill_value=0
+                )
+                out["label_hist"] = g.label_hist.at[active_global].set(
+                    accumulate_label_hist(old_rows, hist_contrib),
+                    mode="drop",
                 )
             return g.replace(**out)
 
@@ -338,8 +344,12 @@ def integrate_frames_brick_impl(
                     labs,
                     votes if weighted_votes else valids,
                 )
-                out["label_hist"] = g.label_hist.at[idx].add(
-                    hist_contrib, mode="drop"
+                old_rows = g.label_hist.at[idx].get(
+                    mode="fill", fill_value=0
+                )
+                out["label_hist"] = g.label_hist.at[idx].set(
+                    accumulate_label_hist(old_rows, hist_contrib),
+                    mode="drop",
                 )
             return g.replace(**out)
 

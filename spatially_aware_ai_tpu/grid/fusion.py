@@ -29,7 +29,7 @@ import numpy as np
 
 from ..core.geometry import project_points, world_to_cam, in_frustum_mask
 from ..core.sampling import sample_image_at_uv
-from .voxel_grid import FrameBatch, FusionGrid
+from .voxel_grid import FrameBatch, FusionGrid, accumulate_label_hist
 
 
 def voxel_world_coords(nvox, origin, voxel_size):
@@ -216,7 +216,9 @@ def integrate_one_frame(
             vote = label_vote_weights(tsdf, feat_valid)
         else:
             vote = feat_valid.astype(jnp.int32)
-        new["label_hist"] = grid.label_hist + onehot * vote[:, None]
+        new["label_hist"] = accumulate_label_hist(
+            grid.label_hist, onehot * vote[:, None]
+        )
     return grid.replace(**new)
 
 
@@ -367,7 +369,7 @@ def blocked_label_splat(label_hist, labs, valids, block_voxels: int = 131072):
             valids_p.reshape(F, nb, bs).transpose(1, 0, 2),
         ),
     )
-    return label_hist + contrib.reshape(nb * bs, L)[:N]
+    return accumulate_label_hist(label_hist, contrib.reshape(nb * bs, L)[:N])
 
 
 def integrate_frames_hybrid_impl(
@@ -648,8 +650,14 @@ def integrate_frames_sparse_impl(
                 jnp.take(jnp.pad(votes, ((0, 0), (0, 1))), active, axis=1)
                 if weighted_votes else uvw_a[:, :, 2] > 0,
             )
-            new["label_hist"] = g.label_hist.at[active].add(
-                hist_contrib, mode="drop"
+            # gather/saturate/set instead of scatter-add: keeps the
+            # narrow-dtype histogram's saturating-update contract (active
+            # indices are unique; fill slots at N_buf drop)
+            old_rows = g.label_hist.at[active].get(
+                mode="fill", fill_value=0
+            )
+            new["label_hist"] = g.label_hist.at[active].set(
+                accumulate_label_hist(old_rows, hist_contrib), mode="drop"
             )
         return g.replace(**new)
 

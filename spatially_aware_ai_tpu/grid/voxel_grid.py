@@ -33,6 +33,32 @@ import numpy as np
 NUM_LABEL_CLASSES = 143
 NULL_CLASS_ID = 133
 
+# Label-histogram accumulator dtype. The reference uses int32 one-hot sums
+# (clip_seem_fusion.py:653-659), which makes label_hist the single largest
+# grid buffer (~860 MB at a 0.02 m iPhone grid). uint16 halves that for
+# free: the vote ceiling per cell is frames x LABEL_VOTE_QUANT = 500 x 16 =
+# 8,000 for the north-star scan, far under 65,535. Updates SATURATE at
+# LABEL_HIST_MAX (never wrap), so pathological >4K-frame scans degrade to a
+# tied-argmax at the ceiling instead of corrupting counts.
+DEFAULT_LABEL_DTYPE = jnp.uint16
+LABEL_HIST_MAX = 65535
+
+
+def accumulate_label_hist(hist: jnp.ndarray, contrib: jnp.ndarray):
+    """hist + contrib with overflow protection.
+
+    `contrib` is a non-negative int32 vote count (one chunk's worth: at most
+    chunk_frames x LABEL_VOTE_QUANT per cell). For int32 histograms this is
+    a plain add (exact reference semantics); for narrower dtypes the add is
+    computed in int32 and clamped to LABEL_HIST_MAX so a saturated cell
+    stays saturated rather than wrapping. XLA fuses the widen/clamp/narrow
+    into the update — the HBM-resident buffer stays at the narrow dtype.
+    """
+    if hist.dtype == jnp.int32:
+        return hist + contrib
+    s = hist.astype(jnp.int32) + contrib
+    return jnp.minimum(s, LABEL_HIST_MAX).astype(hist.dtype)
+
 
 @flax.struct.dataclass
 class FusionGrid:
@@ -48,7 +74,7 @@ class FusionGrid:
     rgb_sum: jnp.ndarray  # [N, 3] f32
     feat_sum: jnp.ndarray  # [N, C] f32
     w: jnp.ndarray  # [N] i32
-    label_hist: Optional[jnp.ndarray]  # [N, L] i32 or None
+    label_hist: Optional[jnp.ndarray]  # [N, L] u16 (saturating) or i32, or None
     origin: jnp.ndarray  # [3] f32 world position of voxel (0,0,0)
     # grid dims are a LEAF (traced array), not static metadata: scenes with
     # different bounds but the same bucketed buffer size then share one
@@ -81,6 +107,7 @@ def create_grid(
     with_labels: bool = False,
     num_classes: int = NUM_LABEL_CLASSES,
     feat_dtype=jnp.float32,
+    label_dtype=DEFAULT_LABEL_DTYPE,
     pad_to: int = 1,
     min_padding: int = 0,
 ) -> FusionGrid:
@@ -98,7 +125,7 @@ def create_grid(
         rgb_sum=jnp.zeros((n, 3), jnp.float32),
         feat_sum=jnp.zeros((n, feature_dim), feat_dtype),
         w=jnp.zeros((n,), jnp.int32),
-        label_hist=jnp.zeros((n, num_classes), jnp.int32) if with_labels else None,
+        label_hist=jnp.zeros((n, num_classes), label_dtype) if with_labels else None,
         origin=jnp.asarray(origin, jnp.float32),
         nvox=jnp.asarray(nvox, jnp.int32),
         voxel_size=float(voxel_size),

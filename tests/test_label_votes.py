@@ -134,6 +134,68 @@ def test_weighting_touches_only_labels():
     assert (hw > hu).any()  # some observation was actually near the surface
 
 
+def test_label_hist_default_uint16_matches_int32():
+    """The uint16 histogram (half the HBM of the reference's i32 layout,
+    grid/voxel_grid.py:DEFAULT_LABEL_DTYPE) is value-identical to int32
+    below the saturation ceiling, across all integrators."""
+    scene = make_scene(num_frames=6)
+    batch = build_batch(scene, with_labels=True)
+
+    g16 = create_grid(**grid_args(scene))
+    assert g16.label_hist.dtype == jnp.uint16  # the default
+
+    ref = integrate_frames(
+        create_grid(**dict(grid_args(scene), label_dtype=jnp.int32)), batch,
+        label_vote_mode="near_surface",
+    )
+    out = integrate_frames(g16, batch, label_vote_mode="near_surface")
+    assert out.label_hist.dtype == jnp.uint16
+    np.testing.assert_array_equal(
+        np.asarray(out.label_hist).astype(np.int32),
+        np.asarray(ref.label_hist),
+    )
+
+    n = ref.tsdf_sum.shape[0]
+    g_args = dict(grid_args(scene), pad_to=8, min_padding=1)
+    out_sparse = integrate_frames_sparse(
+        create_grid(**g_args), batch, capacity=n,
+        label_vote_mode="near_surface",
+    )
+    assert out_sparse.label_hist.dtype == jnp.uint16
+    np.testing.assert_array_equal(
+        np.asarray(out_sparse.label_hist)[:n].astype(np.int32),
+        np.asarray(ref.label_hist),
+    )
+
+
+def test_label_hist_saturates_instead_of_wrapping():
+    """Overflow guard: a uint16 cell pinned at LABEL_HIST_MAX stays there
+    (saturating add), it does not wrap to a small count that would corrupt
+    the argmax (grid/voxel_grid.py:accumulate_label_hist)."""
+    from spatially_aware_ai_tpu.grid.voxel_grid import (
+        LABEL_HIST_MAX,
+        accumulate_label_hist,
+    )
+
+    hist = jnp.asarray(
+        [[LABEL_HIST_MAX, 0], [LABEL_HIST_MAX - 3, 5], [0, 0]], jnp.uint16
+    )
+    contrib = jnp.asarray([[7, 1], [10, 0], [2, 2]], jnp.int32)
+    out = np.asarray(accumulate_label_hist(hist, contrib))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(
+        out, [[LABEL_HIST_MAX, 1], [LABEL_HIST_MAX, 5], [2, 2]]
+    )
+
+    # int32 histograms keep exact reference add semantics
+    h32 = accumulate_label_hist(hist.astype(jnp.int32), contrib)
+    assert h32.dtype == jnp.int32
+    np.testing.assert_array_equal(
+        np.asarray(h32),
+        np.asarray(hist, np.int64) + np.asarray(contrib, np.int64),
+    )
+
+
 def test_noisy_segmenter_corruption_modes():
     """NoisySegmenter (vote-weighting ablation harness): shift moves the
     label map, flip reassigns ~p of non-null pixels, null stays null."""
