@@ -316,13 +316,22 @@ def main():
         if trace_dir
         else contextlib.nullcontext()
     )
+    # best-of-2 timed passes (VERDICT r3 weak #4 / next #8): one sick-tunnel
+    # pass can otherwise print a regression as the round's record. The max
+    # is the headline (both passes run identical device work; the delta is
+    # tunnel/host noise) and the spread is published so the artifact itself
+    # says how healthy the run was.
+    passes = []
     with trace_ctx:
-        t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            grid = run_chunk(grid)
-        sync(grid)
-        elapsed = time.perf_counter() - t0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(REPEATS):
+                grid = run_chunk(grid)
+            sync(grid)
+            passes.append(time.perf_counter() - t0)
+    elapsed = min(passes)
     fps = (REPEATS * F) / elapsed
+    spread_pct = (max(passes) - min(passes)) / max(passes) * 100.0
 
     # --- per-phase timings (attributable regressions, VERDICT r1 weak #7):
     # encode-only, then integrate-only on a fixed feature image ---
@@ -371,6 +380,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps_per_chip, 3),
+        "best_of": 2,
+        "pass_spread_pct": round(spread_pct, 1),
     }
     print(json.dumps(result))
     # extra diagnostics on stderr (driver reads stdout's single line)
@@ -685,6 +696,42 @@ def main_full(out=None):
     finalize_s = float(result.timings.get("finalize_s", 0.0)) + feat_drain_s
     per_frame_wall = max(fuse_wall - (finalize_s - feat_drain_s), 1e-6)
     est_scan_s = (500.0 * per_frame_wall / T) / 8 + finalize_s + postproc_s
+
+    # --- conservative 8-chip estimate (VERDICT r3 next #3): the optimistic
+    # line divides the WHOLE per-frame wall by 8, but on a real single-host
+    # v5e-8 the host-side numpy (bounds pass) and the host->device upload
+    # link are SHARED across the 8 chips, not 8x'd. Split the fuse wall
+    # into (host bounds + link upload + everything else) and scale only the
+    # last term. The link term is estimated from the bytes this scan
+    # actually uploads and a fresh 16 MB incompressible probe; on this
+    # sandbox's ~12-25 MB/s tunnel it dominates and the conservative line
+    # is pessimistic vs real PCIe (>1 GB/s), which is the honest direction
+    # for a conservative bound. ---
+    bounds_s = float(result.timings.get("bounds_s", 0.0))
+    probe = np.random.default_rng(0).integers(
+        0, 256, 16 * 1024 * 1024, dtype=np.uint8
+    )
+    t0 = time.perf_counter()
+    probe_d = jnp.asarray(probe)
+    float(probe_d[0])
+    up_mb_s = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    rgb_bytes = ds.rgb_u8.nbytes
+    if cfg.rgb_transfer == "yuv420":
+        rgb_bytes = rgb_bytes // 2
+    if ds.depth_native_u16 is not None:
+        depth_bytes = ds.depth_native_u16.nbytes
+    else:
+        depth_bytes = ds.depth.size * 2  # u16 mm quantized transfer
+    link_s = (rgb_bytes + depth_bytes) / 1e6 / up_mb_s
+    shared_s = min(bounds_s + link_s, per_frame_wall)
+    est_scan_s_cons = (
+        (500.0 / T) * ((per_frame_wall - shared_s) / 8 + shared_s)
+        + finalize_s + postproc_s
+    )
+    # single-chip measured wall for THIS scan (VERDICT r3 next #2): at
+    # SAI_BENCH_FULL_FRAMES=500 this is the real 500-frame measurement the
+    # est formula extrapolates to — no division by 8, no 500/T scaling.
+    measured_scan_s_1chip = fuse_wall + feat_drain_s + postproc_s
     result_line = {
         "metric": "scan_to_queryable_s_500frame_8chip_est_full",
         "value": round(est_scan_s, 2),
@@ -696,6 +743,10 @@ def main_full(out=None):
         # healthy tells means host contention, not a regression
         "kmax_device_fps_per_chip": round(kmax_fps, 2),
         "bounds_s": round(float(result.timings.get("bounds_s", 0.0)), 2),
+        # host/link terms NOT divided by 8 (shared on a single-host v5e-8)
+        "value_conservative": round(est_scan_s_cons, 2),
+        "measured_scan_s_1chip": round(measured_scan_s_1chip, 2),
+        "measured_frames": T,
     }
     print(json.dumps(result_line), file=out, flush=True)
     print(
@@ -718,6 +769,10 @@ def main_full(out=None):
                 },
                 "timings": {k: round(v, 2) for k, v in
                             result.timings.items()},
+                "upload_mb": round((rgb_bytes + depth_bytes) / 1e6, 1),
+                "link_upload_mb_s": round(up_mb_s, 1),
+                "link_s_est": round(link_s, 2),
+                "est_conservative_s": round(est_scan_s_cons, 2),
                 "n_objects": len(knowledge["unique_objects"]),
                 "n_obj_meshes": n_obj_meshes,
                 "synthetic_labels_for_postproc": synthetic_labels,
