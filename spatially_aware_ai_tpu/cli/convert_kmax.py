@@ -68,10 +68,19 @@ def main(argv=None):
     else:
         variables = convert_kmax_checkpoint(sd, cfg)
 
+    import dataclasses
+
     from ..utils.atomic import atomic_pickle_dump
 
-    atomic_pickle_dump(args.out, variables)
-    print(f"wrote {args.out}")
+    # self-describing checkpoint: KmaxSegmenter.from_checkpoint / the
+    # SAI_KMAX_CHECKPOINT serve path rebuild this exact config
+    payload = {
+        "format": "sai_kmax_variables",
+        "config": dataclasses.asdict(cfg),
+        "variables": variables,
+    }
+    atomic_pickle_dump(args.out, payload)
+    print(f"wrote {args.out} (config={args.config})")
 
 
 if __name__ == "__main__":

@@ -94,6 +94,54 @@ def convert_open_clip_state_dict(sd, vision_layers=12, text_layers=12):
     }
 
 
+def count_layers(sd, prefix: str) -> int:
+    """Number of transformer blocks in a state dict: max integer following
+    `prefix` (e.g. "visual.transformer.resblocks.") + 1; 0 when none."""
+    n = 0
+    for k in sd:
+        if k.startswith(prefix):
+            idx = k[len(prefix):].split(".", 1)[0]
+            if idx.isdigit():
+                n = max(n, int(idx) + 1)
+    return n
+
+
+def infer_clip_config(params, quick_gelu: bool = True,
+                      vision_heads: int = 0, text_heads: int = 0):
+    """Reconstruct a CLIPConfig from a converted params pytree's shapes.
+
+    Everything except the head counts and the activation is determined by
+    the weights: conv1 [P, P, 3, W] gives patch size + vision width, the
+    positional embeddings give image size / context length, proj /
+    text_projection give the embed dim. Heads default to width // 64 (the
+    CLIP family convention, e.g. ViT-B/32: 768/64=12 vision, 512/64=8 text);
+    pass them explicitly for non-standard models. quick_gelu defaults True —
+    the reference deployment is ViT-B-32-quickgelu (clipfusion.py:1188)."""
+    from .model import CLIPConfig
+
+    p = params["params"] if "params" in params else params
+    v, t = p["visual"], p["text"]
+    patch = int(v["conv1"]["kernel"].shape[0])
+    vision_width = int(v["conv1"]["kernel"].shape[3])
+    n_pos = int(v["positional_embedding"].shape[0])  # 1 + (img/patch)^2
+    image_size = int(round((n_pos - 1) ** 0.5)) * patch
+    text_width = int(t["token_embedding"].shape[1])
+    return CLIPConfig(
+        embed_dim=int(v["proj"].shape[1]),
+        image_size=image_size,
+        patch_size=patch,
+        vision_width=vision_width,
+        vision_layers=len(v["transformer"]),
+        vision_heads=vision_heads or max(1, vision_width // 64),
+        vocab_size=int(t["token_embedding"].shape[0]),
+        context_length=int(t["positional_embedding"].shape[0]),
+        text_width=text_width,
+        text_heads=text_heads or max(1, text_width // 64),
+        text_layers=len(t["transformer"]),
+        quick_gelu=quick_gelu,
+    )
+
+
 def _block_from_hf(sd, prefix):
     q = _np(sd[f"{prefix}.self_attn.q_proj.weight"])
     k = _np(sd[f"{prefix}.self_attn.k_proj.weight"])

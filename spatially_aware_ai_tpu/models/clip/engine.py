@@ -127,9 +127,17 @@ class ClipEngine:
         import os
         import pickle
 
-        cfg = cfg or VIT_B_32_QUICKGELU
         with open(path, "rb") as f:
             params = pickle.load(f)
+        if (
+            isinstance(params, dict)
+            and params.get("format") == "sai_clip_params"
+        ):
+            # self-describing pickle (cli/convert_clip embeds the shape-
+            # inferred config); an explicit cfg arg still wins
+            cfg = cfg or CLIPConfig(**params["config"])
+            params = params["params"]
+        cfg = cfg or VIT_B_32_QUICKGELU
         engine = cls(cfg, params, bpe_path, compute_dtype=compute_dtype)
         if not engine.tokenizer.has_standard_vocab:
             msg = (
@@ -167,6 +175,7 @@ class ClipEngine:
             patch_size=patch_size,
             patch_stride=patch_stride,
             encode_fn=self._encode_image,
+            vit_size=self.cfg.image_size,
         )
 
     def img_inference_tiled_depthscaled(self, img, depth, K,
@@ -183,6 +192,7 @@ class ClipEngine:
             patch_stride=patch_stride,
             encode_fn=self._encode_image,
             footprint_m=footprint_m,
+            vit_size=self.cfg.image_size,
         )
 
     def img_inference_tiled_batch(self, imgs, patch_size: int,
@@ -201,6 +211,7 @@ class ClipEngine:
             conv_kernel_fn=self._conv_kernel if fused else None,
             encode_tokens_fn=self._encode_tokens if fused else None,
             conv_patch=self.cfg.patch_size if fused else None,
+            vit_size=self.cfg.image_size,
         )
 
     # -- text side -----------------------------------------------------------

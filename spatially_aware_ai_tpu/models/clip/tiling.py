@@ -104,12 +104,13 @@ def get_patches_cf(img, patch_size: int, patch_stride: int):
     jax.jit,
     static_argnames=(
         "patch_size", "patch_stride", "encode_fn", "prep_dtype",
-        "conv_kernel_fn", "encode_tokens_fn", "conv_patch",
+        "conv_kernel_fn", "encode_tokens_fn", "conv_patch", "vit_size",
     ),
 )
 def tiled_image_features_batch(
     params, imgs, *, patch_size, patch_stride, encode_fn, prep_dtype=None,
     conv_kernel_fn=None, encode_tokens_fn=None, conv_patch=None,
+    vit_size=224,
 ):
     """Whole-chunk tiled CLIP features: [F, H, W, 3] -> [F, ny, nx, C].
 
@@ -153,15 +154,16 @@ def tiled_image_features_batch(
     # unfold-then-resize-each-patch — and skips materializing the
     # [F*ny*nx, ps, ps, 3] patch tensor. Upscaling configs (160/80, 64/32)
     # keep the exact per-patch path: their crop-edge clamping is visible.
+    vs = vit_size
     if (
-        patch_size >= 224
-        and (H * 224) % patch_size == 0
-        and (W * 224) % patch_size == 0
-        and (patch_stride * 224) % patch_size == 0
+        patch_size >= vs
+        and (H * vs) % patch_size == 0
+        and (W * vs) % patch_size == 0
+        and (patch_stride * vs) % patch_size == 0
     ):
-        H2 = H * 224 // patch_size
-        W2 = W * 224 // patch_size
-        stride2 = patch_stride * 224 // patch_size
+        H2 = H * vs // patch_size
+        W2 = W * vs // patch_size
+        stride2 = patch_stride * vs // patch_size
         small = jax.image.resize(
             imgs, (F, H2, W2, 3), method="bilinear", antialias=False
         )
@@ -169,13 +171,13 @@ def tiled_image_features_batch(
             conv_kernel_fn is not None
             and encode_tokens_fn is not None
             and conv_patch is not None
-            and 224 % conv_patch == 0
-            and 224 % stride2 == 0
+            and vs % conv_patch == 0
+            and vs % stride2 == 0
         ):
-            gh = 224 // conv_patch  # tokens per patch side
+            gh = vs // conv_patch  # tokens per patch side
             cp = conv_patch
             cf = jnp.moveaxis(small, -1, 1)  # [F, 3, H2, W2], W minor
-            p = get_patches_cf(cf, 224, stride2)  # [ny, nx, F, 3, 224, 224]
+            p = get_patches_cf(cf, vs, stride2)  # [ny, nx, F, 3, vs, vs]
             p = p.reshape(ny, nx, F, 3, gh, cp, gh, cp)
             p = p.transpose(2, 0, 1, 4, 6, 3, 5, 7)  # [F,ny,nx,a,b,3,cp,cp]
             flat = p.reshape(F * ny * nx * gh * gh, 3 * cp * cp)
@@ -188,15 +190,15 @@ def tiled_image_features_batch(
             )
             feats = encode_tokens_fn(params, tokens)
             return feats.reshape(F, ny, nx, -1)
-        patches = jax.vmap(lambda im: get_patches(im, 224, stride2))(small)
-        flat = patches.reshape(F * ny * nx, 224, 224, 3)
+        patches = jax.vmap(lambda im: get_patches(im, vs, stride2))(small)
+        flat = patches.reshape(F * ny * nx, vs, vs, 3)
     else:
         patches = jax.vmap(
             lambda im: get_patches(im, patch_size, patch_stride)
         )(imgs)  # [F, ny, nx, ps, ps, 3]
         flat = patches.reshape(F * ny * nx, patch_size, patch_size, 3)
         flat = jax.image.resize(
-            flat, (F * ny * nx, 224, 224, 3), method="bilinear",
+            flat, (F * ny * nx, vs, vs, 3), method="bilinear",
             antialias=False,
         )
     feats = encode_fn(params, flat)
@@ -205,10 +207,11 @@ def tiled_image_features_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("patch_stride", "encode_fn", "footprint_m"),
+    static_argnames=("patch_stride", "encode_fn", "footprint_m", "vit_size"),
 )
 def tiled_image_features_depthscaled(
-    params, img, depth, K, *, patch_stride, encode_fn, footprint_m=0.5
+    params, img, depth, K, *, patch_stride, encode_fn, footprint_m=0.5,
+    vit_size=224,
 ):
     """Depth-scaled tiled CLIP features (reference clipfusion.py:841-890,
     `img_inference_tiled_depthscaled`): each stride-grid center gets a crop
@@ -247,16 +250,17 @@ def tiled_image_features_depthscaled(
         [fx * footprint_m / safe_d / 2.0, fy * footprint_m / safe_d / 2.0], -1
     )  # [n, 2] pixels
 
-    # per-crop 224x224 sampling grids (align_corners=False convention)
-    t = (jnp.arange(224, dtype=jnp.float32) + 0.5) / 224.0  # (0, 1)
+    # per-crop [vit, vit] sampling grids (align_corners=False convention)
+    vsz = vit_size
+    t = (jnp.arange(vsz, dtype=jnp.float32) + 0.5) / vsz  # (0, 1)
     lo = centers - half  # [n, 2]
     size = 2.0 * half
-    us = lo[:, None, 0:1] + t[None, :, None] * size[:, None, 0:1]  # [n,224,1]
+    us = lo[:, None, 0:1] + t[None, :, None] * size[:, None, 0:1]  # [n,vsz,1]
     vs = lo[:, None, 1:2] + t[None, :, None] * size[:, None, 1:2]
     uv = jnp.concatenate(
         [
-            jnp.broadcast_to(us[:, None, :, :], (n, 224, 224, 1)),
-            jnp.broadcast_to(vs[:, :, None, :], (n, 224, 224, 1)),
+            jnp.broadcast_to(us[:, None, :, :], (n, vsz, vsz, 1)),
+            jnp.broadcast_to(vs[:, :, None, :], (n, vsz, vsz, 1)),
         ],
         axis=-1,
     ) - 0.5
@@ -265,7 +269,7 @@ def tiled_image_features_depthscaled(
     from ...core.sampling import sample_image_at_uv
 
     crops = sample_image_at_uv(normed, uv.reshape(-1, 2)).reshape(
-        n, 224, 224, 3
+        n, vsz, vsz, 3
     )
     feats = encode_fn(params, crops)  # [n, C]
 
@@ -294,16 +298,19 @@ def tiled_image_features_depthscaled(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("patch_size", "patch_stride", "encode_fn")
+    jax.jit,
+    static_argnames=("patch_size", "patch_stride", "encode_fn", "vit_size"),
 )
-def tiled_image_features(params, img, *, patch_size, patch_stride, encode_fn):
+def tiled_image_features(params, img, *, patch_size, patch_stride, encode_fn,
+                         vit_size=224):
     """Compute the CLIP patch-feature image for one frame.
 
     Args:
       params: CLIP params pytree.
       img: [H, W, 3] float in [0, 1].
-      encode_fn: (params, images[B, 224, 224, 3]) -> [B, C]; static so the
+      encode_fn: (params, images[B, vit, vit, 3]) -> [B, C]; static so the
         underlying tower is traced once per shape.
+      vit_size: the tower's input resolution (224 for ViT-B/32).
     Returns:
       [ny, nx, C] feature image.
     """
@@ -312,7 +319,8 @@ def tiled_image_features(params, img, *, patch_size, patch_stride, encode_fn):
     ny, nx = patches.shape[0], patches.shape[1]
     flat = patches.reshape(ny * nx, patch_size, patch_size, 3)
     resized = jax.image.resize(
-        flat, (ny * nx, 224, 224, 3), method="bilinear", antialias=False
+        flat, (ny * nx, vit_size, vit_size, 3), method="bilinear",
+        antialias=False,
     )
     feats = encode_fn(params, resized)
     return feats.reshape(ny, nx, -1)

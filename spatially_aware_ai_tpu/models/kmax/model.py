@@ -956,6 +956,19 @@ class KmaxSegmenter:
 
         with open(path, "rb") as f:
             params = pickle.load(f)
+        if (
+            isinstance(params, dict)
+            and params.get("format") == "sai_kmax_variables"
+        ):
+            # self-describing pickle (cli/convert_kmax embeds the config);
+            # an explicit cfg arg still wins
+            if cfg is None:
+                from .convnext import ConvNeXtConfig
+
+                d = dict(params["config"])
+                bb = d.pop("backbone")
+                cfg = KMaxConfig(backbone=ConvNeXtConfig(**bb), **d)
+            params = params["variables"]
         return cls(cfg or KMAX_CONVNEXT_LARGE, params=params,
                    compute_dtype=compute_dtype)
 
