@@ -243,6 +243,9 @@ def main(argv=None):
     parser.add_argument("--seg-shift-px", type=int, default=0)
     parser.add_argument("--seg-flip-prob", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-noise-gate", action="store_true",
+                        help="skip the default boundary-shift companion "
+                             "run (report only the requested noise point)")
     args = parser.parse_args(argv)
     stats = eval_synthetic_labels(
         args.frames, args.width, args.height, args.voxel_size,
@@ -250,6 +253,27 @@ def main(argv=None):
         label_vote_mode=args.label_votes, integrator=args.integrator,
         seg_shift_px=args.seg_shift_px, seg_flip_prob=args.seg_flip_prob,
     )
+    # Default report carries the boundary-shift companion (VERDICT r3 next
+    # #10): shifted masks are the realistic kMaX error mode (the label-vote
+    # ablation showed speckle noise and boundary noise respond OPPOSITELY
+    # to vote weighting), so quality gates should watch a number that moves
+    # when fusion-semantics changes interact with misaligned labels — a
+    # clean-segmenter mIoU alone stays flat through such regressions.
+    if not args.no_noise_gate and not (args.seg_shift_px
+                                       or args.seg_flip_prob):
+        noisy = eval_synthetic_labels(
+            args.frames, args.width, args.height, args.voxel_size,
+            seed=args.seed,
+            label_vote_mode=args.label_votes, integrator=args.integrator,
+            seg_shift_px=2, seg_flip_prob=0.0,
+        )
+        stats["boundary_shift2"] = {
+            "miou": noisy["miou"],
+            "accuracy": noisy["accuracy"],
+            "objects_detected": noisy["objects"]["objects_detected"],
+            "objects_total": noisy["objects"]["objects_total"],
+            "spurious_objects": noisy["objects"]["spurious_objects"],
+        }
     print(json.dumps(stats))
     return stats
 

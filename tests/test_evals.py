@@ -150,3 +150,20 @@ def test_synthetic_object_discovery_quality():
     assert obj["objects_detected"] == obj["objects_total"] == 4, obj
     assert obj["mean_matched_iou"] > 0.5, obj
     assert obj["spurious_objects"] <= 1, obj
+
+
+def test_synthetic_label_quality_boundary_shift():
+    """Quality gate under the REALISTIC segmenter error mode (VERDICT r3
+    next #10): 2-px boundary-shifted masks — the kMaX failure shape the
+    label-vote ablation showed behaves opposite to speckle noise. Measured
+    r4 baseline at this operating point: mIoU 0.879 / acc 0.936 (clean:
+    0.933 / 0.980); the gate gives ~5 pts of slack so it trips on fusion-
+    semantics regressions, not run noise."""
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    stats = eval_synthetic_labels(num_frames=12, width=96, height=72,
+                                  voxel_size=0.06, seg_shift_px=2)
+    assert stats["miou"] > 0.83, stats
+    assert stats["accuracy"] > 0.89, stats
+    obj = stats["objects"]
+    assert obj["objects_detected"] == obj["objects_total"] == 4, obj
