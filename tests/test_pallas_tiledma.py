@@ -1,0 +1,108 @@
+"""Parity of the tile-DMA sampling prototype (grid/pallas_tiledma.py) vs the
+XLA gather baseline (core.sampling.sample_image_at_uv, mode=nearest), on
+realistic brick-coherent projections from the synthetic scene."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spatially_aware_ai_tpu.core.geometry import project_points, world_to_cam
+from spatially_aware_ai_tpu.core.sampling import sample_image_at_uv
+from spatially_aware_ai_tpu.data import SyntheticSceneDataset
+from spatially_aware_ai_tpu.grid.pallas_tiledma import (
+    brick_tile_bboxes,
+    tile_sample_nearest,
+)
+
+BRICK = 8
+V = BRICK**3
+
+
+def _brick_uv(nvox, origin, voxel_size, poses, Ks):
+    """[NB, F, 2, V] global pixel coords of every brick voxel, brick-major."""
+    nb = [-(-n // BRICK) for n in nvox]
+    bx, by, bz = np.meshgrid(*[np.arange(n) for n in nb], indexing="ij")
+    base = np.stack([bx, by, bz], -1).reshape(-1, 3) * BRICK  # [NB, 3]
+    ox, oy, oz = np.meshgrid(*[np.arange(BRICK)] * 3, indexing="ij")
+    offs = np.stack([ox, oy, oz], -1).reshape(-1, 3)  # [V, 3]
+    idx = base[:, None, :] + offs[None, :, :]  # [NB, V, 3]
+    xyz = idx.astype(np.float32) * voxel_size + np.asarray(
+        origin, np.float32
+    )
+    uvs, zs = [], []
+    for pose, K in zip(poses, Ks):
+        cam = world_to_cam(jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(pose))
+        uv, z = project_points(cam, jnp.asarray(K))
+        uvs.append(np.asarray(uv).reshape(len(base), V, 2))
+        zs.append(np.asarray(z).reshape(len(base), V))
+    uv = np.stack(uvs, 1)  # [NB, F, V, 2]
+    z = np.stack(zs, 1)
+    uv = np.where(np.isfinite(uv), uv, 0.0)
+    return uv.astype(np.float32), z.astype(np.float32)
+
+
+def test_tile_sample_matches_xla_gather():
+    F = 4
+    ds = SyntheticSceneDataset(num_frames=F, width=160, height=120)
+    H, W = 120, 160
+    nvox = (24, 16, 24)
+    origin = np.array([-1.0, -0.5, -1.0], np.float32)
+    poses = [ds[i].pose for i in range(F)]
+    Ks = [ds[i].K for i in range(F)]
+    depths = np.stack([ds[i].depth for i in range(F)]).astype(np.float32)
+    labels = np.stack(
+        [ds.render_labels(i) for i in range(F)]
+    ).astype(np.float32)
+    img = np.stack([depths, labels], axis=1)  # [F, C=2, H, W]
+
+    uv, z = _brick_uv(nvox, origin, 0.05, poses, Ks)
+    NB = uv.shape[0]
+    x, y = uv[..., 0], uv[..., 1]
+    in_img = (
+        (np.round(x) >= 0) & (np.round(x) < W)
+        & (np.round(y) >= 0) & (np.round(y) < H) & (z > 0)
+    )
+
+    TH, TW = 64, 128
+    bbox, fits = brick_tile_bboxes(
+        jnp.asarray(uv), jnp.asarray(in_img), TH, TW, H, W
+    )
+    uv_cf = jnp.asarray(uv.transpose(0, 1, 3, 2).copy())  # [NB, F, 2, V]
+    samples, in_tile = tile_sample_nearest(
+        jnp.asarray(img), uv_cf, bbox, tile_h=TH, tile_w=TW, interpret=True
+    )
+    samples = np.asarray(samples)
+    in_tile = np.asarray(in_tile)
+
+    # baseline: the production XLA gather (per frame, like the integrators)
+    def ref_channel(c):
+        per_f = [
+            np.asarray(
+                sample_image_at_uv(
+                    jnp.asarray(img[f, c, :, :, None]),
+                    jnp.asarray(uv[:, f].reshape(-1, 2)),
+                    mode="nearest",
+                )
+            ).reshape(NB, V)
+            for f in range(F)
+        ]
+        return np.stack(per_f, 1)  # [NB, F, V]
+
+    ref = ref_channel(0)
+    ref_lab = ref_channel(1)
+
+    # where the voxel projects in-image AND the tile covered it, values must
+    # match the gather exactly
+    ok = in_img & in_tile
+    assert ok.mean() > 0.2, f"degenerate test: only {ok.mean():.1%} covered"
+    np.testing.assert_array_equal(samples[:, :, 0][ok], ref[ok])
+    np.testing.assert_array_equal(samples[:, :, 1][ok], ref_lab[ok])
+    # out-of-tile/in-image voxels are flagged, not silently wrong
+    assert samples[:, :, 0][~(in_img & in_tile)].sum() == pytest.approx(
+        samples[:, :, 0][in_tile & ~in_img].sum()
+    )
+    # the bbox pre-pass "fits" diagnostic agrees with the kernel's per-voxel
+    # coverage for valid voxels
+    fits = np.asarray(fits)
+    agree = (in_tile | ~in_img).all(axis=-1)
+    np.testing.assert_array_equal(fits, agree)
