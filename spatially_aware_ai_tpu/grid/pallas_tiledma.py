@@ -110,7 +110,10 @@ def _tile_sample_kernel(
             preferred_element_type=jnp.float32,
         )  # [V, TW]
         out_ref[0, 0, c, :] = jnp.sum(G * colmask, axis=1) * inb_f
-    val_ref[0, 0, :] = inb.astype(jnp.int32)
+    # Mosaic requires the last two block dims be (8k, 128k) or equal the
+    # array dims; a [.., F, V] block of (1, V) has an illegal sublane dim,
+    # so the valid mask carries a unit axis: [NB, F, 1, V].
+    val_ref[0, 0, 0, :] = inb.astype(jnp.int32)
 
 
 @functools.partial(
@@ -149,7 +152,7 @@ def tile_sample_nearest(
         out_specs=[
             pl.BlockSpec((1, 1, C, V), lambda i, f, b: (i, f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, V), lambda i, f, b: (i, f, 0),
+            pl.BlockSpec((1, 1, 1, V), lambda i, f, b: (i, f, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -162,7 +165,7 @@ def tile_sample_nearest(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((NB, F, C, V), jnp.float32),
-            jax.ShapeDtypeStruct((NB, F, V), jnp.int32),
+            jax.ShapeDtypeStruct((NB, F, 1, V), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * NB * F * C * V * tile_h * tile_w,  # row one-hot mm
@@ -171,4 +174,4 @@ def tile_sample_nearest(
         ),
         interpret=interpret,
     )(bbox, uv, img)
-    return samples, in_tile.astype(jnp.bool_)
+    return samples, in_tile[:, :, 0, :].astype(jnp.bool_)
