@@ -55,7 +55,12 @@ def main():
             jnp.float32
         )
 
-    for B in (1, 2, 4, 8):
+    batches = tuple(
+        int(b) for b in os.environ.get(
+            "SAI_BENCH_KMAX_BATCHES", "1,2,4,8"
+        ).split(",")
+    )
+    for B in batches:
         rgbs = jnp.asarray(
             rng.uniform(size=(B, H, W, 3)).astype(np.float32)
         )
