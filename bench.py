@@ -40,6 +40,39 @@ _PROBE_SRC = (
 ).format(bench_dir=os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_link_upload(with_download=False):
+    """Measure host->device link bandwidth with a 16 MiB incompressible
+    payload (a zeros probe would overstate health if any transport layer
+    compresses). The first transfer+readback of a shape compiles/loads the
+    getitem program through this sandbox's SERIALIZED remote-compile helper
+    (seconds warm, minutes cold) — so warm with one throwaway transfer and
+    time the second, otherwise up_mb_s is systematically understated and
+    the conservative 8-chip estimate degenerates toward the no-parallelism
+    bound. Returns (up_mb_s, down_mb_s) — down is None unless requested."""
+    import jax.numpy as jnp
+
+    mb = 16 * 1024 * 1024 / 1e6
+    warm, probe = (
+        np.random.default_rng(s).integers(
+            0, 256, 16 * 1024 * 1024, dtype=np.uint8
+        )
+        for s in (0, 1)
+    )
+    warm_d = jnp.asarray(warm)
+    float(warm_d[0])  # compile + first-use costs land here, not in the timer
+    t0 = time.perf_counter()
+    probe_d = jnp.asarray(probe)
+    float(probe_d[0])
+    up_mb_s = mb / max(time.perf_counter() - t0, 1e-9)
+    if not with_download:
+        return up_mb_s, None
+    np.asarray(warm_d)  # warm the device->host path too
+    t0 = time.perf_counter()
+    np.asarray(probe_d)
+    down_mb_s = mb / max(time.perf_counter() - t0, 1e-9)
+    return up_mb_s, down_mb_s
+
+
 def _require_reachable_device(deadline_s: float):
     """Gate on backend health; WAIT for recovery through a transient outage.
 
@@ -357,21 +390,10 @@ def main():
     # tunnel-health probe: the axon host<->device link's bandwidth varies
     # run to run (measured 17-200 MB/s down); publishing it with every
     # bench makes cross-run comparisons honest
-    # incompressible payload: a zeros probe would overstate link health if
-    # any transport layer compresses
-    probe = np.random.default_rng(0).integers(
-        0, 256, 16 * 1024 * 1024, dtype=np.uint8
-    ).view(np.float32)  # 16 MB
-    t0 = time.perf_counter()
-    probe_d = jnp.asarray(probe)
-    float(probe_d[0])
-    up_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    _ = np.asarray(probe_d)
-    down_s = time.perf_counter() - t0
+    up_mb_s, down_mb_s = _probe_link_upload(with_download=True)
     link = {
-        "upload_mb_s": round(16.0 / up_s, 1),
-        "download_mb_s": round(16.0 / down_s, 1),
+        "upload_mb_s": round(up_mb_s, 1),
+        "download_mb_s": round(down_mb_s, 1),
     }
 
     baseline_fps_per_chip = 500.0 / 30.0 / 8.0  # north star pro-rated per chip
@@ -708,13 +730,7 @@ def main_full(out=None):
     # is pessimistic vs real PCIe (>1 GB/s), which is the honest direction
     # for a conservative bound. ---
     bounds_s = float(result.timings.get("bounds_s", 0.0))
-    probe = np.random.default_rng(0).integers(
-        0, 256, 16 * 1024 * 1024, dtype=np.uint8
-    )
-    t0 = time.perf_counter()
-    probe_d = jnp.asarray(probe)
-    float(probe_d[0])
-    up_mb_s = 16.0 / max(time.perf_counter() - t0, 1e-9)
+    up_mb_s, _ = _probe_link_upload()
     rgb_bytes = ds.rgb_u8.nbytes
     if cfg.rgb_transfer == "yuv420":
         rgb_bytes = rgb_bytes // 2

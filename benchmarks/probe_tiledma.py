@@ -34,14 +34,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from spatially_aware_ai_tpu.core.geometry import (
-        project_points,
-        world_to_cam,
-    )
     from spatially_aware_ai_tpu.core.sampling import sample_image_at_uv
     from spatially_aware_ai_tpu.data import SyntheticSceneDataset
     from spatially_aware_ai_tpu.grid.pallas_tiledma import (
         brick_tile_bboxes,
+        brick_voxel_uv,
+        in_image_mask,
         tile_sample_nearest,
     )
 
@@ -71,35 +69,14 @@ def main():
         K[1] *= 4
         Ks.append(K)
 
-    # brick-major voxel coords
-    nb = [-(-n // BRICK) for n in nvox]
-    bx, by, bz = np.meshgrid(*[np.arange(n) for n in nb], indexing="ij")
-    base = np.stack([bx, by, bz], -1).reshape(-1, 3) * BRICK
-    ox, oy, oz = np.meshgrid(*[np.arange(BRICK)] * 3, indexing="ij")
-    offs = np.stack([ox, oy, oz], -1).reshape(-1, 3)
-    idx = base[:, None, :] + offs[None, :, :]
-    xyz = idx.astype(np.float32) * voxel + origin
-    NB, V = xyz.shape[0], BRICK**3
-    N = NB * V
-
     def sync(x):
         return float(jnp.ravel(x)[0].astype(jnp.float32))
 
-    xyz_d = jnp.asarray(xyz.reshape(-1, 3))
-    uvs, zs = [], []
-    for pose, K in zip(poses, Ks):
-        cam = world_to_cam(xyz_d, jnp.asarray(pose))
-        uv, z = project_points(cam, jnp.asarray(K))
-        uvs.append(np.asarray(uv).reshape(NB, V, 2))
-        zs.append(np.asarray(z).reshape(NB, V))
-    uv = np.stack(uvs, 1).astype(np.float32)  # [NB, F, V, 2]
-    z = np.stack(zs, 1)
-    uv = np.where(np.isfinite(uv), uv, 0.0)
-    x, y = uv[..., 0], uv[..., 1]
-    in_img = (
-        (np.round(x) >= 0) & (np.round(x) < W)
-        & (np.round(y) >= 0) & (np.round(y) < H) & (z > 0)
-    )
+    # brick-major voxel projections, shared with the parity test
+    uv, z = brick_voxel_uv(nvox, origin, voxel, poses, Ks, brick=BRICK)
+    NB, V = uv.shape[0], BRICK**3
+    N = NB * V
+    in_img = in_image_mask(uv, z, H, W)
 
     img = jnp.asarray(np.stack([depths, labels], 1))  # [F, 2, H, W]
     packed = jnp.asarray(

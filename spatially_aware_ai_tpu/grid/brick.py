@@ -344,10 +344,20 @@ def integrate_frames_brick_impl(
                     labs,
                     votes if weighted_votes else valids,
                 )
-                old_rows = g.label_hist.at[idx].get(
+                # the gather/saturate/SET pattern is only duplicate-safe for
+                # unique indices, but nonzero's fill slots duplicate brick
+                # NB-1's rows in `idx` — a fill slot's old+0 write could
+                # land AFTER the real slot's old+contrib write (scatter
+                # duplicate order is unspecified) and silently drop the
+                # chunk's votes for that brick. Route fill slots to the
+                # out-of-range dead index so mode="drop" discards them.
+                idx_hist = jnp.where(
+                    jnp.repeat(slot_valid, B), idx, N_buf
+                )
+                old_rows = g.label_hist.at[idx_hist].get(
                     mode="fill", fill_value=0
                 )
-                out["label_hist"] = g.label_hist.at[idx].set(
+                out["label_hist"] = g.label_hist.at[idx_hist].set(
                     accumulate_label_hist(old_rows, hist_contrib),
                     mode="drop",
                 )

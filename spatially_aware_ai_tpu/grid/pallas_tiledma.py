@@ -38,6 +38,54 @@ _LANE = 128
 _SUB = 8
 
 
+def brick_voxel_uv(nvox, origin, voxel_size, poses, Ks, brick: int = 8):
+    """Brick-major projected pixel coords for every voxel of a dense grid.
+
+    The single setup path shared by the A/B probe and the parity test —
+    they must sample the SAME (voxel, frame) projections or the measured
+    kernel and the tested kernel drift apart.
+
+    Returns (uv [NB, F, V, 2] f32 with non-finite scrubbed to 0,
+    z [NB, F, V] f32, in_img [NB, F, V] bool under the kernel's
+    nearest-rounding convention) for cubic bricks of `brick`^3 voxels.
+    """
+    import numpy as np
+
+    from ..core.geometry import project_points, world_to_cam
+
+    nb = [-(-int(n) // brick) for n in nvox]
+    bx, by, bz = np.meshgrid(*[np.arange(n) for n in nb], indexing="ij")
+    base = np.stack([bx, by, bz], -1).reshape(-1, 3) * brick  # [NB, 3]
+    ox, oy, oz = np.meshgrid(*[np.arange(brick)] * 3, indexing="ij")
+    offs = np.stack([ox, oy, oz], -1).reshape(-1, 3)  # [V, 3]
+    idx = base[:, None, :] + offs[None, :, :]  # [NB, V, 3]
+    xyz = idx.astype(np.float32) * float(voxel_size) + np.asarray(
+        origin, np.float32
+    )
+    NB, V = xyz.shape[0], brick**3
+    uvs, zs = [], []
+    for pose, K in zip(poses, Ks):
+        cam = world_to_cam(jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(pose))
+        uv, z = project_points(cam, jnp.asarray(K))
+        uvs.append(np.asarray(uv).reshape(NB, V, 2))
+        zs.append(np.asarray(z).reshape(NB, V))
+    uv = np.stack(uvs, 1)  # [NB, F, V, 2]
+    z = np.stack(zs, 1)
+    uv = np.where(np.isfinite(uv), uv, 0.0).astype(np.float32)
+    return uv, z.astype(np.float32)
+
+
+def in_image_mask(uv, z, H: int, W: int):
+    """Nearest-rounded in-image mask matching the kernel/gather convention."""
+    import numpy as np
+
+    x, y = uv[..., 0], uv[..., 1]
+    return (
+        (np.round(x) >= 0) & (np.round(x) < W)
+        & (np.round(y) >= 0) & (np.round(y) < H) & (z > 0)
+    )
+
+
 def brick_tile_bboxes(uv, valid, tile_h: int, tile_w: int, H: int, W: int):
     """Per (brick, frame) aligned tile origin for the projected voxels.
 
@@ -61,11 +109,14 @@ def brick_tile_bboxes(uv, valid, tile_h: int, tile_w: int, H: int, W: int):
     none_valid = ~valid.any(axis=-1)
     x_min = jnp.where(none_valid, 0.0, x_min)
     y_min = jnp.where(none_valid, 0.0, y_min)
-    # align down, clamp so the static tile fits in the image
+    # align down, clamp so the static tile fits in the image; the clamp
+    # ceiling must ITSELF be lane/sublane-aligned (align down, losing right/
+    # bottom-edge coverage) or the DMA offset would be misaligned whenever
+    # W - tile_w is not a multiple of 128
     x0 = (x_min.astype(jnp.int32) // _LANE) * _LANE
     y0 = (y_min.astype(jnp.int32) // _SUB) * _SUB
-    x0 = jnp.clip(x0, 0, max(W - tile_w, 0))
-    y0 = jnp.clip(y0, 0, max(H - tile_h, 0))
+    x0 = jnp.clip(x0, 0, (max(W - tile_w, 0) // _LANE) * _LANE)
+    y0 = jnp.clip(y0, 0, (max(H - tile_h, 0) // _SUB) * _SUB)
     in_tile = (
         (x >= x0[..., None]) & (x < x0[..., None] + tile_w)
         & (y >= y0[..., None]) & (y < y0[..., None] + tile_h)

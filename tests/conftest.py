@@ -50,10 +50,39 @@ _HEAVY_TEST_MODULES = {
 }
 
 
+# Every module must be CLASSIFIED (quick below, heavy above) — a new module
+# that appears in neither set fails collection loudly instead of silently
+# defaulting into the quick tier and eroding its <5-min guarantee.
+_QUICK_TEST_MODULES = {
+    "test_atomic_artifacts", "test_checkpoint", "test_clip_engine",
+    "test_clis", "test_convnext_parity", "test_core_geometry",
+    "test_data_loaders", "test_depth_upsample", "test_eval_mains",
+    "test_evals", "test_fetch_assets", "test_fusion",
+    "test_hypersim_loader", "test_instance_fusion",
+    "test_live_native_depth", "test_live_snapshot", "test_live_warm",
+    "test_marching_cubes", "test_meshing", "test_multi_scene",
+    "test_native", "test_object_query", "test_order_independence",
+    "test_pallas_fusion", "test_pallas_mlp", "test_pallas_tiledma",
+    "test_query", "test_real_archives", "test_scene_objects",
+    "test_server_async", "test_server_fuzz", "test_server_http",
+    "test_tiling", "test_yuv_transfer",
+}
+
+
 def pytest_collection_modifyitems(config, items):
+    unknown = set()
     for item in items:
         name = os.path.splitext(os.path.basename(str(item.fspath)))[0]
         if name in _HEAVY_TEST_MODULES:
             item.add_marker(pytest.mark.heavy)
-        else:
+        elif name in _QUICK_TEST_MODULES:
             item.add_marker(pytest.mark.quick)
+        else:
+            unknown.add(name)
+    if unknown:
+        raise pytest.UsageError(
+            "unclassified test module(s) "
+            f"{sorted(unknown)}: add each to _QUICK_TEST_MODULES or "
+            "_HEAVY_TEST_MODULES in tests/conftest.py (quick = keeps "
+            "`pytest -m quick` under ~5 min on the 1-vCPU host)"
+        )

@@ -365,3 +365,39 @@ def test_sharded_compact_adversarial_scenes_exact():
                 np.asarray(out.feat_sum)[:n], np.asarray(ref.feat_sum),
                 atol=1e-4, err_msg=f"trial={trial} {kw}",
             )
+
+
+def test_dense_inner_fill_slot_duplicates_keep_votes():
+    """Regression (r4): when nb_count < brick_capacity, nonzero's fill
+    slots duplicate brick NB-1's voxel rows in `idx`. The dense-within-
+    bricks branch updates the label histogram with a gather/saturate/SET,
+    which is only duplicate-safe for unique indices — a fill slot's
+    old+0 write can land after the real slot's old+contrib write (XLA
+    scatter duplicate order is unspecified; serial backends take the
+    last) and silently drop the chunk's votes for the LAST brick. The
+    fixture forces: brick NB-1 active near the surface, at least one
+    brick frustum-culled (so fill slots exist), and a voxel-capacity
+    overflow (so dense_inner runs)."""
+    scene = make_scene(num_frames=3)
+    for depth, _rgb, pose, _K, _feat, _labels in scene["frames"]:
+        # shift the cameras toward the grid's high-x/high-y corner so the
+        # low-corner bricks leave the frustum while brick NB-1 stays
+        # visible; constant depth puts the surface near the top-z face,
+        # so the last brick accumulates real label votes
+        pose[:3, 3] = np.array([0.3, 0.25, 0.0], np.float32)
+        depth[:] = 0.9
+    batch = build_batch(scene, with_labels=True)
+
+    g = brick_grid(scene)
+    # brick_size=16 on this 512-row buffer: NB=32, 30 active, and the LAST
+    # brick holds real tail voxels and is active (probed fixture)
+    mask = np.asarray(active_brick_mask(g, batch, 16)).reshape(-1)
+    assert mask[-1] and not mask.all(), (
+        f"fixture drifted: need last brick active + >=1 culled, got "
+        f"{mask.sum()}/{mask.size} active, last={mask[-1]}"
+    )
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), batch)
+    n = ref.tsdf_sum.shape[0]
+    out = integrate_frames_brick(g, batch, brick_size=16, capacity=8)
+    assert_grid_parity(out, ref, n)

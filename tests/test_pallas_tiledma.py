@@ -6,39 +6,17 @@ import pytest
 
 import jax.numpy as jnp
 
-from spatially_aware_ai_tpu.core.geometry import project_points, world_to_cam
 from spatially_aware_ai_tpu.core.sampling import sample_image_at_uv
 from spatially_aware_ai_tpu.data import SyntheticSceneDataset
 from spatially_aware_ai_tpu.grid.pallas_tiledma import (
     brick_tile_bboxes,
+    brick_voxel_uv,
+    in_image_mask,
     tile_sample_nearest,
 )
 
 BRICK = 8
 V = BRICK**3
-
-
-def _brick_uv(nvox, origin, voxel_size, poses, Ks):
-    """[NB, F, 2, V] global pixel coords of every brick voxel, brick-major."""
-    nb = [-(-n // BRICK) for n in nvox]
-    bx, by, bz = np.meshgrid(*[np.arange(n) for n in nb], indexing="ij")
-    base = np.stack([bx, by, bz], -1).reshape(-1, 3) * BRICK  # [NB, 3]
-    ox, oy, oz = np.meshgrid(*[np.arange(BRICK)] * 3, indexing="ij")
-    offs = np.stack([ox, oy, oz], -1).reshape(-1, 3)  # [V, 3]
-    idx = base[:, None, :] + offs[None, :, :]  # [NB, V, 3]
-    xyz = idx.astype(np.float32) * voxel_size + np.asarray(
-        origin, np.float32
-    )
-    uvs, zs = [], []
-    for pose, K in zip(poses, Ks):
-        cam = world_to_cam(jnp.asarray(xyz.reshape(-1, 3)), jnp.asarray(pose))
-        uv, z = project_points(cam, jnp.asarray(K))
-        uvs.append(np.asarray(uv).reshape(len(base), V, 2))
-        zs.append(np.asarray(z).reshape(len(base), V))
-    uv = np.stack(uvs, 1)  # [NB, F, V, 2]
-    z = np.stack(zs, 1)
-    uv = np.where(np.isfinite(uv), uv, 0.0)
-    return uv.astype(np.float32), z.astype(np.float32)
 
 
 def test_tile_sample_matches_xla_gather():
@@ -55,13 +33,9 @@ def test_tile_sample_matches_xla_gather():
     ).astype(np.float32)
     img = np.stack([depths, labels], axis=1)  # [F, C=2, H, W]
 
-    uv, z = _brick_uv(nvox, origin, 0.05, poses, Ks)
+    uv, z = brick_voxel_uv(nvox, origin, 0.05, poses, Ks, brick=BRICK)
     NB = uv.shape[0]
-    x, y = uv[..., 0], uv[..., 1]
-    in_img = (
-        (np.round(x) >= 0) & (np.round(x) < W)
-        & (np.round(y) >= 0) & (np.round(y) < H) & (z > 0)
-    )
+    in_img = in_image_mask(uv, z, H, W)
 
     TH, TW = 64, 128
     bbox, fits = brick_tile_bboxes(
