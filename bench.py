@@ -586,6 +586,7 @@ def main_full(out=None):
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
             shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
             rgb_transfer=os.environ.get("SAI_BENCH_RGB_TRANSFER", "u8"),
+            segment_stride=int(os.environ.get("SAI_BENCH_SEG_STRIDE", "1")),
         )
     else:
         engine = ClipEngine.random(seed=0)
@@ -600,6 +601,7 @@ def main_full(out=None):
             integrator=os.environ.get("SAI_BENCH_INTEGRATOR") or None,
             shard_voxels=os.environ.get("SAI_SHARD_VOXELS") == "1",
             rgb_transfer=os.environ.get("SAI_BENCH_RGB_TRANSFER", "u8"),
+            segment_stride=int(os.environ.get("SAI_BENCH_SEG_STRIDE", "1")),
         )
 
     # --- kMaX-only throughput: device-resident input, one sync across the

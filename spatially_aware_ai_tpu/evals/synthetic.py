@@ -141,6 +141,7 @@ def eval_synthetic_labels(
     seg_shift_px: int = 0,
     seg_flip_prob: float = 0.0,
     rgb_transfer: str = "u8",
+    segment_stride: int = 1,
 ) -> Dict:
     """seg_shift_px / seg_flip_prob inject controlled segmenter noise
     (data.synthetic.NoisySegmenter) for the vote-weighting ablation — a
@@ -166,7 +167,7 @@ def eval_synthetic_labels(
         clip_patch_size=width // 2, clip_patch_stride=width // 4,
         frame_chunk=8, with_labels=True,
         label_vote_mode=label_vote_mode, integrator=integrator,
-        rgb_transfer=rgb_transfer,
+        rgb_transfer=rgb_transfer, segment_stride=segment_stride,
     )
     result = fuse_scan(ds, clip_engine, cfg, segmenter=seg.run_on_image)
 
@@ -225,6 +226,7 @@ def eval_synthetic_labels(
         "seg_shift_px": seg_shift_px,
         "seg_flip_prob": seg_flip_prob,
         "rgb_transfer": rgb_transfer,
+        "segment_stride": segment_stride,
     }
 
 
@@ -242,6 +244,7 @@ def main(argv=None):
     parser.add_argument("--integrator", default=None)
     parser.add_argument("--seg-shift-px", type=int, default=0)
     parser.add_argument("--seg-flip-prob", type=float, default=0.0)
+    parser.add_argument("--segment-stride", type=int, default=1)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-noise-gate", action="store_true",
                         help="skip the default boundary-shift companion "
@@ -252,6 +255,7 @@ def main(argv=None):
         seed=args.seed,
         label_vote_mode=args.label_votes, integrator=args.integrator,
         seg_shift_px=args.seg_shift_px, seg_flip_prob=args.seg_flip_prob,
+        segment_stride=args.segment_stride,
     )
     # Default report carries the boundary-shift companion (VERDICT r3 next
     # #10): shifted masks are the realistic kMaX error mode (the label-vote
@@ -266,6 +270,7 @@ def main(argv=None):
             seed=args.seed,
             label_vote_mode=args.label_votes, integrator=args.integrator,
             seg_shift_px=2, seg_flip_prob=0.0,
+            segment_stride=args.segment_stride,
         )
         stats["boundary_shift2"] = {
             "miou": noisy["miou"],

@@ -276,6 +276,9 @@ class InSituManager:
             integrator=cfg.get("integrator"),
             shard_voxels=bool(cfg.get("shard_voxels", False)),
             rgb_transfer=cfg.get("rgb_transfer", "u8"),
+            # opt-in deployment knob: segment every k-th frame only
+            # (skipped frames cast no label votes; see pipeline.py)
+            segment_stride=int(cfg.get("segment_stride", 1)),
         )
 
     def update_config(self, target_version: int):

@@ -17,6 +17,7 @@ import time
 import warnings
 from typing import Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,6 +176,17 @@ class FusionConfig:
     # suppresses shell-edge misvotes at occlusion boundaries — see
     # grid/fusion.py:label_vote_weights for the measured effect)
     label_vote_mode: str = "uniform"
+    # segmentation stride (opt-in deployment knob, beyond parity — the
+    # reference segments every frame, handy_utils.py:29-161): run the
+    # panoptic segmenter on every k-th frame only; skipped frames still
+    # contribute TSDF/RGB/CLIP features but cast ZERO label votes (their
+    # label images are filled with -1, which one_hot drops — not null=133,
+    # which would be a real vote for the null class). kMaX is ~85% of the
+    # full pipeline's device compute, so stride k cuts that term ~k x; the
+    # multi-frame vote averaging absorbs most of the quality cost (measure
+    # with evals/synthetic.py before deploying). Must divide frame_chunk so
+    # every chunk segments the same frame slots (stable executables).
+    segment_stride: int = 1
     # quantized host->device transfer: rgb as uint8 (real scan data is 8-bit
     # at the source), depth as uint16 millimeters (the iPhone sensor's
     # native format; 1 mm resolution vs 40 mm voxels). 4x/2x less transfer —
@@ -336,16 +348,11 @@ def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1,
     return rgb_dev, depth_dev
 
 
-def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
-                     config: FusionConfig):
-    """Panoptic labels for one rgb chunk, by capability priority:
-    device-fused (labels never leave the device) > batch panoptic + host
-    seam nulling > plain batch > per-frame with null padding. Shared by
-    fuse_scan and the live streaming session so the two ingestion paths
-    cannot diverge. Returns device or host labels, or None when
-    config.with_labels is off."""
-    if not config.with_labels:
-        return None
+def _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
+                   config: FusionConfig):
+    """One rgb batch -> labels, by capability priority: device-fused
+    (labels never leave the device) > batch panoptic + host seam nulling >
+    plain batch > per-frame with null padding."""
     if (
         config.split_instances
         and seg_obj is not None
@@ -371,6 +378,49 @@ def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
     null = np.full(rgb_host.shape[1:3], NULL_CLASS_ID, np.int32)
     out += [null] * (len(rgb_host) - n_real)
     return np.stack(out).astype(np.int32)
+
+
+def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
+                     config: FusionConfig):
+    """Panoptic labels for one rgb chunk (see _segment_batch for the
+    capability priority). Shared by fuse_scan and the live streaming
+    session so the two ingestion paths cannot diverge. Returns device or
+    host labels, or None when config.with_labels is off.
+
+    config.segment_stride > 1 segments only chunk slots 0, k, 2k, ... and
+    fills the skipped frames' label images with -1: every label-vote path
+    accumulates via jax.nn.one_hot, whose out-of-range rows are all-zero,
+    so skipped frames cast no votes at all (null=133 would instead vote
+    FOR the null class and dilute the argmax). The stride must divide
+    frame_chunk so each chunk segments the same slots (same sub-batch
+    shape -> one executable; and slot i of chunk c is global frame
+    c*frame_chunk + i, so global coverage is exactly every k-th frame)."""
+    if not config.with_labels:
+        return None
+    stride = max(1, int(config.segment_stride))
+    if stride == 1:
+        return _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real,
+                              config)
+    B = len(rgb_chunk)
+    if B % stride != 0:
+        raise ValueError(
+            f"segment_stride={stride} must divide the chunk size {B}"
+        )
+    sel = np.arange(0, B, stride)
+    sub = _segment_batch(
+        seg_obj, segmenter_fn, rgb_chunk[sel],
+        # real frames among the selected slots (chunk tails are padded)
+        int((sel < n_real).sum()),
+        config,
+    )
+    if isinstance(sub, jax.Array):  # device path: scatter on device
+        full = jnp.full(
+            (B,) + tuple(sub.shape[1:]), -1, dtype=sub.dtype
+        )
+        return full.at[jnp.asarray(sel)].set(sub)
+    full = np.full((B,) + tuple(sub.shape[1:]), -1, dtype=np.int32)
+    full[sel] = sub
+    return full
 
 
 def compute_scene_bounds(dataset, config: FusionConfig, chunk: int = 32):

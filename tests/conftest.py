@@ -63,7 +63,7 @@ _QUICK_TEST_MODULES = {
     "test_marching_cubes", "test_meshing", "test_multi_scene",
     "test_native", "test_object_query", "test_order_independence",
     "test_pallas_fusion", "test_pallas_mlp", "test_pallas_tiledma",
-    "test_query", "test_real_archives", "test_scene_objects",
+    "test_query", "test_real_archives", "test_scene_objects", "test_segment_stride",
     "test_server_async", "test_server_fuzz", "test_server_http",
     "test_tiling", "test_yuv_transfer",
 }
