@@ -165,6 +165,12 @@ class InSituManager:
             # rgb upload encoding (u8 = parity default; yuv420 halves the
             # rgb bytes over a slow host->device link, core/yuv.py)
             "rgb_transfer": os.environ.get("SAI_RGB_TRANSFER", "u8"),
+            # segment every k-th frame only (1 = parity default: the
+            # reference segments every frame; skipped frames cast zero
+            # label votes — pipeline.py:segment_stride)
+            "segment_stride": int(
+                os.environ.get("SAI_SEG_STRIDE", "1") or 1
+            ),
         }
         self.config = dotdict(config)
         self.curr_ver = curr_ver
