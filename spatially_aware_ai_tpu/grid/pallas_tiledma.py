@@ -16,9 +16,13 @@ into a small image bbox, so per (brick, frame) we
 
 The per-lane gather becomes an MXU matmul + two compare-iota masks — no
 serial element loop anywhere. Out-of-tile voxels (brick too close to the
-camera for the static tile) and out-of-image projections return 0 with
-valid=False; production would route those bricks to the XLA gather
-fallback. Nearest-neighbor rounding matches core.sampling.sample_image_at_uv
+camera for the static tile) return 0 with valid=False; production would
+route those bricks to the XLA gather fallback. The kernel's valid mask is
+purely TILE-geometric (it never sees z): callers must sentinel invalid
+projections — z <= 0 (mirrored finite uv!) and non-finite — out of every
+tile, which brick_voxel_uv does (-1e6). With that contract, in-tile
+implies in-image AND z > 0, because a clamped tile lies inside the image.
+Nearest-neighbor rounding matches core.sampling.sample_image_at_uv
 (jnp.round, torch grid_sample zeros-padding semantics).
 
 Measured A/B vs the XLA gather lives in benchmarks/probe_tiledma.py; the
@@ -45,9 +49,12 @@ def brick_voxel_uv(nvox, origin, voxel_size, poses, Ks, brick: int = 8):
     they must sample the SAME (voxel, frame) projections or the measured
     kernel and the tested kernel drift apart.
 
-    Returns (uv [NB, F, V, 2] f32 with non-finite scrubbed to 0,
-    z [NB, F, V] f32, in_img [NB, F, V] bool under the kernel's
-    nearest-rounding convention) for cubic bricks of `brick`^3 voxels.
+    Returns (uv [NB, F, V, 2] f32, z [NB, F, V] f32) for cubic bricks of
+    `brick`^3 voxels. INVALID projections — z <= 0 (behind-camera voxels
+    project to a MIRRORED finite uv that could land inside a tile) and
+    non-finite uv — are sentineled to -1e6, far outside every possible
+    tile, so the kernel's in-tile mask is False for them by construction
+    (the kernel itself never sees z and could not exclude them otherwise).
     """
     import numpy as np
 
@@ -71,7 +78,8 @@ def brick_voxel_uv(nvox, origin, voxel_size, poses, Ks, brick: int = 8):
         zs.append(np.asarray(z).reshape(NB, V))
     uv = np.stack(uvs, 1)  # [NB, F, V, 2]
     z = np.stack(zs, 1)
-    uv = np.where(np.isfinite(uv), uv, 0.0).astype(np.float32)
+    invalid = ~np.isfinite(uv) | (z <= 0)[..., None]
+    uv = np.where(invalid, np.float32(-1e6), uv).astype(np.float32)
     return uv, z.astype(np.float32)
 
 

@@ -226,6 +226,19 @@ class FusionConfig:
             raise ValueError(
                 f"unknown rgb_transfer {self.rgb_transfer!r} (u8|yuv420)"
             )
+        # validate at CONFIG time, not per chunk: a live session would
+        # otherwise swallow the per-chunk ValueError as "integration
+        # deferred" and retry forever, wedging the stream until end()
+        if self.segment_stride < 1:
+            raise ValueError(
+                f"segment_stride must be >= 1, got {self.segment_stride}"
+            )
+        if self.frame_chunk % self.segment_stride != 0:
+            raise ValueError(
+                f"segment_stride={self.segment_stride} must divide "
+                f"frame_chunk={self.frame_chunk} (each chunk segments the "
+                "same slots so executables stay bucket-stable)"
+            )
 
     @property
     def trunc_m(self) -> float:
@@ -397,7 +410,7 @@ def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
     c*frame_chunk + i, so global coverage is exactly every k-th frame)."""
     if not config.with_labels:
         return None
-    stride = max(1, int(config.segment_stride))
+    stride = int(config.segment_stride)  # >=1: validated in __post_init__
     if stride == 1:
         return _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real,
                               config)

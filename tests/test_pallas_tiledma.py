@@ -71,10 +71,13 @@ def test_tile_sample_matches_xla_gather():
     assert ok.mean() > 0.2, f"degenerate test: only {ok.mean():.1%} covered"
     np.testing.assert_array_equal(samples[:, :, 0][ok], ref[ok])
     np.testing.assert_array_equal(samples[:, :, 1][ok], ref_lab[ok])
-    # out-of-tile/in-image voxels are flagged, not silently wrong
-    assert samples[:, :, 0][~(in_img & in_tile)].sum() == pytest.approx(
-        samples[:, :, 0][in_tile & ~in_img].sum()
-    )
+    # the sentinel contract (brick_voxel_uv -1e6 for z<=0 / non-finite)
+    # makes in-tile IMPLY in-image: a behind-camera voxel's mirrored uv can
+    # never be flagged valid
+    assert not (in_tile & ~in_img).any()
+    # out-of-tile voxels return exactly 0, never silently-wrong data
+    assert samples[:, :, 0][~in_tile].sum() == 0
+    assert samples[:, :, 1][~in_tile].sum() == 0
     # the bbox pre-pass "fits" diagnostic agrees with the kernel's per-voxel
     # coverage for valid voxels
     fits = np.asarray(fits)

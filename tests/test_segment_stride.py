@@ -149,7 +149,14 @@ def test_stride_device_fused_path_scatters_on_device():
 
 
 def test_stride_must_divide_chunk():
-    rgb = np.zeros((4, 8, 8, 3), np.float32)
+    # config-time validation (a live session would otherwise swallow the
+    # per-chunk error as "integration deferred" and wedge the stream)
+    with pytest.raises(ValueError, match="segment_stride"):
+        cfg(segment_stride=3)  # frame_chunk=4
+    with pytest.raises(ValueError, match="segment_stride"):
+        cfg(segment_stride=0)
+    # the per-chunk guard still protects direct callers with ad-hoc sizes
+    rgb = np.zeros((6, 8, 8, 3), np.float32)
     seg = lambda img: np.zeros(img.shape[:2], np.int32)  # noqa: E731
     with pytest.raises(ValueError, match="segment_stride"):
-        labels_for_chunk(None, seg, rgb, 4, cfg(segment_stride=3))
+        labels_for_chunk(None, seg, rgb, 6, cfg(segment_stride=4, frame_chunk=8))
