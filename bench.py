@@ -664,11 +664,16 @@ def main_full(out=None):
             # random kMaX weights label everything null, which would make
             # the flood-fill timing trivially fast; synthesize spatially-
             # contiguous classes over observed voxels so post-proc cost is
-            # realistic
+            # realistic. Block size 6 yields ~150-250 connected components
+            # at the default 0.04 m grid — the object-count regime the
+            # production postproc path was measured at (r2: 200 objects /
+            # 195K faces; VERDICT r3 weak #5 flagged the old 12-block
+            # variant's 46 objects as unrealistically light).
             synthetic_labels = True
             occ = (result.values["weight"].reshape(nvox) > 0)
+            blk = int(os.environ.get("SAI_BENCH_BLOB_VOX", "6"))
             ix, iy, iz = np.indices(nvox)
-            blob = ((ix // 12) * 3 + (iy // 12) * 5 + (iz // 12)) % 12
+            blob = ((ix // blk) * 3 + (iy // blk) * 5 + (iz // blk)) % 24
             class_grid = np.where(occ, blob.astype(np.int32), 133)
         t0 = time.perf_counter()
         knowledge, voxel_obj_idx = flood_fill_3d(class_grid, None, feats,
