@@ -54,4 +54,17 @@ else
   log "tunnel down before 500f s2; skipping"
 fi
 
+# 5. stride 2 with chunk 16: stride halves the per-chunk kMaX batch
+#    (B=4 is ~15% worse ms/frame than B=8 on the measured batch curve);
+#    chunk 16 restores the B=8 point while F=16 ties F=8 on the fused bench
+if probe; then
+  log "500f stride2 chunk16 start"
+  SAI_BENCH_FULL=1 SAI_BENCH_FULL_FRAMES=500 SAI_BENCH_SEG_STRIDE=2 \
+    SAI_BENCH_FULL_CHUNK=16 SAI_BENCH_FULL_DEADLINE_S=3000 \
+    python bench.py >"$OUT/full500_s2c16.log" 2>&1
+  log "500f stride2 chunk16 rc=$?"
+else
+  log "tunnel down before 500f s2c16; skipping"
+fi
+
 log "campaign done"
