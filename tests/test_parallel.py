@@ -68,6 +68,43 @@ def test_sharded_fusion_matches_single_device():
     assert np.asarray(out.w)[n:].sum() == 0
 
 
+def test_sharded_fusion_strided_labels_match_and_cast_no_votes():
+    """segment_stride's -1 sentinel (pipeline.labels_for_chunk fills skipped
+    frames' label images with -1; one_hot drops out-of-range rows) must mean
+    the same thing under the voxel-sharded path: sharded == single-device
+    exactly, and a batch whose odd frames are all -1 accumulates exactly the
+    label votes of the even frames alone."""
+    scene = make_scene(num_frames=8)
+    batch = build_batch(scene, with_labels=True)
+    strided = batch.replace(
+        labels=batch.labels.at[1::2].set(jnp.full_like(batch.labels[1::2], -1))
+    )
+
+    ref = integrate_frames(create_grid(**grid_args(scene)), strided)
+
+    mesh = make_mesh(8)
+    grid = shard_grid(mesh, create_grid(**grid_args(scene, pad_to=8)))
+    out = integrate_frames_sharded(mesh, grid, strided)
+
+    n = ref.tsdf_sum.shape[0]
+    np.testing.assert_array_equal(
+        np.asarray(out.label_hist)[:n], np.asarray(ref.label_hist)
+    )
+
+    # votes identical to integrating ONLY the even frames' labels (skipped
+    # frames still contribute tsdf/rgb/feat, so compare label_hist alone)
+    even_only = batch.replace(
+        labels=batch.labels,
+        depth=batch.depth, rgb=batch.rgb, pose=batch.pose, K=batch.K,
+        feat_img=batch.feat_img,
+        frame_valid=jnp.asarray([True, False] * 4),
+    )
+    ref_even = integrate_frames(create_grid(**grid_args(scene)), even_only)
+    np.testing.assert_array_equal(
+        np.asarray(ref.label_hist), np.asarray(ref_even.label_hist)
+    )
+
+
 def test_padded_single_device_matches_unpadded():
     scene = make_scene(num_frames=3)
     batch = build_batch(scene, with_labels=True)
