@@ -160,3 +160,62 @@ def test_stride_must_divide_chunk():
     seg = lambda img: np.zeros(img.shape[:2], np.int32)  # noqa: E731
     with pytest.raises(ValueError, match="segment_stride"):
         labels_for_chunk(None, seg, rgb, 6, cfg(segment_stride=4, frame_chunk=8))
+
+
+def test_all_knobs_cross_integrator_equivalence(tmp_path):
+    """The opt-in deployment knobs COMPOSE: stride-2 labels + yuv420 rgb
+    transfer + native device depth upsample, run through every integrator,
+    must produce the same grid (integer accumulators exact, float sums to
+    XLA-reassociation tolerance). Interaction bugs between opt-in paths
+    hide exactly in this all-on configuration, which no single-knob parity
+    test exercises."""
+    from test_data_loaders import write_iphone_scan
+
+    from spatially_aware_ai_tpu.data import IPhone3DScannerDataset
+
+    write_iphone_scan(tmp_path, num_frames=4)
+    ds = IPhone3DScannerDataset(str(tmp_path))
+    engine = ClipEngine.tiny()
+
+    def seg_fn(rgb):
+        a = np.asarray(rgb, np.float32)
+        if a.max() > 2.0:
+            a = a / 255.0
+        return (a.mean(-1) * 7.0).astype(np.int32) % 20
+
+    kw = dict(
+        voxel_size=0.3, trunc_vox=2.0, with_labels=True,
+        clip_patch_size=256, clip_patch_stride=128, frame_chunk=2,
+        segment_stride=2, rgb_transfer="yuv420",
+        device_depth_upsample=True,
+    )
+    outs = {
+        integ: fuse_scan(
+            ds, engine, FusionConfig(integrator=integ, **kw),
+            segmenter=seg_fn,
+        )
+        for integ in ("scan", "einsum", "sparse", "brick")
+    }
+    ref = outs["scan"]
+    # compare the PUBLIC values contract, not raw grid buffers: the compact
+    # integrators (sparse/brick) append a drain slot, so raw buffer shapes
+    # legitimately differ by one row
+    ref_vals = ref.values
+    assert int(np.asarray(ref_vals["weight"]).sum()) > 0
+    assert int((np.asarray(ref_vals["class_id"]) >= 0).sum()) > 0
+    for name, r in outs.items():
+        assert r.nvox == ref.nvox, name
+        vals = r.values
+        for field in ("weight", "class_id"):
+            np.testing.assert_array_equal(
+                np.asarray(vals[field]), np.asarray(ref_vals[field]),
+                err_msg=f"{name}.{field}",
+            )
+        for field in ("tsdf", "rgb"):
+            # scatter-order reassociation between integrators: measured
+            # max |diff| ~3e-5 on finalized averages (division by small
+            # vote counts amplifies f32 sum differences)
+            np.testing.assert_allclose(
+                np.asarray(vals[field]), np.asarray(ref_vals[field]),
+                atol=1e-4, err_msg=f"{name}.{field}",
+            )
