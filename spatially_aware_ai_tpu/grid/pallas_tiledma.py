@@ -139,8 +139,14 @@ def _tile_sample_kernel(
 ):
     i = pl.program_id(0)
     f = pl.program_id(1)
-    y0 = bbox_ref[i, f, 0]
-    x0 = bbox_ref[i, f, 1]
+    # bbox carries (y0/8, x0/128): Mosaic must PROVE the dynamic HBM slice
+    # offsets divide the (8, 128) memref tiling, and a raw prefetched
+    # scalar is unprovable while a product with the tiling constant is
+    # divisible by construction (first real-TPU lowering failed exactly
+    # here: "Failed to prove that a tile index in dimension 2 is divisible
+    # by the tiling (8)").
+    y0 = bbox_ref[i, f, 0] * _SUB
+    x0 = bbox_ref[i, f, 1] * _LANE
 
     dma = pltpu.make_async_copy(
         img_ref.at[f, :, pl.ds(y0, TH), pl.ds(x0, TW)], tile, sem
@@ -200,6 +206,10 @@ def tile_sample_nearest(
     kernel = functools.partial(
         _tile_sample_kernel, C=C, TH=tile_h, TW=tile_w, V=V
     )
+    # scalar-prefetch the bbox in TILING units (see kernel comment): the
+    # origins are (8, 128)-aligned by brick_tile_bboxes' construction, so
+    # this division is exact
+    bbox = bbox // jnp.array([_SUB, _LANE], jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB, F),
