@@ -77,6 +77,41 @@ def rgb_u8_to_i420(rgb_u8: np.ndarray) -> np.ndarray:
     return out
 
 
+def i420_to_rgb_u8(planes: np.ndarray) -> np.ndarray:
+    """[F, H + H//2, W] packed 4:2:0 uint8 -> [F, H, W, 3] uint8 RGB.
+
+    Host-side numpy mirror of the device decoder (same nearest 2x2 chroma
+    expand, same inverse matrix), for boundaries that need host u8 frames
+    — e.g. the server accepting a client's native-YUV live pushes while
+    the session's device transfer stays u8. Round-trip with
+    rgb_u8_to_i420 is the usual 4:2:0 chroma loss (~42 dB PSNR at
+    1024x768), identical to what the device path applies."""
+    planes = np.asarray(planes)
+    if planes.ndim != 3 or planes.dtype != np.uint8:
+        raise ValueError(
+            f"expected [F, H + H//2, W] uint8 planes, got "
+            f"{planes.shape} {planes.dtype}"
+        )
+    f, hp, w = planes.shape
+    if hp % 3 or (hp * 2 // 3) % 4 or w % 2:
+        raise ValueError(
+            f"packed plane height {hp} is not H + H//2 for an "
+            f"I420-compatible H (H % 4 == 0, W % 2 == 0), width {w}"
+        )
+    h = hp * 2 // 3
+    y = planes[:, :h].astype(np.float32)
+    qu = planes[:, h:h + h // 4].reshape(f, h // 2, w // 2)
+    qv = planes[:, h + h // 4:].reshape(f, h // 2, w // 2)
+
+    def up2(c):
+        c = c.astype(np.float32) - 128.0
+        return c.repeat(2, axis=1).repeat(2, axis=2)
+
+    yuv = np.stack([y, up2(qu), up2(qv)], axis=-1)
+    rgb = yuv @ _INV.T
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 @functools.lru_cache(maxsize=None)
 def _decoder_fn(h: int, w: int):
     import jax

@@ -168,9 +168,14 @@ def create_app(manager_or_registry) -> App:
         Depth may instead be the sensor's NATIVE low-res frame
         [F, H/s, W/s] for an integer s (iPhone: 256x192): the cubic
         enlarge runs on device and the push body shrinks ~16x on the
-        depth term (manager/live.py:push). Send QUANTIZED frames and
-        small chunks: bodies over the 64 MB cap are rejected (u8/u16
-        keeps even large chunks far under it)."""
+        depth term (manager/live.py:push). RGB may instead arrive as
+        `rgb_i420` [F, H + H//2, W] u8 packed 4:2:0 (the camera
+        pipeline's native layout on phones) — HALF the rgb bytes on the
+        client uplink; the server decodes at this boundary
+        (core/yuv.py:i420_to_rgb_u8) so staging, crash durability, and
+        the device transfer stay identical to a u8 push. Send QUANTIZED
+        frames and small chunks: bodies over the 64 MB cap are rejected
+        (u8/u16 keeps even large chunks far under it)."""
         manager = _m(req)
         import io
 
@@ -192,8 +197,18 @@ def create_app(manager_or_registry) -> App:
                 "rgb/depth/pose/K arrays"
             )
         with z:
+            if "rgb_i420" in z.files:
+                if "rgb" in z.files:
+                    raise ValueError(
+                        "send either rgb or rgb_i420, not both"
+                    )
+                from ..core.yuv import i420_to_rgb_u8
+
+                rgb = i420_to_rgb_u8(z["rgb_i420"])
+            else:
+                rgb = z["rgb"]
             return manager.live_push(
-                z["rgb"], z["depth"], z["pose"], z["K"]
+                rgb, z["depth"], z["pose"], z["K"]
             ), 200
 
     @app.route("/live_abort", methods=["POST"])

@@ -285,3 +285,61 @@ def test_multipart_filename_before_name():
     form, files = _parse_multipart(body, f"multipart/form-data; boundary={b}")
     assert files == {"file": b"DATA", "note": b"hi"}
     assert form == {}
+
+
+def test_http_live_push_i420_body(server_url):
+    """rgb_i420 push bodies (half the client uplink bytes) must behave
+    exactly like pushing the decoded u8 frames: frames are accepted and
+    an abort leaves the session clean. Sending both rgb keys, or a
+    malformed plane shape, is a clean 400."""
+    import io
+
+    from spatially_aware_ai_tpu.core.yuv import rgb_u8_to_i420
+    from spatially_aware_ai_tpu.data.synthetic import SyntheticSceneDataset
+
+    def post_npz(path, **arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        req = urllib.request.Request(
+            server_url + path, data=buf.getvalue(), method="POST",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    ds = SyntheticSceneDataset(num_frames=3, width=64, height=48)
+    stack = ds.stacked(range(3))
+    rgb_u8 = np.clip(np.rint(stack["rgb"] * 255.0), 0, 255).astype(np.uint8)
+    packed = rgb_u8_to_i420(rgb_u8)
+    assert packed.nbytes * 2 == rgb_u8.nbytes  # the uplink win
+
+    status, st = post(server_url, "/live_begin", {})
+    assert status == 200 and st["state"] == "live"
+    try:
+        status, st = post_npz(
+            "/live_push", rgb_i420=packed, depth=stack["depth"],
+            pose=stack["pose"], K=stack["K"],
+        )
+        assert status == 200 and st["frames_seen"] == 3
+
+        # both keys -> 400; bad plane height -> 400; session is untouched
+        status, err = post_npz(
+            "/live_push", rgb=rgb_u8, rgb_i420=packed,
+            depth=stack["depth"], pose=stack["pose"], K=stack["K"],
+        )
+        assert status == 400 and "not both" in err["error"]
+        status, err = post_npz(
+            "/live_push", rgb_i420=packed[:, :-1], depth=stack["depth"],
+            pose=stack["pose"], K=stack["K"],
+        )
+        assert status == 400
+        with urllib.request.urlopen(
+            server_url + "/live_status", timeout=60
+        ) as resp:
+            st = json.loads(resp.read().decode())
+        assert st["frames_seen"] == 3
+    finally:
+        post(server_url, "/live_abort", {})

@@ -173,3 +173,38 @@ def test_config_validation():
 
     with pytest.raises(ValueError, match="rgb_transfer"):
         FusionConfig(rgb_transfer="jpeg")
+
+
+def test_host_decoder_matches_device_decoder():
+    """i420_to_rgb_u8 (the server's client-push boundary decoder) must be
+    the exact quantized mirror of the device decoder: same chroma expand,
+    same inverse matrix, u8 rounding of the same values."""
+    from spatially_aware_ai_tpu.core.yuv import i420_to_rgb_u8
+
+    planes = RNG.integers(0, 256, (2, 36, 32), dtype=np.uint8)  # H=24
+    host = i420_to_rgb_u8(planes)
+    dev = np.asarray(i420_to_rgb_device(planes, 24))
+    np.testing.assert_array_equal(
+        host, np.clip(np.rint(dev * 255.0), 0, 255).astype(np.uint8)
+    )
+
+
+def test_host_decoder_roundtrip_and_validation():
+    from spatially_aware_ai_tpu.core.yuv import i420_to_rgb_u8
+
+    # smooth content (natural-image-like chroma coherence): 4:2:0 loss is
+    # small; pure noise would not be representative of camera frames
+    yy, xx = np.mgrid[0:24, 0:32].astype(np.float32)
+    rgb = np.stack(
+        [xx * 4, yy * 8, (xx + yy) * 3], axis=-1
+    ).clip(0, 255).astype(np.uint8)[None].repeat(2, axis=0)
+    back = i420_to_rgb_u8(rgb_u8_to_i420(rgb))
+    assert back.shape == rgb.shape and back.dtype == np.uint8
+    assert float(np.abs(back.astype(np.int32) - rgb).mean()) < 4.0
+
+    with pytest.raises(ValueError):
+        i420_to_rgb_u8(np.zeros((2, 35, 32), np.uint8))  # not H + H//2
+    with pytest.raises(ValueError):
+        i420_to_rgb_u8(np.zeros((2, 36, 31), np.uint8))  # odd width
+    with pytest.raises(ValueError):
+        i420_to_rgb_u8(np.zeros((2, 36, 32), np.float32))  # not u8
