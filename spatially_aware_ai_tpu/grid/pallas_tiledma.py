@@ -135,18 +135,22 @@ def brick_tile_bboxes(uv, valid, tile_h: int, tile_w: int, H: int, W: int):
 
 def _tile_sample_kernel(
     bbox_ref, uv_ref, img_ref, out_ref, val_ref, tile, sem,
-    *, C, TH, TW, V,
+    *, C, F, TH, TW, V,
 ):
     i = pl.program_id(0)
     f = pl.program_id(1)
-    # bbox carries (y0/8, x0/128): Mosaic must PROVE the dynamic HBM slice
-    # offsets divide the (8, 128) memref tiling, and a raw prefetched
-    # scalar is unprovable while a product with the tiling constant is
-    # divisible by construction (first real-TPU lowering failed exactly
-    # here: "Failed to prove that a tile index in dimension 2 is divisible
-    # by the tiling (8)").
-    y0 = bbox_ref[i, f, 0] * _SUB
-    x0 = bbox_ref[i, f, 1] * _LANE
+    # bbox is FLAT [NB*F*2] in TILING units (y0/8, x0/128). Two real-TPU
+    # lowering constraints meet here: (1) Mosaic must PROVE the dynamic
+    # HBM slice offsets divide the (8, 128) memref tiling — a raw
+    # prefetched scalar is unprovable, a product with the tiling constant
+    # is divisible by construction ("Failed to prove that a tile index in
+    # dimension 2 is divisible by the tiling (8)"); (2) a multi-dim
+    # computed SMEM operand gets lane-padded ([NB, F, 2] -> [NB, F, 128]
+    # i32 = 1.6 MB > the 1 MB SMEM — "Allocation would exceed memory
+    # (space=smem)"), while a flat 1-D scalar array lays out linearly.
+    base = (i * F + f) * 2
+    y0 = bbox_ref[base] * _SUB
+    x0 = bbox_ref[base + 1] * _LANE
 
     dma = pltpu.make_async_copy(
         img_ref.at[f, :, pl.ds(y0, TH), pl.ds(x0, TW)], tile, sem
@@ -204,12 +208,12 @@ def tile_sample_nearest(
     assert V % _LANE == 0, f"{V=} must be a lane multiple"
 
     kernel = functools.partial(
-        _tile_sample_kernel, C=C, TH=tile_h, TW=tile_w, V=V
+        _tile_sample_kernel, C=C, F=F, TH=tile_h, TW=tile_w, V=V
     )
-    # scalar-prefetch the bbox in TILING units (see kernel comment): the
-    # origins are (8, 128)-aligned by brick_tile_bboxes' construction, so
-    # this division is exact
-    bbox = bbox // jnp.array([_SUB, _LANE], jnp.int32)
+    # scalar-prefetch the bbox FLAT and in TILING units (see kernel
+    # comment): the origins are (8, 128)-aligned by brick_tile_bboxes'
+    # construction, so this division is exact
+    bbox = (bbox // jnp.array([_SUB, _LANE], jnp.int32)).reshape(-1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB, F),
