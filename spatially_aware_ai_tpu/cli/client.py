@@ -139,6 +139,11 @@ def main(argv=None):
     lv.add_argument("--objects-every", type=int, default=0,
                     help="GET /live_objects every N pushes (mid-stream "
                          "object inventory)")
+    lv.add_argument("--i420", action="store_true",
+                    help="push rgb as packed 4:2:0 (rgb_i420 npz key): "
+                         "half the uplink rgb bytes, matching phone "
+                         "cameras' native YUV output; needs H %% 4 == 0 "
+                         "and W even")
 
     args = parser.parse_args(argv)
     s = args.server
@@ -246,11 +251,27 @@ def main(argv=None):
                 if hasattr(ds, "stacked_u8")
                 else ds.stacked(range(start, min(n, start + args.chunk)))
             )
+            arrays = {"rgb": stack["rgb"], "depth": stack["depth"],
+                      "pose": stack["pose"], "K": stack["K"]}
+            if args.i420:
+                from ..core.yuv import i420_compatible, rgb_u8_to_i420
+
+                rgb = np.asarray(arrays["rgb"])
+                if rgb.dtype != np.uint8:
+                    rgb = np.clip(
+                        np.rint(rgb * 255.0), 0, 255
+                    ).astype(np.uint8)
+                if i420_compatible(rgb.shape[1], rgb.shape[2]):
+                    arrays["rgb_i420"] = rgb_u8_to_i420(rgb)
+                    del arrays["rgb"]
+                elif start == 0:
+                    print(
+                        "  (i420 skipped: frame dims "
+                        f"{rgb.shape[1]}x{rgb.shape[2]} need H % 4 == 0, "
+                        "W even)"
+                    )
             buf = io.BytesIO()
-            np.savez(
-                buf, rgb=stack["rgb"], depth=stack["depth"],
-                pose=stack["pose"], K=stack["K"],
-            )
+            np.savez(buf, **arrays)
             req = urllib.request.Request(
                 s + _path("/live_push"), data=buf.getvalue(),
                 method="POST",
