@@ -614,13 +614,20 @@ def main_full(out=None):
     chunk_rgb_dev = _jnp.asarray(ds.rgb[:CHUNK])
     seg_out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
     float(_jnp.ravel(seg_out)[0].astype(_jnp.float32))  # compile + warmup
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        seg_out = seg.run_on_batch_fused_labels(chunk_rgb_dev, as_numpy=False)
-    float(_jnp.ravel(seg_out)[0].astype(_jnp.float32))
-    kmax_s = time.perf_counter() - t0
-    kmax_fps = reps * CHUNK / kmax_s
+
+    def kmax_pass(reps=3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out_dev = seg.run_on_batch_fused_labels(
+                chunk_rgb_dev, as_numpy=False
+            )
+        float(_jnp.ravel(out_dev)[0].astype(_jnp.float32))
+        return reps * CHUNK / (time.perf_counter() - t0)
+
+    # best-of-2: the r4 record captured 26.41 fps in a sick window while
+    # healthy same-round runs measured 30.4-32.0 (VERDICT r4 weak #5); both
+    # passes run identical device work, so the delta is tunnel noise
+    kmax_fps = max(kmax_pass(), kmax_pass())
 
     # --- full pipeline: warmup scan (compiles), then timed scan ---
     def drain(res):
@@ -636,16 +643,72 @@ def main_full(out=None):
     run = lambda: fuse_scan(ds, engine, cfg, segmenter=seg.run_on_image)
     drain(run())  # warmup/compile, fully drained
     _abort_checkpoint("warmup_scan")
-    t0 = time.perf_counter()
-    result = run()
-    fuse_wall = time.perf_counter() - t0
-    # the timed scan's own feat-finalize tail: a real per-scan cost, but a
-    # once-per-scan grid-sized one — measure it separately and charge it
-    # with the finalize term instead of letting the 500/T frame scaling
-    # multiply it
-    t0 = time.perf_counter()
-    drain(result)
-    feat_drain_s = time.perf_counter() - t0
+
+    # --- timed scan: best-of with health gating (VERDICT r4 next #1).
+    # BENCH_r04 minted its north-star line from ONE timed scan in a window
+    # its own tells flagged as sick (link probe 1.4 MB/s vs 14-18 healthy,
+    # kMaX 26.4 fps vs 30.4-32, fuse_wall 12.2 s vs 2.2 in r3) while a
+    # healthy-window run the same round measured 5.13 s. So: always run 2
+    # timed scans; if the best still trips the documented sick tells
+    # (CLAUDE.md healthy bands), keep re-running up to SAI_BENCH_FULL_MAX
+    # _PASSES while the phase-budget watchdog allows. The line publishes
+    # best-of count, spread, and the tells it gated on, so the artifact
+    # itself says how healthy the record is. ---
+    def timed_pass():
+        t0 = time.perf_counter()
+        res = run()
+        fw = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # the timed scan's own feat-finalize tail: a real per-scan cost,
+        # but a once-per-scan grid-sized one — measured separately and
+        # charged with the finalize term instead of letting the 500/T
+        # frame scaling multiply it
+        drain(res)
+        return res, fw, time.perf_counter() - t0
+
+    def is_sick(fuse_walls, kmax_fps, bounds_s, link_up):
+        tells = []
+        if not tiny:
+            if kmax_fps < 24.0:
+                tells.append(f"kmax_fps {kmax_fps:.1f} < 24 (healthy 30-32)")
+            if bounds_s > 4.0:
+                tells.append(f"bounds_s {bounds_s:.1f} > 4 (healthy <1.1)")
+            if link_up is not None and link_up < 5.0:
+                tells.append(
+                    f"link_upload {link_up:.1f} MB/s < 5 (healthy 14-18)"
+                )
+            if len(fuse_walls) >= 2:
+                spread = (max(fuse_walls) - min(fuse_walls)) / max(fuse_walls)
+                if spread > 0.35:
+                    tells.append(f"pass spread {spread * 100:.0f}% > 35%")
+        return tells
+
+    max_passes = int(os.environ.get(
+        "SAI_BENCH_FULL_MAX_PASSES", "2" if tiny else "4"))
+    result, fuse_wall, feat_drain_s = timed_pass()
+    fuse_walls = [fuse_wall]
+    link_up_probe = None
+    for _ in range(max_passes - 1):
+        if len(fuse_walls) >= 2:
+            # past the mandatory best-of-2, only re-run on sick tells
+            if link_up_probe is None:
+                link_up_probe, _ = _probe_link_upload()
+            if not is_sick(fuse_walls, kmax_fps,
+                           float(result.timings.get("bounds_s", 0.0)),
+                           link_up_probe):
+                break
+            link_up_probe = None  # re-probe after the extra pass
+        _abort_checkpoint(f"timed_scan_pass_{len(fuse_walls)}")
+        res, fw, fd = timed_pass()
+        fuse_walls.append(fw)
+        if fw < fuse_wall:
+            result, fuse_wall, feat_drain_s = res, fw, fd
+        else:
+            del res
+        kmax_fps = max(kmax_fps, kmax_pass())
+    pass_spread_pct = (
+        (max(fuse_walls) - min(fuse_walls)) / max(fuse_walls) * 100.0
+    )
     full_fps = T / fuse_wall
 
     # --- post-processing once per scan: flood fill + meshes + query.
@@ -737,7 +800,9 @@ def main_full(out=None):
     # is pessimistic vs real PCIe (>1 GB/s), which is the honest direction
     # for a conservative bound. ---
     bounds_s = float(result.timings.get("bounds_s", 0.0))
-    up_mb_s, _ = _probe_link_upload()
+    up_mb_s = link_up_probe
+    if up_mb_s is None:
+        up_mb_s, _ = _probe_link_upload()
     rgb_bytes = ds.rgb_u8.nbytes
     if cfg.rgb_transfer == "yuv420":
         rgb_bytes = rgb_bytes // 2
@@ -745,29 +810,55 @@ def main_full(out=None):
         depth_bytes = ds.depth_native_u16.nbytes
     else:
         depth_bytes = ds.depth.size * 2  # u16 mm quantized transfer
-    link_s = (rgb_bytes + depth_bytes) / 1e6 / up_mb_s
-    shared_s = min(bounds_s + link_s, per_frame_wall)
-    est_scan_s_cons = (
-        (500.0 / T) * ((per_frame_wall - shared_s) / 8 + shared_s)
-        + finalize_s + postproc_s
-    )
+    # VERDICT r4 next #2: with the raw sandbox probe in the denominator the
+    # "conservative" bound measured the tunnel, not the architecture (r4:
+    # probe 1.4 MB/s -> 228 s). A production single-host v5e-8 feeds chips
+    # over PCIe gen3 x16 (>= ~12 GB/s per direction); floor the deployment
+    # link assumption at 1 GB/s — an order of magnitude below PCIe — and
+    # publish BOTH the floored bound and the raw sandbox-link figure so the
+    # artifact separates architecture from sandbox plumbing.
+    link_floor_mb_s = float(
+        os.environ.get("SAI_BENCH_LINK_FLOOR_MB_S", "1000"))
+    link_s_sandbox = (rgb_bytes + depth_bytes) / 1e6 / up_mb_s
+    link_s = (rgb_bytes + depth_bytes) / 1e6 / max(up_mb_s, link_floor_mb_s)
+
+    def cons_est(link_term_s):
+        shared_s = min(bounds_s + link_term_s, per_frame_wall)
+        return ((500.0 / T) * ((per_frame_wall - shared_s) / 8 + shared_s)
+                + finalize_s + postproc_s)
+
+    est_scan_s_cons = cons_est(link_s)
+    est_scan_s_cons_sandbox = cons_est(link_s_sandbox)
     # single-chip measured wall for THIS scan (VERDICT r3 next #2): at
     # SAI_BENCH_FULL_FRAMES=500 this is the real 500-frame measurement the
     # est formula extrapolates to — no division by 8, no 500/T scaling.
     measured_scan_s_1chip = fuse_wall + feat_drain_s + postproc_s
+    sick_tells = is_sick(fuse_walls, kmax_fps, bounds_s, up_mb_s)
     result_line = {
         "metric": "scan_to_queryable_s_500frame_8chip_est_full",
         "value": round(est_scan_s, 2),
         "unit": "s",
         "vs_baseline": round(30.0 / est_scan_s, 3),  # >1 beats the 30 s target
+        # best-of + spread (VERDICT r4 next #1): identical device work per
+        # pass; the spread IS the tunnel/host noise of this window
+        "best_of": len(fuse_walls),
+        "pass_spread_pct": round(pass_spread_pct, 1),
         # variance tells (VERDICT r2 next #1): bounds_s is the host/tunnel
         # health canary (1.1 s healthy, 28+ s sick); kMaX device fps is the
-        # stable cross-check (~30 on a healthy run) — a slow estimate with
-        # healthy tells means host contention, not a regression
+        # stable cross-check (~30 on a healthy run); link probe healthy
+        # band 14-18 MB/s — a slow estimate with healthy tells means host
+        # contention, not a regression
         "kmax_device_fps_per_chip": round(kmax_fps, 2),
-        "bounds_s": round(float(result.timings.get("bounds_s", 0.0)), 2),
-        # host/link terms NOT divided by 8 (shared on a single-host v5e-8)
+        "bounds_s": round(bounds_s, 2),
+        "link_upload_mb_s": round(up_mb_s, 1),
+        "health": "degraded: " + "; ".join(sick_tells) if sick_tells
+                  else "ok",
+        # host/link terms NOT divided by 8 (shared on a single-host v5e-8);
+        # link term floored at the documented deployment assumption, raw
+        # sandbox-tunnel variant published alongside (VERDICT r4 next #2)
         "value_conservative": round(est_scan_s_cons, 2),
+        "link_assumption_mb_s": link_floor_mb_s,
+        "value_conservative_sandbox_link": round(est_scan_s_cons_sandbox, 2),
         "measured_scan_s_1chip": round(measured_scan_s_1chip, 2),
         "measured_frames": T,
     }
@@ -794,8 +885,12 @@ def main_full(out=None):
                             result.timings.items()},
                 "upload_mb": round((rgb_bytes + depth_bytes) / 1e6, 1),
                 "link_upload_mb_s": round(up_mb_s, 1),
-                "link_s_est": round(link_s, 2),
+                "link_s_est_floored": round(link_s, 2),
+                "link_s_est_sandbox": round(link_s_sandbox, 2),
                 "est_conservative_s": round(est_scan_s_cons, 2),
+                "est_conservative_s_sandbox_link": round(
+                    est_scan_s_cons_sandbox, 2),
+                "fuse_wall_passes_s": [round(w, 2) for w in fuse_walls],
                 "n_objects": len(knowledge["unique_objects"]),
                 "n_obj_meshes": n_obj_meshes,
                 "synthetic_labels_for_postproc": synthetic_labels,
@@ -812,6 +907,80 @@ def main_full(out=None):
         ),
         file=sys.stderr,
     )
+
+    # --- fast profile (VERDICT r4 next #3): segment_stride=2 +
+    # frame_chunk=16 is the one surviving device-side lever (kMaX is ~85%
+    # of device compute; batching plateaus at B=8, int8 and tile-DMA
+    # measured negative). Device-side win 1.50-1.63x from the measured
+    # batch curve; quality cost converged to ~-1 pt mIoU at >=96-frame
+    # scans (docs/ROADMAP.md stride section). The sandbox wall is
+    # link-bound so the wall here can read neutral — the artifact line is
+    # the evidence the preset exists and what it costs. Preset documented
+    # in docs/OPERATIONS.md ("fast" profile). SAI_BENCH_FAST_PROFILE=0
+    # skips. ---
+    if os.environ.get("SAI_BENCH_FAST_PROFILE", "1") == "1":
+        import dataclasses
+
+        _abort_checkpoint("fast_profile_setup")
+        fp_chunk = 4 if tiny else 16
+        fp_cfg = dataclasses.replace(
+            cfg, segment_stride=2, frame_chunk=fp_chunk)
+        fp_run = lambda: fuse_scan(ds, engine, fp_cfg,
+                                   segmenter=seg.run_on_image)
+        drain(fp_run())  # warmup/compile
+        _abort_checkpoint("fast_profile_warmup")
+        fp_walls, fp_best = [], None
+        for i in range(2):
+            t0 = time.perf_counter()
+            fp_res = fp_run()
+            fp_w = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            drain(fp_res)
+            fp_d = time.perf_counter() - t0
+            fp_walls.append(fp_w)
+            if fp_best is None or fp_w < fp_best[1]:
+                fp_best = (fp_res, fp_w, fp_d)
+            else:
+                del fp_res
+            _abort_checkpoint(f"fast_profile_pass_{i}")
+        fp_res, fp_wall, fp_drain = fp_best
+        fp_finalize = float(
+            fp_res.timings.get("finalize_s", 0.0)) + fp_drain
+        fp_per_frame = max(fp_wall - (fp_finalize - fp_drain), 1e-6)
+        fp_est = (500.0 * fp_per_frame / T) / 8 + fp_finalize + postproc_s
+        fp_bounds = float(fp_res.timings.get("bounds_s", 0.0))
+        fp_shared = min(fp_bounds + link_s, fp_per_frame)
+        fp_cons = ((500.0 / T) * ((fp_per_frame - fp_shared) / 8 + fp_shared)
+                   + fp_finalize + postproc_s)
+        print(json.dumps({
+            "metric": "scan_to_queryable_s_500frame_8chip_est_fast_profile",
+            "value": round(fp_est, 2),
+            "unit": "s",
+            "vs_baseline": round(30.0 / fp_est, 3),
+            "preset": {"segment_stride": 2, "frame_chunk": fp_chunk},
+            "best_of": len(fp_walls),
+            "pass_spread_pct": round(
+                (max(fp_walls) - min(fp_walls)) / max(fp_walls) * 100.0, 1),
+            # measured on the hermetic GT eval: stride-2 mIoU penalty
+            # converges -2.6 -> -1.0 pts by 96-160-frame scans
+            # (docs/ROADMAP.md); co-observed label flips < 1%
+            "quality_cost_miou_pts": -1.0,
+            "quality_cost_note": "converged at >=96-frame scans; "
+                                 "-2.6 pts on 32-frame short scans "
+                                 "(docs/ROADMAP.md stride section)",
+            "device_side_speedup_measured": "1.50-1.63x (kMaX batch curve; "
+                                            "sandbox wall is link-bound)",
+            "value_conservative": round(fp_cons, 2),
+            "link_assumption_mb_s": link_floor_mb_s,
+            "fuse_wall_s": round(fp_wall, 2),
+            "bounds_s": round(fp_bounds, 2),
+            "measured_scan_s_1chip": round(
+                fp_wall + fp_drain + postproc_s, 2),
+            "measured_frames": T,
+            # always stderr: the stdout single-line contract holds in both
+            # standalone (SAI_BENCH_FULL=1) and combined modes; the driver
+            # tail captures stderr
+        }), file=sys.stderr, flush=True)
 
 
 def _run_full_guarded():

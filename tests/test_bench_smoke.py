@@ -53,13 +53,15 @@ def _run_bench(extra_env, timeout=900):
     return record, proc.stderr
 
 
-def _diag_line(stderr, key=None):
+def _diag_line(stderr, key=None, value=None):
     """A stderr diagnostics JSON line (XLA may interleave warning lines).
-    With key, returns the last JSON line containing that key."""
+    With key, returns the last JSON line containing that key; with value
+    too, the last line where rec[key] == value."""
     for line in reversed(stderr.splitlines()):
         if line.startswith("{"):
             rec = json.loads(line)
-            if key is None or key in rec:
+            if key is None or (key in rec and
+                               (value is None or rec[key] == value)):
                 return rec
     raise AssertionError(f"no JSON diagnostics on stderr:\n{stderr[-2000:]}")
 
@@ -73,10 +75,30 @@ def test_bench_default_mode_contract():
     assert record["unit"] == "frames/s"
     diag = _diag_line(stderr, key="chunk_frames")
     assert diag["chunk_frames"] >= 1
-    full = _diag_line(stderr, key="metric")
-    assert full["metric"] == "scan_to_queryable_s_500frame_8chip_est_full"
+    full = _diag_line(
+        stderr, key="metric",
+        value="scan_to_queryable_s_500frame_8chip_est_full")
     assert full["value"] > 0
     assert "bounds_s" in full and "kmax_device_fps_per_chip" in full
+    # VERDICT r4 next #1: the north-star line carries best-of + spread +
+    # the health tells it gated on
+    assert full["best_of"] >= 2
+    assert "pass_spread_pct" in full and "health" in full
+    assert "link_upload_mb_s" in full
+    # VERDICT r4 next #2: conservative bound floored at a documented
+    # deployment link assumption, raw sandbox figure alongside
+    assert full["link_assumption_mb_s"] > 0
+    assert full["value_conservative"] > 0
+    assert "value_conservative_sandbox_link" in full
+    # VERDICT r4 next #3: the fast-profile preset line exists with its
+    # quality cost stamped
+    fast = _diag_line(
+        stderr, key="metric",
+        value="scan_to_queryable_s_500frame_8chip_est_fast_profile")
+    assert fast["preset"]["segment_stride"] == 2
+    assert fast["best_of"] >= 2
+    assert fast["quality_cost_miou_pts"] < 0
+    assert fast["value"] > 0
 
 
 @pytest.mark.slow
@@ -131,7 +153,7 @@ def test_bench_full_mode_contract():
     )
     assert record["metric"] == "scan_to_queryable_s_500frame_8chip_est_full"
     assert record["unit"] == "s"
-    diag = _diag_line(stderr)
+    diag = _diag_line(stderr, key="n_objects")
     assert diag["n_objects"] >= 1
     assert diag["postproc_phases_s"]["mesh"] >= 0.0
     assert "mesh_first" in diag["postproc_phases_s"]
