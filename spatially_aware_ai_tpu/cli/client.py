@@ -256,18 +256,22 @@ def main(argv=None):
             if args.i420:
                 from ..core.yuv import i420_compatible, rgb_u8_to_i420
 
-                rgb = np.asarray(arrays["rgb"])
-                if rgb.dtype != np.uint8:
-                    rgb = np.clip(
-                        np.rint(rgb * 255.0), 0, 255
-                    ).astype(np.uint8)
-                if i420_compatible(rgb.shape[1], rgb.shape[2]):
+                # dims gate FIRST: incompatible frames would otherwise pay
+                # a full clip/rint/astype pass per chunk just to be
+                # discarded (ADVICE r4)
+                shape = np.asarray(arrays["rgb"]).shape
+                if i420_compatible(shape[1], shape[2]):
+                    rgb = np.asarray(arrays["rgb"])
+                    if rgb.dtype != np.uint8:
+                        rgb = np.clip(
+                            np.rint(rgb * 255.0), 0, 255
+                        ).astype(np.uint8)
                     arrays["rgb_i420"] = rgb_u8_to_i420(rgb)
                     del arrays["rgb"]
                 elif start == 0:
                     print(
                         "  (i420 skipped: frame dims "
-                        f"{rgb.shape[1]}x{rgb.shape[2]} need H % 4 == 0, "
+                        f"{shape[1]}x{shape[2]} need H % 4 == 0, "
                         "W even)"
                     )
             buf = io.BytesIO()

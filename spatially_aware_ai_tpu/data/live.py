@@ -51,35 +51,61 @@ def save_live_frames(scan_dir: str, rgb_u8, depth_u16, pose, K) -> str:
 # live_end or via manager.live_recover() after a restart.
 
 def save_staging_part(staging_dir: str, part_idx: int,
-                      rgb_u8, depth_u16, pose, K) -> str:
+                      rgb_u8, depth_u16, pose, K,
+                      rgb_i420_height: int = 0) -> str:
+    """rgb_i420_height > 0 marks rgb_u8 as PACKED i420 planes
+    [F, H + H//2, W] u8 (a yuv420-transfer session streaming the camera's
+    native 4:2:0 layout): the part stores the planes verbatim — half the
+    staging bytes, no host decode on the push path, and no second chroma
+    rounding when the chunk later uploads (core/yuv.py)."""
     os.makedirs(staging_dir, exist_ok=True)
     from ..utils.atomic import atomic_savez
 
     path = os.path.join(staging_dir, f"part_{part_idx:05d}.npz")
+    rgb_key = "rgb_i420" if rgb_i420_height else "rgb"
     # atomic AND durable: fsync before the rename, otherwise an OS-level
     # crash can leave a present-but-torn part that breaks both recovery
     # paths exactly when they're needed
     atomic_savez(
         path,
         durable=True,
-        rgb=np.asarray(rgb_u8, np.uint8),
         depth=np.asarray(depth_u16, np.uint16),
         pose=np.asarray(pose, np.float32),
         K=np.asarray(K, np.float32),
+        **{rgb_key: np.asarray(rgb_u8, np.uint8)},
     )
     return path
+
+
+def part_nframes(arrays: dict) -> int:
+    """Frame count of a staged part regardless of its rgb layout."""
+    return len(arrays["rgb_i420"] if "rgb_i420" in arrays else arrays["rgb"])
+
+
+def part_rgb_u8(arrays: dict) -> np.ndarray:
+    """Decoded [F, H, W, 3] u8 rgb of a staged part (cold consolidation /
+    recovery path; i420 parts decode here, never on the push path)."""
+    if "rgb_i420" in arrays:
+        from ..core.yuv import i420_to_rgb_u8
+
+        return i420_to_rgb_u8(arrays["rgb_i420"])
+    return arrays["rgb"]
 
 
 def load_staging_parts(staging_dir: str):
     """Yield (path, arrays-dict) for each readable staged part, and return
     the unreadable ones. Torn parts (OS crash mid-write despite fsync, disk
-    trouble) are skipped so ONE bad file cannot brick recovery."""
+    trouble) are skipped so ONE bad file cannot brick recovery. The rgb
+    arrays key is either "rgb" [F,H,W,3] or "rgb_i420" [F,H+H//2,W]
+    (packed-plane parts of a yuv420-transfer session)."""
     good, bad = [], []
     for p in staging_parts(staging_dir):
         try:
             with np.load(p) as z:
+                rgb_key = "rgb_i420" if "rgb_i420" in z.files else "rgb"
                 good.append(
-                    (p, {k: z[k] for k in ("rgb", "depth", "pose", "K")})
+                    (p, {k: z[k]
+                         for k in (rgb_key, "depth", "pose", "K")})
                 )
         except Exception:
             bad.append(p)
@@ -105,12 +131,12 @@ def consolidate_staging(staging_dir: str, scan_dir: str) -> int:
         )
     save_live_frames(
         scan_dir,
-        np.concatenate([g[1]["rgb"] for g in good]),
+        np.concatenate([part_rgb_u8(g[1]) for g in good]),
         np.concatenate([g[1]["depth"] for g in good]),
         np.concatenate([g[1]["pose"] for g in good]),
         np.concatenate([g[1]["K"] for g in good]),
     )
-    return sum(len(g[1]["rgb"]) for g in good)
+    return sum(part_nframes(g[1]) for g in good)
 
 
 class LiveScanDataset(FrameDataset):

@@ -136,7 +136,8 @@ class LiveScanSession:
 
     # -- push ---------------------------------------------------------------
 
-    def push(self, rgb, depth, pose, K, _stage: bool = True) -> dict:
+    def push(self, rgb, depth, pose, K, _stage: bool = True,
+             rgb_i420_height: int = 0) -> dict:
         """Add frames. rgb [F, H, W, 3] uint8 or float [0,1]; depth
         [F, H, W] uint16 mm or float meters — OR the sensor's native
         low-res frame [F, H/s, W/s] for an integer s (e.g. the iPhone's
@@ -145,28 +146,62 @@ class LiveScanSession:
         K is always for the RGB resolution. pose [F, 4, 4]; K [F, 3, 3].
         Single frames may omit the leading axis. Returns progress + the
         running clipped_fraction. _stage=False replays already-staged
-        frames (manager.live_resume) without re-writing them."""
+        frames (manager.live_resume) without re-writing them.
+
+        rgb_i420_height=H marks rgb as PACKED i420 planes [F, H + H//2, W]
+        u8 (the camera pipeline's native 4:2:0 layout). In a
+        rgb_transfer="yuv420" session the planes stay packed end-to-end:
+        staged verbatim, uploaded verbatim, decoded on DEVICE
+        (core/yuv.py:i420_to_rgb_device) — no host decode on the push path
+        and no second chroma rounding. Any other session decodes to u8 at
+        this boundary (same result as a u8 push)."""
         from ..core.upsample import infer_native_depth_scale
 
         rgb = np.asarray(rgb)
         depth = np.asarray(depth)
         pose = np.asarray(pose, np.float32)
         K = np.asarray(K, np.float32)
-        if rgb.ndim == 3:
+        i420 = int(rgb_i420_height) > 0
+        if rgb.ndim == (2 if i420 else 3):
             rgb, depth, pose, K = rgb[None], depth[None], pose[None], K[None]
-        if rgb.dtype != np.uint8:
-            rgb = np.clip(np.rint(rgb * 255.0), 0, 255).astype(np.uint8)
+        if i420:
+            from ..core.yuv import i420_compatible, i420_to_rgb_u8
+
+            H, W = int(rgb_i420_height), int(rgb.shape[-1])
+            if (rgb.ndim != 3 or rgb.dtype != np.uint8
+                    or not i420_compatible(H, W)
+                    or rgb.shape[1] != H + H // 2):
+                raise ValueError(
+                    f"rgb_i420 expects packed u8 planes [F, H + H//2, W] "
+                    f"with H % 4 == 0 and W % 2 == 0; got {rgb.shape} "
+                    f"({rgb.dtype}) for H={rgb_i420_height}"
+                )
+            if self.cfg.rgb_transfer != "yuv420":
+                # u8-transfer session: the device path wants u8 — decode
+                # once at this boundary; yuv420 sessions keep the planes
+                rgb = i420_to_rgb_u8(rgb)
+                i420 = False
+        else:
+            if rgb.dtype != np.uint8:
+                rgb = np.clip(
+                    np.rint(rgb * 255.0), 0, 255
+                ).astype(np.uint8)
+            if rgb.ndim != 4 or rgb.shape[-1] != 3:
+                raise ValueError(
+                    f"rgb {rgb.shape} / depth {depth.shape} mismatch"
+                )
+            H, W = rgb.shape[1], rgb.shape[2]
         if depth.dtype != np.uint16:
             depth = np.clip(
                 np.rint(np.nan_to_num(depth) * 1000.0), 0, 65535
             ).astype(np.uint16)
 
-        if rgb.ndim != 4 or depth.ndim != 3 or rgb.shape[-1] != 3:
+        if depth.ndim != 3:
             raise ValueError(
                 f"rgb {rgb.shape} / depth {depth.shape} mismatch"
             )
         depth_scale = infer_native_depth_scale(
-            rgb.shape[1:3], depth.shape[1:3]
+            (H, W), depth.shape[1:3]
         )  # raises on non-integer ratios
         if pose.shape[-2:] != (4, 4) or K.shape[-2:] != (3, 3):
             raise ValueError(
@@ -178,7 +213,6 @@ class LiveScanSession:
             if self.ended:
                 raise ValueError("live session already ended")
             t0 = time.perf_counter()
-            H, W = rgb.shape[1:3]
             if self._frame_hw is not None and (
                 self._frame_hw != (H, W) or self._depth_scale != depth_scale
             ):
@@ -198,7 +232,7 @@ class LiveScanSession:
 
                 save_staging_part(
                     self.staging_dir, self._staged_parts, rgb, depth,
-                    pose, K,
+                    pose, K, rgb_i420_height=H if i420 else 0,
                 )
                 self._staged_parts += 1
             for f in range(len(rgb)):
@@ -219,11 +253,14 @@ class LiveScanSession:
                 self._Ks.append(K[f])
                 self._track_clipping(d_m, pose[f], K[f])
                 if self.staging_dir is None:
+                    # persistence copy for live_end's save_live_frames.
+                    # i420 frames keep their PLANES ([H+H//2, W], ndim 2 —
+                    # distinguishable from HWC u8) and decode once at end
                     self._rgb_u8.append(rgb[f])
                     self._depth_u16.append(depth[f])
                 self.pending.append(
-                    {"rgb": rgb[f], "depth": depth[f], "pose": pose[f],
-                     "K": K[f]}
+                    {("rgb_i420" if i420 else "rgb"): rgb[f],
+                     "depth": depth[f], "pose": pose[f], "K": K[f]}
                 )
                 self.frames_seen += 1
             self.timings["bounds_s"] += time.perf_counter() - t0
@@ -358,25 +395,42 @@ class LiveScanSession:
         pad = F - len(chunk)
         chunk = chunk + [chunk[-1]] * pad
 
-        rgb_u8 = np.stack([c["rgb"] for c in chunk])
         depth_u16 = np.stack([c["depth"] for c in chunk])
         t0 = time.perf_counter()
         i420_h = 0
-        if cfg.rgb_transfer == "yuv420":
-            from ..core.yuv import i420_compatible, rgb_u8_to_i420
+        if cfg.rgb_transfer == "yuv420" and all(
+            "rgb_i420" in c for c in chunk
+        ):
+            # pass-through (the ADVICE r4 finding): the client pushed the
+            # camera's native packed 4:2:0 planes and the session transfers
+            # yuv420 — upload the planes VERBATIM. Zero host transcode on
+            # the push path and a single chroma rounding (the client's).
+            rgb_u8 = np.stack([c["rgb_i420"] for c in chunk])
+            i420_h = self._frame_hw[0]
+        else:
+            # u8 entries (or a mixed-format chunk: decode its i420 frames)
+            from ..core.yuv import i420_to_rgb_u8
 
-            if i420_compatible(rgb_u8.shape[1], rgb_u8.shape[2]):
-                i420_h = rgb_u8.shape[1]
-                rgb_u8 = rgb_u8_to_i420(rgb_u8)
-            elif not getattr(self, "_warned_i420", False):
-                # crash here and the push loop retries forever with
-                # "integration deferred"; degrade to u8 transfer instead
-                self._warned_i420 = True
-                warnings.warn(
-                    f"rgb_transfer=yuv420 needs H % 4 == 0 and W % 2 == 0, "
-                    f"got {rgb_u8.shape[1:3]}; live session falls back to "
-                    f"u8 transfer", stacklevel=2,
-                )
+            rgb_u8 = np.stack([
+                i420_to_rgb_u8(c["rgb_i420"][None])[0]
+                if "rgb_i420" in c else c["rgb"]
+                for c in chunk
+            ])
+            if cfg.rgb_transfer == "yuv420":
+                from ..core.yuv import i420_compatible, rgb_u8_to_i420
+
+                if i420_compatible(rgb_u8.shape[1], rgb_u8.shape[2]):
+                    i420_h = rgb_u8.shape[1]
+                    rgb_u8 = rgb_u8_to_i420(rgb_u8)
+                elif not getattr(self, "_warned_i420", False):
+                    # crash here and the push loop retries forever with
+                    # "integration deferred"; degrade to u8 transfer instead
+                    self._warned_i420 = True
+                    warnings.warn(
+                        f"rgb_transfer=yuv420 needs H % 4 == 0 and "
+                        f"W % 2 == 0, got {rgb_u8.shape[1:3]}; live session "
+                        f"falls back to u8 transfer", stacklevel=2,
+                    )
         rgb_dev, depth_dev = quantized_chunk_to_device(
             rgb_u8, depth_u16, depth_upsample=self._depth_scale,
             rgb_i420_height=i420_h,
@@ -676,8 +730,15 @@ class LiveScanSession:
                 # frames live on disk as staged parts; the manager
                 # consolidates them into the version dir
                 return result, None
+            # i420-pushed frames kept their planes (ndim 2) on the hot
+            # path; the one-time decode to the durable u8 format runs here
+            from ..core.yuv import i420_to_rgb_u8
+
             persist = {
-                "rgb": np.stack(self._rgb_u8),
+                "rgb": np.stack([
+                    i420_to_rgb_u8(f[None])[0] if f.ndim == 2 else f
+                    for f in self._rgb_u8
+                ]),
                 "depth": np.stack(self._depth_u16),
                 "pose": np.stack(self._poses),
                 "K": np.stack(self._Ks),

@@ -960,7 +960,9 @@ class InSituManager:
         try:
             with self._staging_lock:
                 good, bad = load_staging_parts(staging)
-                total = sum(len(a["rgb"]) for _, a in good)
+                from ..data.live import part_nframes
+
+                total = sum(part_nframes(a) for _, a in good)
                 # snapshot fast path: restore the grid directly and replay
                 # only the staged frames beyond it (exact either way —
                 # order-independent sums; the snapshot just skips
@@ -981,14 +983,23 @@ class InSituManager:
                     )
                 base = 0
                 for _, arrays in good:
-                    n = len(arrays["rgb"])
+                    n = part_nframes(arrays)
                     if base + n <= snap_frames:
                         base += n
                         continue
                     lo = max(0, snap_frames - base)
-                    sess.push(arrays["rgb"][lo:], arrays["depth"][lo:],
-                              arrays["pose"][lo:], arrays["K"][lo:],
-                              _stage=False)
+                    if "rgb_i420" in arrays:
+                        # packed-plane part (yuv420-transfer session):
+                        # replay verbatim; [F, 3H/2, W] -> H
+                        planes = arrays["rgb_i420"]
+                        sess.push(planes[lo:], arrays["depth"][lo:],
+                                  arrays["pose"][lo:], arrays["K"][lo:],
+                                  _stage=False,
+                                  rgb_i420_height=planes.shape[1] * 2 // 3)
+                    else:
+                        sess.push(arrays["rgb"][lo:], arrays["depth"][lo:],
+                                  arrays["pose"][lo:], arrays["K"][lo:],
+                                  _stage=False)
                     base += n
         except Exception:
             with self.lock:
@@ -1051,13 +1062,18 @@ class InSituManager:
             + 1
         )
 
-    def live_push(self, rgb, depth, pose, K) -> dict:
+    def live_push(self, rgb, depth, pose, K,
+                  rgb_i420_height: int = 0) -> dict:
         """Stream frames into the live session (chunked device dispatch;
-        does NOT hold the manager lock — queries keep serving)."""
+        does NOT hold the manager lock — queries keep serving).
+        rgb_i420_height > 0: rgb is packed i420 planes [F, H + H//2, W]
+        u8 (see LiveScanSession.push — yuv420-transfer sessions keep them
+        packed end-to-end; other sessions decode at the boundary)."""
         sess = self._live
         if sess is None:
             raise ValueError("no live session; call live_begin first")
-        out = sess.push(rgb, depth, pose, K)
+        out = sess.push(rgb, depth, pose, K,
+                        rgb_i420_height=rgb_i420_height)
         self._maybe_auto_snapshot(sess)
         return out
 

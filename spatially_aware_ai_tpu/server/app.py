@@ -202,13 +202,20 @@ def create_app(manager_or_registry) -> App:
                     raise ValueError(
                         "send either rgb or rgb_i420, not both"
                     )
-                from ..core.yuv import i420_to_rgb_u8
-
-                rgb = i420_to_rgb_u8(z["rgb_i420"])
-            else:
-                rgb = z["rgb"]
+                # no decode in the HTTP handler (1-vCPU host, serialized
+                # with the device client's RPC work): the session decides —
+                # yuv420-transfer sessions keep the planes packed all the
+                # way to the device (stage + upload verbatim, decode on
+                # device), u8 sessions decode once at the session boundary
+                planes = z["rgb_i420"]
+                if planes.ndim == 2:
+                    planes = planes[None]
+                return manager.live_push(
+                    planes, z["depth"], z["pose"], z["K"],
+                    rgb_i420_height=planes.shape[1] * 2 // 3,
+                ), 200
             return manager.live_push(
-                rgb, z["depth"], z["pose"], z["K"]
+                z["rgb"], z["depth"], z["pose"], z["K"]
             ), 200
 
     @app.route("/live_abort", methods=["POST"])

@@ -36,6 +36,7 @@ _HEAVY_TEST_MODULES = {
     "test_parallel",             # 8-device shard_map/GSPMD suites
     "test_scannet_chain",        # CLI->eval e2e chain
     "test_conversion_rehearsal", # torch mirrors + manager boot
+    "test_conversion_fullsize",  # REAL-shape converter parity (~380M params)
     "test_graft_entry",          # 8-device dryrun subprocesses (~2.6 min)
     "test_heuristic_segmenter",  # weight-free manager lifecycle
     "test_insitu_dgcnn",         # DGCNN training loops
@@ -58,7 +59,8 @@ _QUICK_TEST_MODULES = {
     "test_clis", "test_convnext_parity", "test_core_geometry",
     "test_data_loaders", "test_depth_upsample", "test_eval_mains",
     "test_evals", "test_fetch_assets", "test_fusion",
-    "test_hypersim_loader", "test_instance_fusion",
+    "test_hypersim_loader", "test_i420_passthrough",
+    "test_instance_fusion",
     "test_live_native_depth", "test_live_snapshot", "test_live_warm",
     "test_marching_cubes", "test_meshing", "test_multi_scene",
     "test_native", "test_object_query", "test_order_independence",
