@@ -923,9 +923,24 @@ def main_full(out=None):
 
         _abort_checkpoint("fast_profile_setup")
         fp_chunk = 4 if tiny else 16
+        # T must be a chunk multiple or the tail chunk is mostly padding
+        # and the per-frame wall overstates (measured: T=24/chunk=16 made
+        # the 2nd chunk half pad slots -> fuse_wall 2x). Tile the frames
+        # cyclically up to the next multiple and normalize by fp_T.
+        fp_T = ((T + fp_chunk - 1) // fp_chunk) * fp_chunk
+        if fp_T != T:
+            idx = [i % T for i in range(fp_T)]
+            fp_ds = _ArrayDataset(
+                ds.rgb[idx], ds.depth[idx], ds.pose[idx], ds.K[idx],
+                depth_native_u16=(None if ds.depth_native_u16 is None
+                                  else ds.depth_native_u16[idx]),
+                native_depth_scale=getattr(ds, "native_depth_scale", 0),
+            )
+        else:
+            fp_ds = ds
         fp_cfg = dataclasses.replace(
             cfg, segment_stride=2, frame_chunk=fp_chunk)
-        fp_run = lambda: fuse_scan(ds, engine, fp_cfg,
+        fp_run = lambda: fuse_scan(fp_ds, engine, fp_cfg,
                                    segmenter=seg.run_on_image)
         drain(fp_run())  # warmup/compile
         _abort_checkpoint("fast_profile_warmup")
@@ -947,10 +962,12 @@ def main_full(out=None):
         fp_finalize = float(
             fp_res.timings.get("finalize_s", 0.0)) + fp_drain
         fp_per_frame = max(fp_wall - (fp_finalize - fp_drain), 1e-6)
-        fp_est = (500.0 * fp_per_frame / T) / 8 + fp_finalize + postproc_s
+        fp_est = (500.0 * fp_per_frame / fp_T) / 8 + fp_finalize + postproc_s
         fp_bounds = float(fp_res.timings.get("bounds_s", 0.0))
-        fp_shared = min(fp_bounds + link_s, fp_per_frame)
-        fp_cons = ((500.0 / T) * ((fp_per_frame - fp_shared) / 8 + fp_shared)
+        fp_link_s = link_s * fp_T / T  # tiled frames upload more bytes
+        fp_shared = min(fp_bounds + fp_link_s, fp_per_frame)
+        fp_cons = ((500.0 / fp_T)
+                   * ((fp_per_frame - fp_shared) / 8 + fp_shared)
                    + fp_finalize + postproc_s)
         print(json.dumps({
             "metric": "scan_to_queryable_s_500frame_8chip_est_fast_profile",
@@ -976,7 +993,7 @@ def main_full(out=None):
             "bounds_s": round(fp_bounds, 2),
             "measured_scan_s_1chip": round(
                 fp_wall + fp_drain + postproc_s, 2),
-            "measured_frames": T,
+            "measured_frames": fp_T,
             # always stderr: the stdout single-line contract holds in both
             # standalone (SAI_BENCH_FULL=1) and combined modes; the driver
             # tail captures stderr
