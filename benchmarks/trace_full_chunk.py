@@ -39,39 +39,18 @@ def build_and_trace(logdir):
     import jax
     import jax.numpy as jnp
 
-    from spatially_aware_ai_tpu.data import SyntheticSceneDataset
     from spatially_aware_ai_tpu.models.clip.engine import ClipEngine
     from spatially_aware_ai_tpu.models.kmax import KmaxSegmenter
     from spatially_aware_ai_tpu.pipeline import FusionConfig, fuse_scan
 
-    # bench.py main_full's frame builder, at the same operating point
+    # bench.py main_full's OWN frame builder — shared so the traced
+    # workload cannot drift from the scoreboard one
     import bench
 
     W, H = 1024, 768
     T = int(os.environ.get("SAI_TRACE_FRAMES", "24"))
     CHUNK = 8
-    base = SyntheticSceneDataset(num_frames=8, width=W // 4, height=H // 4)
-    rgbs, depths, depths_u16, poses, Ks = [], [], [], [], []
-    for i in range(T):
-        f = base[i % 8]
-        rgbs.append(np.kron(f.rgb, np.ones((4, 4, 1), np.float32)))
-        depths.append(np.kron(f.depth, np.ones((4, 4), np.float32)))
-        depths_u16.append(
-            np.clip(np.rint(f.depth * 1000.0), 0, 65535).astype(np.uint16)
-        )
-        poses.append(f.pose)
-        K = f.K.copy()
-        K[0] *= 4
-        K[1] *= 4
-        Ks.append(K)
-    ds = bench._ArrayDataset(
-        np.stack(rgbs).astype(np.float32),
-        np.stack(depths).astype(np.float32),
-        np.stack(poses).astype(np.float32),
-        np.stack(Ks).astype(np.float32),
-        depth_native_u16=np.stack(depths_u16),
-        native_depth_scale=4,
-    )
+    ds = bench.build_full_dataset(T, W, H)
     engine = ClipEngine.random(seed=0)
     seg = KmaxSegmenter()
     cfg = FusionConfig(

@@ -204,15 +204,24 @@ def eval_synthetic_labels(
     pred_raw = pred  # instance discovery runs on the RAW fused class ids
     if segmenter == "heuristic":
         # best-map remap: each predicted id takes the GT class it most
-        # overlaps on observed voxels (majority vote); ids seen only off
-        # the scored mask (incl. null) map to -1 and count as errors
+        # overlaps on observed voxels (majority vote). The null id and
+        # unobserved -1 are PINNED to -1 (errors): an abstention must not
+        # collect free credit from whatever GT class it happens to sit on
+        # — a null-everywhere segmenter scores ~0, not the majority-class
+        # frequency. Ids seen only off the scored mask also map to -1.
         pred = np.asarray(pred)
         remap = {}
         for p in np.unique(pred[mask]):
             overlap = gt[mask][pred[mask] == p]
             vals, counts = np.unique(overlap, return_counts=True)
             remap[int(p)] = int(vals[counts.argmax()])
-        pred = np.vectorize(lambda v: remap.get(int(v), -1))(pred)
+        remap[NULL_CLASS_ID] = -1
+        remap[-1] = -1
+        lut = np.full(max(int(pred.max()), NULL_CLASS_ID) + 2, -1,
+                      np.int32)  # last slot aliases id -1
+        for p, c in remap.items():
+            lut[p] = c
+        pred = lut[pred]
     classes = sorted({int(b.class_id) for b in scene.boxes})
     ious = {}
     accs = {}

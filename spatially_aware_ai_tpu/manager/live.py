@@ -149,9 +149,12 @@ class LiveScanSession:
         frames (manager.live_resume) without re-writing them.
 
         rgb_i420_height=H marks rgb as PACKED i420 planes [F, H + H//2, W]
-        u8 (the camera pipeline's native 4:2:0 layout). In a
-        rgb_transfer="yuv420" session the planes stay packed end-to-end:
-        staged verbatim, uploaded verbatim, decoded on DEVICE
+        u8 in rgb_u8_to_i420's convention (cv2 ANALOG-scaled BT.601
+        full-range, core/yuv.py — what cli.client --i420 produces; NOT
+        video-range/JFIF camera YUV, whose wrong inverse costs ~10 dB
+        PSNR — transcode camera planes to this convention client-side).
+        In a rgb_transfer="yuv420" session the planes stay packed
+        end-to-end: staged verbatim, uploaded verbatim, decoded on DEVICE
         (core/yuv.py:i420_to_rgb_device) — no host decode on the push path
         and no second chroma rounding. Any other session decodes to u8 at
         this boundary (same result as a u8 push)."""

@@ -169,11 +169,13 @@ def create_app(manager_or_registry) -> App:
         [F, H/s, W/s] for an integer s (iPhone: 256x192): the cubic
         enlarge runs on device and the push body shrinks ~16x on the
         depth term (manager/live.py:push). RGB may instead arrive as
-        `rgb_i420` [F, H + H//2, W] u8 packed 4:2:0 (the camera
-        pipeline's native layout on phones) — HALF the rgb bytes on the
-        client uplink; the server decodes at this boundary
-        (core/yuv.py:i420_to_rgb_u8) so staging, crash durability, and
-        the device transfer stay identical to a u8 push. Send QUANTIZED
+        `rgb_i420` [F, H + H//2, W] u8 packed 4:2:0 in rgb_u8_to_i420's
+        convention (cv2 analog-scaled BT.601 full-range, core/yuv.py —
+        what cli.client --i420 produces; camera-native video-range YUV
+        must be transcoded client-side) — HALF the rgb bytes on the
+        client uplink. yuv420-transfer sessions keep the planes packed
+        end-to-end (staged + uploaded verbatim, decoded on device); u8
+        sessions decode once at the session boundary. Send QUANTIZED
         frames and small chunks: bodies over the 64 MB cap are rejected
         (u8/u16 keeps even large chunks far under it)."""
         manager = _m(req)
@@ -208,11 +210,12 @@ def create_app(manager_or_registry) -> App:
                 # way to the device (stage + upload verbatim, decode on
                 # device), u8 sessions decode once at the session boundary
                 planes = z["rgb_i420"]
-                if planes.ndim == 2:
-                    planes = planes[None]
+                # pass through UNBATCHED: push promotes all four arrays
+                # together when the planes are a single frame (lifting
+                # only rgb here would desync it from depth/pose/K)
                 return manager.live_push(
                     planes, z["depth"], z["pose"], z["K"],
-                    rgb_i420_height=planes.shape[1] * 2 // 3,
+                    rgb_i420_height=planes.shape[-2] * 2 // 3,
                 ), 200
             return manager.live_push(
                 z["rgb"], z["depth"], z["pose"], z["K"]

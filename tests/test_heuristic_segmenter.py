@@ -156,3 +156,23 @@ def test_synthetic_eval_scores_heuristic_fallback():
     # but must be meaningfully better than chance and discover SOMETHING
     assert stats["miou"] > 0.15, stats["miou"]
     assert stats["objects"]["objects_detected"] >= 1, stats["objects"]
+
+
+def test_best_map_gives_no_credit_to_null(monkeypatch):
+    """Review r5: the best-map remap must PIN the null id to -1 — a
+    null-everywhere segmenter scores ~0, not the majority-class rate."""
+    import spatially_aware_ai_tpu.models.kmax.heuristic as heur
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    class NullSeg:
+        def run_on_image(self, rgb):
+            return np.full(np.asarray(rgb).shape[:2], NULL_CLASS_ID,
+                           np.int32)
+
+    monkeypatch.setattr(heur, "HeuristicSegmenter", NullSeg)
+    stats = eval_synthetic_labels(
+        num_frames=6, width=64, height=48, voxel_size=0.08,
+        segmenter="heuristic",
+    )
+    assert stats["miou"] < 0.01, stats["miou"]
+    assert stats["accuracy"] < 0.01, stats["accuracy"]

@@ -198,3 +198,55 @@ def test_sessionless_push_decodes_at_end():
     result, persist = sess.end()
     assert persist["rgb"].shape == rgb_u8.shape
     np.testing.assert_array_equal(persist["rgb"], i420_to_rgb_u8(planes))
+
+
+def test_single_frame_i420_push(tmp_path):
+    """Single frames may omit the leading axis (push's contract) — the
+    i420 form included: review r5 caught the server lifting ONLY the rgb
+    planes to batched, desyncing them from depth/pose/K."""
+    rgb_u8, depth, pose, K = _frames(3)
+    planes = rgb_u8_to_i420(rgb_u8)
+    m = make_manager(tmp_path)
+    m.live_begin()
+    st = m.live_push(planes[0], depth[0], pose[0], K[0],
+                     rgb_i420_height=48)
+    assert st["frames_seen"] == 1
+    m.live_abort()
+
+
+def test_server_single_frame_i420_body(tmp_path):
+    """The HTTP route passes unbatched i420 bodies through unmodified so
+    push promotes all four arrays together."""
+    import io
+
+    from spatially_aware_ai_tpu.server import create_app
+
+    m = make_manager(tmp_path)
+    app = create_app(m)
+
+    def post_npz(path, **arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        body = buf.getvalue()
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": path,
+            "CONTENT_TYPE": "application/octet-stream",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body), "QUERY_STRING": "",
+        }
+        status = {}
+        chunks = app(environ,
+                     lambda s, h: status.update(code=int(s.split()[0])))
+        return status["code"], json.loads(b"".join(chunks).decode())
+
+    rgb_u8, depth, pose, K = _frames(2)
+    planes = rgb_u8_to_i420(rgb_u8)
+    code, st = post_npz("/live_begin")
+    assert code == 200
+    code, st = post_npz("/live_push", rgb_i420=planes[0], depth=depth[0],
+                        pose=pose[0], K=K[0])
+    assert code == 200 and st["frames_seen"] == 1
+    code, st = post_npz("/live_push", rgb_i420=planes[1:], depth=depth[1:],
+                        pose=pose[1:], K=K[1:])
+    assert code == 200 and st["frames_seen"] == 2
+    post_npz("/live_abort")
