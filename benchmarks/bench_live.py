@@ -63,21 +63,39 @@ def main():
 
     engine = ClipEngine.random(seed=0)
     seg = KmaxSegmenter()
+    # SAI_BENCH_LIVE_I420=1: the client pushes PACKED i420 planes into a
+    # yuv420-transfer session (the ADVICE-r5 pass-through: planes ride
+    # verbatim to the device — half the rgb upload bytes and zero host
+    # transcode on the push path). Planes are pre-encoded outside the
+    # timed loop, as a phone camera pipeline would deliver them.
+    i420 = os.environ.get("SAI_BENCH_LIVE_I420") == "1"
     cfg = FusionConfig(
         voxel_size=0.04, with_labels=True, frame_chunk=CHUNK,
         clip_patch_size=256, clip_patch_stride=128,
+        rgb_transfer="yuv420" if i420 else "u8",
     )
     session = LiveScanSession(engine, seg, cfg, margin_m=1.0)
+
+    if i420:
+        from spatially_aware_ai_tpu.core.yuv import rgb_u8_to_i420
+
+        planes = rgb_u8_to_i420(np.stack(rgbs))
+
+    def push(i):
+        if i420:
+            return session.push(planes[i], depths[i], poses[i], Ks[i],
+                                rgb_i420_height=H)
+        return session.push(rgbs[i], depths[i], poses[i], Ks[i])
 
     # warmup: the first chunk compiles (persistent-cached across runs)
     t0 = time.perf_counter()
     for i in range(CHUNK):
-        session.push(rgbs[i], depths[i], poses[i], Ks[i])
+        push(i)
     first_chunk_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for i in range(CHUNK, T):
-        session.push(rgbs[i], depths[i], poses[i], Ks[i])
+        push(i)
     stream_only_s = time.perf_counter() - t0
     # a real scan runs minutes, so the background end()-path warm
     # (manager/live.py:_warm_end_programs) finishes during scanning; this
@@ -108,6 +126,8 @@ def main():
         "bench": "live_stream_fps_per_chip",
         "frames_streamed": T - CHUNK,
         "fps": round(fps, 2),
+        "rgb_transfer": cfg.rgb_transfer + ("/i420-passthrough" if i420
+                                            else ""),
         "first_chunk_s_incl_compile": round(first_chunk_s, 2),
         "end_finalize_s": round(end_s, 3),
         "warm_wait_s": round(warm_wait_s, 2),
