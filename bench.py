@@ -687,6 +687,14 @@ def main_full(out=None):
     bounds_sick_s = 4.0 * max(1.0, T / 24.0)
 
     def is_sick(fuse_walls, kmax_fps, bounds_s, link_up):
+        # test hook: report sick until N passes have run, so the
+        # re-run/re-probe loop is exercisable on CPU (tests/
+        # test_bench_smoke.py) without a real sick window
+        forced = os.environ.get("SAI_BENCH_FORCE_SICK_PASSES")
+        if forced:
+            if len(fuse_walls) < int(forced):
+                return [f"forced sick (test hook, until {forced} passes)"]
+            return []
         tells = []
         if not tiny:
             if kmax_tell_applies and kmax_fps < 24.0:

@@ -191,3 +191,23 @@ def test_bench_full_budget_aborts_at_phase_boundary():
     reason = _diag_line(stderr, key="full_pipeline")
     assert reason["full_pipeline"] == "failed"
     assert "phase boundary" in reason["reason"]
+
+
+@pytest.mark.slow
+def test_bench_full_health_gate_reruns_sick_passes():
+    """The north-star line's health gate re-runs the timed scan while the
+    tells look sick (up to SAI_BENCH_FULL_MAX_PASSES) and publishes the
+    final pass count; once the tells clear, the record reads healthy
+    (SAI_BENCH_FORCE_SICK_PASSES drives the loop without a sick window)."""
+    record, stderr = _run_bench(
+        {
+            "SAI_BENCH_FULL": "1",
+            "SAI_BENCH_FULL_TINY": "1",
+            "SAI_BENCH_FAST_PROFILE": "0",
+            "SAI_BENCH_FORCE_SICK_PASSES": "3",
+            "SAI_BENCH_FULL_MAX_PASSES": "4",
+        }
+    )
+    assert record["metric"] == "scan_to_queryable_s_500frame_8chip_est_full"
+    assert record["best_of"] == 3  # 2 mandatory + 1 forced-sick re-run
+    assert record["health"] == "ok"  # tells cleared after the 3rd pass
