@@ -50,11 +50,14 @@ def build_and_trace(logdir):
     W, H = 1024, 768
     T = int(os.environ.get("SAI_TRACE_FRAMES", "24"))
     CHUNK = 8
+    # SAI_TRACE_VOXEL=0.02 traces the fine-grid regime, where the 500-frame
+    # measurement suggested integrate (not kMaX) may own the device time
+    voxel = float(os.environ.get("SAI_TRACE_VOXEL", "0.04"))
     ds = bench.build_full_dataset(T, W, H)
     engine = ClipEngine.random(seed=0)
     seg = KmaxSegmenter()
     cfg = FusionConfig(
-        voxel_size=0.04, with_labels=True, frame_chunk=CHUNK,
+        voxel_size=voxel, with_labels=True, frame_chunk=CHUNK,
         clip_patch_size=256, clip_patch_stride=128,
     )
 
@@ -73,7 +76,8 @@ def build_and_trace(logdir):
         res = run()
         drain(res)
     wall_s = time.perf_counter() - t0
-    return {"frames": T, "chunk": CHUNK, "warmup_s": round(warm_s, 2),
+    return {"frames": T, "chunk": CHUNK, "voxel": voxel,
+            "warmup_s": round(warm_s, 2),
             "traced_wall_s": round(wall_s, 3),
             "fuse_timings": {k: round(v, 3) for k, v in
                              res.timings.items()}}
@@ -143,12 +147,27 @@ def analyze(logdir):
         and "python" not in pid_names.get(pid, "").lower()
     ]
     dev_busy_us = merged_busy_us(dev_events) if dev_events else 0.0
+    # per-executable attribution: the "XLA Modules" track has one complete
+    # event per jitted program run — summing by name says which program
+    # (kMaX forward, integrate, CLIP encode, ...) owns the device time
+    mod_sums = {}
+    for (pid, tid), evs in tracks.items():
+        if tid_names.get((pid, tid), "") == "XLA Modules":
+            for e in evs:
+                name = e.get("name", "?").split("(")[0][:60]
+                mod_sums[name] = mod_sums.get(name, 0.0) + e["dur"]
+    modules_top = sorted(
+        ({"module": k, "sum_ms": round(v / 1e3, 1)}
+         for k, v in mod_sums.items()),
+        key=lambda r: -r["sum_ms"],
+    )[:10]
     return {
         "trace_file": path,
         "span_ms": round(span_us / 1e3, 1),
         "device_busy_ms": round(dev_busy_us / 1e3, 1),
         "device_bubble_pct": round(100.0 * (1 - dev_busy_us /
                                             max(span_us, 1)), 1),
+        "modules_top": modules_top,
         "tracks_top": rows[:12],
     }, None
 
