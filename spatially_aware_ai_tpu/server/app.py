@@ -210,6 +210,13 @@ def create_app(manager_or_registry) -> App:
                 # way to the device (stage + upload verbatim, decode on
                 # device), u8 sessions decode once at the session boundary
                 planes = z["rgb_i420"]
+                if planes.ndim not in (2, 3):
+                    # malformed body must be a 400, not an IndexError 500
+                    raise ValueError(
+                        f"rgb_i420 expects [F, H + H//2, W] u8 planes "
+                        f"(or a single [H + H//2, W] frame), got shape "
+                        f"{planes.shape}"
+                    )
                 # pass through UNBATCHED: push promotes all four arrays
                 # together when the planes are a single frame (lifting
                 # only rgb here would desync it from depth/pose/K)

@@ -250,3 +250,35 @@ def test_server_single_frame_i420_body(tmp_path):
                         pose=pose[1:], K=K[1:])
     assert code == 200 and st["frames_seen"] == 2
     post_npz("/live_abort")
+
+
+def test_server_malformed_i420_ndim_is_400(tmp_path):
+    """A 1-D rgb_i420 body must be a clean 400, not an IndexError 500."""
+    import io
+
+    from spatially_aware_ai_tpu.server import create_app
+
+    m = make_manager(tmp_path)
+    app = create_app(m)
+
+    def post_npz(path, **arrays):
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        body = buf.getvalue()
+        environ = {
+            "REQUEST_METHOD": "POST", "PATH_INFO": path,
+            "CONTENT_TYPE": "application/octet-stream",
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body), "QUERY_STRING": "",
+        }
+        status = {}
+        chunks = app(environ,
+                     lambda s, h: status.update(code=int(s.split()[0])))
+        return status["code"], json.loads(b"".join(chunks).decode())
+
+    rgb_u8, depth, pose, K = _frames(1)
+    post_npz("/live_begin")
+    code, err = post_npz("/live_push", rgb_i420=np.zeros(64, np.uint8),
+                         depth=depth, pose=pose, K=K)
+    assert code == 400 and "rgb_i420" in err["error"]
+    post_npz("/live_abort")
