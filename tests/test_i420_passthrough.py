@@ -282,3 +282,46 @@ def test_server_malformed_i420_ndim_is_400(tmp_path):
                          depth=depth, pose=pose, K=K)
     assert code == 400 and "rgb_i420" in err["error"]
     post_npz("/live_abort")
+
+
+def test_snapshot_resume_partial_i420_part_replay(tmp_path):
+    """Snapshot fast path with PACKED parts: one 5-frame i420 part, 3
+    frames in the snapshot -> resume must slice the part's planes at the
+    prefix (lo=3) and replay only the tail, landing on a grid identical
+    to an uninterrupted session fed the same planes."""
+    from spatially_aware_ai_tpu.manager.live import LiveScanSession
+
+    rgb_u8, depth, pose, K = _frames(6)
+    planes = rgb_u8_to_i420(rgb_u8)
+
+    m = make_manager(tmp_path)
+    m.live_begin(voxel_size=0.1, margin_m=0.5)
+    m.live_push(planes[:5], depth[:5], pose[:5], K[:5],
+                rgb_i420_height=48)
+    assert m._live.frames_integrated == 3  # one full chunk of 3
+    out = m.live_snapshot()
+    assert out["snapshotted"] and out["frames_in_snapshot"] == 3
+    cfg = m._live.cfg
+
+    m._live = None  # crash (disk survives)
+
+    st = m.live_resume()
+    assert st["snapshot_frames"] == 3
+    assert st["resumed_frames"] == 5  # 3 restored + 2 replayed from planes
+    assert st["frames_pending"] == 2
+
+    control = LiveScanSession(m.clip_model, m.seg_model, cfg, margin_m=0.5)
+    control.push(planes[:5], depth[:5], pose[:5], K[:5],
+                 rgb_i420_height=48)
+    for field in ("tsdf_sum", "w", "rgb_sum", "label_hist"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(m._live.grid, field)),
+            np.asarray(getattr(control.grid, field)),
+            err_msg=field,
+        )
+    # stream continues and ends with every frame exactly once
+    st = m.live_push(planes[5:], depth[5:], pose[5:], K[5:],
+                     rgb_i420_height=48)
+    assert st["frames_seen"] == 6
+    out = m.live_end()
+    assert out["state"] == "done"
