@@ -39,6 +39,15 @@ def main(argv=None):
     parser.add_argument("--trunc-vox", type=float, default=3)
     parser.add_argument("--clip-patch-size", type=int, default=256)
     parser.add_argument("--clip-patch-stride", type=int, default=128)
+    parser.add_argument("--frame-chunk", type=int, default=8,
+                        help="frames fused per device dispatch")
+    parser.add_argument("--segment-stride", type=int, default=0,
+                        help="segment every k-th frame only (0 = the "
+                             "SAI_SEG_STRIDE env / default 1). The 'fast' "
+                             "profile is --segment-stride 2 "
+                             "--frame-chunk 16 (docs/OPERATIONS.md): "
+                             "1.5-1.6x device throughput for ~-1 pt mIoU "
+                             "on scans >= 96 frames")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=3291)
     parser.add_argument("--tiny-models", action="store_true",
@@ -95,12 +104,18 @@ def main(argv=None):
         else:
             kwargs["insitu_model"] = _tiny_insitu(args.scan_name)
 
+    if args.segment_stride > 0:
+        # the manager reads SAI_SEG_STRIDE at construction (echoed into
+        # every version's config.yml); the flag is sugar over the env so
+        # single- and multi-scene managers pick it up identically
+        os.environ["SAI_SEG_STRIDE"] = str(args.segment_stride)
     shared = dict(
         dataset=args.dataset,
         voxel_size=args.voxel_size,
         trunc_vox=args.trunc_vox,
         clip_patch_size=args.clip_patch_size,
         clip_patch_stride=args.clip_patch_stride,
+        frame_chunk=args.frame_chunk,
         **kwargs,
     )
     if args.multi_scene:

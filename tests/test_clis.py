@@ -221,3 +221,34 @@ def test_doctor_validates_knob_values(monkeypatch, capsys):
     rc = doctor.main(["--no-device", "--json"])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
+
+
+def test_serve_fast_profile_flags(tmp_path, monkeypatch):
+    """--segment-stride / --frame-chunk reach the manager (the documented
+    'fast' profile invocation, docs/OPERATIONS.md): stride lands in the
+    config (echoed into config.yml) and frame_chunk on the manager."""
+    from spatially_aware_ai_tpu.cli import serve as serve_cli
+
+    d = tmp_path / "scans" / "demo" / "v00"
+    os.makedirs(d)
+    with open(d / "synthetic_scene.json", "w") as f:
+        json.dump({"num_frames": 6, "width": 64, "height": 48}, f)
+
+    captured = {}
+    import spatially_aware_ai_tpu.server as server_pkg
+
+    monkeypatch.setattr(server_pkg, "serve",
+                        lambda m, host, port: captured.update(m=m))
+    # pre-register the env var with monkeypatch so the flag's os.environ
+    # write is rolled back after the test
+    monkeypatch.setenv("SAI_SEG_STRIDE", "")
+    serve_cli.main([
+        "--scan-dir", str(tmp_path / "scans"), "--scan-name", "demo",
+        "--dataset", "synthetic", "--output-dir", str(tmp_path / "out"),
+        "--voxel-size", "0.08", "--clip-patch-size", "32",
+        "--clip-patch-stride", "16", "--tiny-models", "--no-warm-query",
+        "--segment-stride", "2", "--frame-chunk", "6",
+    ])
+    m = captured["m"]
+    assert m.frame_chunk == 6
+    assert m.config["segment_stride"] == 2
