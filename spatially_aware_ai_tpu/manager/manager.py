@@ -218,6 +218,22 @@ class InSituManager:
             max_workers=1, thread_name_prefix="artifact-save"
         )
         self._save_future = None
+        # auto-snapshots get their OWN single worker: snap() acquires
+        # self.lock, and a write_heavy queued behind it on the save
+        # executor would deadlock any lock-holder blocked in
+        # _wait_for_save() (snap waits for the lock, write_heavy waits
+        # for snap, the lock-holder waits for write_heavy)
+        self._snapshot_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="live-snapshot"
+        )
+        # live_end sets this while it finalizes a stream (session already
+        # marked ended, staged frames not yet consolidated): live_begin/
+        # live_recover/live_abort must not touch the staging dir in that
+        # window or the completed scan's frames are destroyed
+        self._live_finalizing = False
+        # run_clipfusion sets this for its whole blocking rebuild — the
+        # held lock is invisible to the registry's eviction scan
+        self._sync_rebuild = False
 
         # background reprocess jobs (one at a time): the scene rebuild runs
         # off-lock on this executor while queries keep serving the installed
@@ -355,18 +371,35 @@ class InSituManager:
         (reference clip_seem_fusion.py:247-437). Blocking: holds the manager
         lock for the whole rebuild, exactly like the reference. For a
         non-blocking rebuild that keeps the previous version queryable, use
-        reprocess_scan_async()."""
-        with self.lock:
-            state = self._build_scene(
-                self.config,
-                curr_ver,
-                scene_knowledge_base=self.scene_knowledge,
-                scene_knowledge_prev=self.scene_knowledge_prev,
-                scan_dir=scan_dir,
-                views_limit=views_limit,
-            )
-            self._install_scene(state, curr_ver)
-            return state["result"]
+        reprocess_scan_async().
+
+        Refused while a live stream is active — the same guard the async
+        path has (a blocking rebuild would compete with the stream for the
+        chip and install-over it mid-stream). _sync_rebuild marks the busy
+        window for observers that cannot see the held lock (the multi-scene
+        registry's LRU eviction)."""
+        self._sync_rebuild = True
+        try:
+            with self.lock:
+                live = self._live
+                if live is not None and not live.ended:
+                    raise ValueError(
+                        "a live scan session is active; finish or abort "
+                        "it before a blocking rebuild (or use "
+                        "reprocess_scan_async after the stream ends)"
+                    )
+                state = self._build_scene(
+                    self.config,
+                    curr_ver,
+                    scene_knowledge_base=self.scene_knowledge,
+                    scene_knowledge_prev=self.scene_knowledge_prev,
+                    scan_dir=scan_dir,
+                    views_limit=views_limit,
+                )
+                self._install_scene(state, curr_ver)
+                return state["result"]
+        finally:
+            self._sync_rebuild = False
 
     def _build_scene(
         self,
@@ -769,8 +802,21 @@ class InSituManager:
         from .live import LiveScanSession
 
         with self.lock, self._staging_lock:
+            if self._live_finalizing:
+                # the previous stream's session is marked ended but its
+                # staged frames are still being consolidated — a
+                # discard_staged here would destroy the completed scan
+                raise ValueError(
+                    "live_end is finalizing the previous stream; retry "
+                    "when it returns"
+                )
             if self._live is not None and not self._live.ended:
                 return {**self._live.status(), "already_live": True}
+            # a fresh stream must not inherit the previous session's
+            # auto-snapshot failure note (live_status would report a
+            # stale error against a healthy session)
+            self._auto_snap_error = None
+            self._auto_snap_last = 0.0
             staging = self._live_staging_dir()
             if staging_parts(staging):
                 if not discard_staged:
@@ -1026,6 +1072,11 @@ class InSituManager:
         from ..data.live import consolidate_staging
 
         with self.lock:  # cheap bookkeeping only — queries keep serving
+            if self._live_finalizing:
+                raise ValueError(
+                    "live_end is finalizing the stream; its frames are "
+                    "being installed as a version already"
+                )
             if self._live is not None and not self._live.ended:
                 raise ValueError(
                     "a live session is active; finish or abort it first"
@@ -1110,7 +1161,7 @@ class InSituManager:
                 self._auto_snap_error = f"{type(e).__name__}: {e}"
                 print(f"auto-snapshot failed: {self._auto_snap_error}")
 
-        self._auto_snap_future = self._save_executor.submit(snap)
+        self._auto_snap_future = self._snapshot_executor.submit(snap)
 
     def live_status(self) -> dict:
         sess = self._live
@@ -1128,6 +1179,11 @@ class InSituManager:
         import shutil
 
         with self.lock:
+            if self._live_finalizing:
+                raise ValueError(
+                    "live_end is finalizing the stream; it can no longer "
+                    "be aborted"
+                )
             sess = self._live
             if sess is None:
                 return {"state": "idle", "aborted": False}
@@ -1243,19 +1299,32 @@ class InSituManager:
                 "a background reprocess is running; wait for /scan_status "
                 "state != running, then call /live_end again"
             )
-        result, persist = sess.end()
+        # the finalize window: sess.end() marks the session ended, and the
+        # staged frames stay on disk until consolidation below — without
+        # the flag, a concurrent live_begin(discard_staged=1)/live_abort
+        # passes its "already ended" gate in that window and rmtree's the
+        # completed scan's frames before they are persisted
+        with self.lock:
+            if self._live_finalizing:
+                raise ValueError("live_end is already in progress")
+            self._live_finalizing = True
+        try:
+            result, persist = sess.end()
 
-        new_ver = self._next_scan_version()
-        cfg = get_path(dotdict(dict(self.config)), new_ver)
-        if persist is None:  # staged to disk per push: consolidate
-            with self._staging_lock:  # excludes discard/recover/replay
-                consolidate_staging(sess.staging_dir, cfg.scene_inputdir)
-                shutil.rmtree(sess.staging_dir, ignore_errors=True)
-        else:
-            save_live_frames(
-                cfg.scene_inputdir, persist["rgb"], persist["depth"],
-                persist["pose"], persist["K"],
-            )
+            new_ver = self._next_scan_version()
+            cfg = get_path(dotdict(dict(self.config)), new_ver)
+            if persist is None:  # staged to disk per push: consolidate
+                with self._staging_lock:  # excludes discard/recover/replay
+                    consolidate_staging(sess.staging_dir, cfg.scene_inputdir)
+                    shutil.rmtree(sess.staging_dir, ignore_errors=True)
+            else:
+                save_live_frames(
+                    cfg.scene_inputdir, persist["rgb"], persist["depth"],
+                    persist["pose"], persist["K"],
+                )
+        finally:
+            with self.lock:
+                self._live_finalizing = False
 
         with self.lock:
             sk_base = copy.deepcopy(self.scene_knowledge)
@@ -1545,11 +1614,16 @@ class InSituManager:
 
     def _wait_for_save(self):
         """Block until any in-flight background artifact save finishes (so
-        on-disk readers never observe missing/partial files)."""
+        on-disk readers never observe missing/partial files). The future is
+        cleared even when the save FAILED: the exception surfaces to this
+        caller once, and later operations may retry the save — a kept dead
+        future would re-raise the same stale error forever."""
         fut = self._save_future
         if fut is not None:
-            fut.result()
-            self._save_future = None
+            try:
+                fut.result()
+            finally:
+                self._save_future = None
 
     def save_files_and_broadcast(self, new_scene: bool = True,
                                  asynchronous: bool = False):

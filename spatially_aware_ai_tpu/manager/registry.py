@@ -165,6 +165,14 @@ class SceneRegistry:
         live = getattr(mgr, "_live", None)
         if live is not None and not live.ended:
             return False
+        if getattr(mgr, "_sync_rebuild", False):
+            # a blocking run_clipfusion holds mgr.lock for its whole
+            # rebuild but sets no _fusion_job — without this check the
+            # LRU could drop the scene mid-rebuild and a re-touch would
+            # start a SECOND concurrent reconstruction of it
+            return False
+        if getattr(mgr, "_live_finalizing", False):
+            return False
         job = mgr.scan_status()
         if job.get("state") == "running":
             return False
@@ -183,7 +191,11 @@ class SceneRegistry:
             mgr = self._managers[victim]
             if not self._evictable(mgr):
                 continue
-            mgr._wait_for_save()  # durable artifacts before release
+            # under mgr.lock: an unlocked wait races a save submitted by
+            # a concurrent locked operation (clearing _save_future over a
+            # fresh future would let later readers skip waiting)
+            with mgr.lock:
+                mgr._wait_for_save()  # durable artifacts before release
             del self._managers[victim]
             del self._last_used[victim]
 

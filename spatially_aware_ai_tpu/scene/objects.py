@@ -65,6 +65,7 @@ def connected_components_3d(class_grid: np.ndarray):
         return comps
     comps = []
     present = np.unique(class_grid)
+    shape = class_grid.shape
     for cid in present:
         cid = int(cid)
         if cid == NULL_CLASS_ID or cid == -1:
@@ -73,14 +74,26 @@ def connected_components_3d(class_grid: np.ndarray):
         labeled, n = scipy.ndimage.label(mask, structure=_STRUCT_26)
         if n == 0:
             continue
-        # first-voxel scan order per component
         flat = labeled.reshape(-1)
-        first = np.full(n + 1, flat.size, np.int64)
         nz = np.nonzero(flat)[0]
-        # reversed so earlier positions overwrite later ones
-        first[flat[nz[::-1]]] = nz[::-1]
+        labels_nz = flat[nz]
+        # first-voxel scan order per component (reversed so earlier
+        # positions overwrite later ones)
+        first = np.full(n + 1, flat.size, np.int64)
+        first[labels_nz[::-1]] = nz[::-1]
+        # ONE stable argsort groups every component's voxels — the same
+        # scheme as the native branch above. The previous
+        # `labeled == comp_label` scan per component was O(components x
+        # voxels) per class, a multi-second stall at production grids on
+        # the no-native fallback.
+        order = np.argsort(labels_nz, kind="stable")
+        sorted_ids = labels_nz[order]
+        starts = np.searchsorted(sorted_ids, np.arange(1, n + 1))
+        ends = np.searchsorted(sorted_ids, np.arange(1, n + 1),
+                               side="right")
         for comp_label in range(1, n + 1):
-            vox = np.nonzero(labeled == comp_label)
+            lin = nz[order[starts[comp_label - 1]:ends[comp_label - 1]]]
+            vox = np.unravel_index(np.sort(lin), shape)
             comps.append((cid, vox, int(first[comp_label])))
     comps.sort(key=lambda c: c[2])
     return [(cid, vox) for cid, vox, _ in comps]
@@ -263,7 +276,15 @@ def merge_objects(scene_knowledge, vertex_obj_idx, insitu_model, merge_list,
                   new_label):
     """Merge/rename objects (reference handy_utils.py:526-582). Rename is a
     merge of one. Multi-merges get a '-merged' suffix so model predictions
-    can be merged too."""
+    can be merged too.
+
+    vertex_obj_idx (the mesh's per-vertex object_index array) is remapped
+    IN PLACE to the merged object's new index — the reference left this
+    remap commented out (handy_utils.py:566-567,575-576; reference bug,
+    PARITY.md), which silently orphans the renamed object's vertices from
+    every index-keyed consumer (per-object meshes, object_text_query).
+    A previous index is only remapped when no OTHER remaining object still
+    uses it (re-identified objects legitimately share positive indices)."""
     if len(merge_list) < 1:
         return new_label, scene_knowledge
 
@@ -280,7 +301,12 @@ def merge_objects(scene_knowledge, vertex_obj_idx, insitu_model, merge_list,
             insitu_model.labels.append(new_label)
         obj_index = insitu_model.labels.index(new_label)
     else:
-        obj_index = -1
+        # no in-situ model: keep the first object's identity so the
+        # vertex mapping stays valid (there is no label-index space to
+        # move into)
+        obj_index = unique_objects[merge_list[0]]["object_index"]
+
+    prev_indices = [unique_objects[o]["object_index"] for o in merge_list]
 
     target_object = dict(unique_objects[merge_list[0]])
     target_object["merged"] = len(merge_list) > 1
@@ -301,4 +327,15 @@ def merge_objects(scene_knowledge, vertex_obj_idx, insitu_model, merge_list,
 
     unique_objects[new_label] = target_object
     scene_knowledge["unique_objects"] = unique_objects
+
+    if vertex_obj_idx is not None:
+        vertex_obj_idx = np.asarray(vertex_obj_idx)
+        still_used = {
+            info["object_index"]
+            for oid, info in unique_objects.items() if oid != new_label
+        }
+        for prev in prev_indices:
+            if prev != obj_index and prev not in still_used:
+                vertex_obj_idx[vertex_obj_idx == prev] = obj_index
+
     return new_label, scene_knowledge

@@ -188,3 +188,30 @@ def test_no_inplace_writers_left_in_persistence_paths():
     assert "json.dump(" not in src
     src = inspect.getsource(ins)
     assert "pickle.dump(" not in src.replace("atomic_pickle_dump(", "")
+
+
+def test_failed_background_save_does_not_poison_the_manager(tmp_path):
+    """Review r5: a failed async artifact save must surface its exception
+    ONCE; _wait_for_save clears the future either way so later operations
+    can retry instead of re-raising the stale error forever."""
+    import pytest as _pytest
+
+    class _Box:
+        pass
+
+    from spatially_aware_ai_tpu.manager.manager import InSituManager
+
+    mgr = _Box()
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def boom():
+        raise OSError("disk full")
+
+    mgr._save_future = ex.submit(boom)
+    with _pytest.raises(OSError, match="disk full"):
+        InSituManager._wait_for_save(mgr)
+    assert mgr._save_future is None
+    InSituManager._wait_for_save(mgr)  # no-op, no re-raise
+    ex.shutdown(wait=False)

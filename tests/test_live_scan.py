@@ -467,3 +467,36 @@ def test_live_pallas_shard_grid_alignment(tmp_path, monkeypatch):
         assert n_buf % (n_dev * sess.cfg.pallas_tile) == 0, n_buf
     finally:
         m.live_abort()
+
+
+def test_live_mutations_refused_while_finalizing(manager):
+    """Review r5: live_end marks the session ended BEFORE consolidating the
+    staged frames; in that window live_begin(discard_staged)/live_abort/
+    live_recover used to be able to rmtree the completed scan's frames.
+    The _live_finalizing flag closes the window."""
+    if manager.live_status()["state"] != "idle":
+        manager.live_abort()
+    manager._live_finalizing = True
+    try:
+        with pytest.raises(ValueError, match="finalizing"):
+            manager.live_begin(discard_staged=True)
+        with pytest.raises(ValueError, match="finalizing"):
+            manager.live_abort()
+        with pytest.raises(ValueError, match="finalizing"):
+            manager.live_recover()
+    finally:
+        manager._live_finalizing = False
+
+
+def test_blocking_rebuild_refused_during_live_stream(manager):
+    """Review r5: the async reprocess refuses during a live stream; the
+    blocking run_clipfusion path now has the same guard (it would compete
+    for the chip and install-over the stream)."""
+    rgb, depth, pose, K = _frames(2)
+    manager.live_begin()
+    try:
+        manager.live_push(rgb[:1], depth[:1], pose[:1], K[:1])
+        with pytest.raises(ValueError, match="live scan session is active"):
+            manager.run_clipfusion(curr_ver=0)
+    finally:
+        manager.live_abort()

@@ -211,3 +211,26 @@ def test_http_object_query_negative_top_k_is_400(server_url):
         _post(server_url, "/object_query",
               {"text_query": "a box", "top_k": "-1"})
     assert exc.value.code == 400
+
+
+def test_object_query_finds_renamed_object(manager):
+    """Review r5 regression: rename used to strand the object's vertices on
+    its old object_index (the remap the reference commented out), so the
+    renamed object silently vanished from the ranked results."""
+    from spatially_aware_ai_tpu.scene.objects import merge_objects
+
+    ranked = manager.object_text_query("anything")
+    assert ranked, "scene has queryable objects"
+    victim = ranked[0]["object_id"]
+    n_verts = ranked[0]["n_vertices"]
+
+    with manager.lock:
+        new_name, manager.scene_knowledge = merge_objects(
+            manager.scene_knowledge, manager.vertex_obj_idx,
+            manager.insitu_model, [victim], "my_renamed_thing",
+        )
+    ranked2 = manager.object_text_query("anything")
+    by_id = {r["object_id"]: r for r in ranked2}
+    assert victim not in by_id
+    assert new_name in by_id, (new_name, list(by_id))
+    assert by_id[new_name]["n_vertices"] == n_verts

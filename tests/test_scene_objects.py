@@ -183,3 +183,82 @@ def test_memorize_and_merge():
     new2, sk = merge_objects(sk, obj_ids, model, [new_label], "workbench")
     assert new2 == "workbench:1"
     assert set(sk["unique_objects"].keys()) == {"workbench:1"}
+
+
+def test_merge_remaps_vertex_obj_idx():
+    """Review r5: the reference left the vertex_obj_idx remap commented out
+    (handy_utils.py:566-576), orphaning renamed objects from every
+    index-keyed consumer (per-object meshes, object_text_query). Rename
+    must move the object's vertices to its new index; indices still shared
+    with OTHER objects must not be stolen."""
+    grid = make_grid()
+    feats = np.zeros((*grid.shape, 4), np.float32)
+    rgb = np.zeros((*grid.shape, 3), np.float32)
+    model = FakeInsitu()
+    sk, obj_ids = flood_fill_3d(grid, None, feats, rgb, model)
+    vert_idx = obj_ids.reshape(-1).copy()  # stand-in mesh vertex array
+
+    chair_idx = sk["unique_objects"]["chair:1"]["object_index"]
+    assert chair_idx < 0  # unrecognized: unique negative id
+    n_chair = int((vert_idx == chair_idx).sum())
+    assert n_chair == 27
+
+    new_label, sk = merge_objects(sk, vert_idx, model, ["chair:1"],
+                                  "my_chair")
+    new_idx = sk["unique_objects"][new_label]["object_index"]
+    assert new_idx == model.labels.index(new_label) and new_idx > 0
+    # the remap: every former chair vertex carries the new index
+    assert int((vert_idx == new_idx).sum()) == n_chair
+    assert int((vert_idx == chair_idx).sum()) == 0
+    # the other object's vertices are untouched
+    s_idx = sk["unique_objects"]["suitcase:1"]["object_index"]
+    assert int((vert_idx == s_idx).sum()) == 8
+
+
+def test_merge_does_not_steal_shared_index():
+    """Two re-identified objects share a positive object_index; renaming
+    one must NOT remap the shared index (the sibling's vertices would be
+    stolen)."""
+    grid = make_grid()
+    feats = np.zeros((*grid.shape, 4), np.float32)
+    rgb = np.zeros((*grid.shape, 3), np.float32)
+    # both components re-identify to the same trained label index 1
+    model = FakeInsitu(labels=[None, "mug:1"], trained=True,
+                       mapping={27: 1, 8: 1})
+    sk, obj_ids = flood_fill_3d(grid, None, feats, rgb, model)
+    uo = sk["unique_objects"]
+    shared = [i for i in (info["object_index"] for info in uo.values())]
+    assert shared[0] == shared[1] == 1  # both mapped to mug:1
+    vert_idx = obj_ids.reshape(-1).copy()
+    n_shared = int((vert_idx == 1).sum())
+
+    some_id = sorted(uo.keys())[0]
+    new_label, sk = merge_objects(sk, vert_idx, model, [some_id],
+                                  "renamed")
+    # the shared index keeps ALL its vertices (no per-object separation
+    # is possible by index, so stealing them would corrupt the sibling)
+    assert int((vert_idx == 1).sum()) == n_shared
+
+
+def test_components_scipy_fallback_matches_native(monkeypatch):
+    """The no-g++ scipy fallback (now one argsort instead of a full-grid
+    scan per component — review r5) must produce the identical component
+    list as the default path."""
+    import spatially_aware_ai_tpu.native as native_mod
+
+    grid = np.full((10, 9, 8), NULL_CLASS_ID, np.int32)
+    grid[1:4, 1:4, 1:4] = 5
+    grid[6:9, 1:3, 1:3] = 5
+    grid[2:5, 5:8, 2:6] = 20
+    grid[0, 0, 7] = 7
+
+    want = connected_components_3d(grid)
+    monkeypatch.setattr(
+        native_mod, "connected_components_native",
+        lambda *_: (_ for _ in ()).throw(RuntimeError("no native")),
+    )
+    got = connected_components_3d(grid)
+    assert len(got) == len(want)
+    for (c1, v1), (c2, v2) in zip(got, want):
+        assert c1 == c2
+        np.testing.assert_array_equal(np.stack(v1), np.stack(v2))
