@@ -203,8 +203,14 @@ def integrate_frames_brick_impl(
             )
         return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
 
-    def to_pixel(uv_patch):
-        return (uv_patch + 0.5) / patch_scale - 0.5
+    def to_patch(uvw_arr):
+        # the dense einsum path's exact patch-coordinate expression,
+        # applied at splat time to the carried pixel uv (a patch->pixel
+        # round trip is not bit-exact in f32 — see fusion.py)
+        return jnp.concatenate(
+            [(uvw_arr[..., :2] + 0.5) * patch_scale - 0.5,
+             uvw_arr[..., 2:]], axis=-1,
+        )
 
     def brick_branch(g):
         (sel,) = jnp.nonzero(active, size=brick_capacity, fill_value=NB - 1)
@@ -215,7 +221,12 @@ def integrate_frames_brick_impl(
         xyz_c, in_grid_c = decode_flat_coords(
             g.nvox, g.origin, g.voxel_size, voxel_start + idx
         )
-        vox_ok = in_grid_c & jnp.repeat(slot_valid, B)
+        # idx < N_buf: when a shard-local buffer length is not a brick
+        # multiple, the tail brick's rows past the buffer decode to the
+        # NEXT shard's in-grid voxels — their scatters already drop, but
+        # without this mask they'd burn phase-2 capacity slots and
+        # inflate the with_count feedback the adaptive sizing reads
+        vox_ok = in_grid_c & jnp.repeat(slot_valid, B) & (idx < N_buf)
 
         # ---- phase 1: geometry/TSDF scan on selected bricks only ----
         def step(carry, frame):
@@ -234,9 +245,9 @@ def integrate_frames_brick_impl(
             feat_valid = feat_valid & fv & vox_ok
             ts = ts + tsdf * tsdf_valid.astype(jnp.float32)
             tw = tw + tsdf_valid.astype(jnp.int32)
-            uv_patch = (uv + 0.5) * patch_scale - 0.5
+            # PIXEL uv carried; patch coords derived at splat time
             uvw = jnp.concatenate(
-                [uv_patch, feat_valid.astype(jnp.float32)[:, None]], axis=-1
+                [uv, feat_valid.astype(jnp.float32)[:, None]], axis=-1
             )
             if track_labels and weighted_votes:
                 vote = label_vote_weights(tsdf, feat_valid)
@@ -274,7 +285,7 @@ def integrate_frames_brick_impl(
 
         def rgb_step(acc, frame):
             rgb_img, uvw_f = frame
-            s = rgb_sample(rgb_img, to_pixel(uvw_f[:, :2]))
+            s = rgb_sample(rgb_img, uvw_f[:, :2])  # exact pixel uv
             return acc + s * uvw_f[:, 2:3], None
 
         def sparse_inner(g):
@@ -289,7 +300,7 @@ def integrate_frames_brick_impl(
             )
             feat_contrib = einsum_feature_splat(
                 jnp.zeros((capacity, g.feat_sum.shape[1]), g.feat_sum.dtype),
-                jnp.transpose(uvw_a, (1, 0, 2)),
+                jnp.transpose(to_patch(uvw_a), (1, 0, 2)),
                 frames.feat_img,
             )
             out = dict(
@@ -330,7 +341,7 @@ def integrate_frames_brick_impl(
             )
             feat_contrib = einsum_feature_splat(
                 jnp.zeros((KBB, g.feat_sum.shape[1]), g.feat_sum.dtype),
-                jnp.transpose(uvws, (1, 0, 2)),
+                jnp.transpose(to_patch(uvws), (1, 0, 2)),
                 frames.feat_img,
             )
             out = dict(

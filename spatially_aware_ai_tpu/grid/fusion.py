@@ -567,9 +567,15 @@ def integrate_frames_sparse_impl(
             tsdf_sum=g.tsdf_sum + tsdf * tsdf_valid.astype(jnp.float32),
             tsdf_w=g.tsdf_w + tsdf_valid.astype(jnp.int32),
         )
-        uv_patch = (uv + 0.5) * patch_scale - 0.5
+        # carry PIXEL uv (not patch coords): rgb then samples the exact
+        # coordinates the dense oracle samples — the old patch->pixel
+        # round trip ((uv+0.5)*s, later /s) is not bit-exact in f32 at
+        # non-power-of-two patch scales and could flip a 'nearest' pixel
+        # on knife-edge coordinates. The feature splat derives patch
+        # coords at use time with the dense path's exact expression
+        # (to_patch below).
         uvw = jnp.concatenate(
-            [uv_patch, feat_valid.astype(jnp.float32)[:, None]], axis=-1
+            [uv, feat_valid.astype(jnp.float32)[:, None]], axis=-1
         )
         if track_labels and label_vote_mode == "near_surface":
             vote = label_vote_weights(tsdf, feat_valid)
@@ -602,8 +608,13 @@ def integrate_frames_sparse_impl(
             )
         return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
 
-    def to_pixel(uv_patch):
-        return (uv_patch + 0.5) / patch_scale - 0.5
+    def to_patch(uvw_arr):
+        # the dense einsum path's exact patch-coordinate expression,
+        # applied at splat time to the carried pixel uv
+        return jnp.concatenate(
+            [(uvw_arr[..., :2] + 0.5) * patch_scale - 0.5,
+             uvw_arr[..., 2:]], axis=-1,
+        )
 
     # ---- phase 2a: sparse branch ----
     def sparse_branch(g):
@@ -621,8 +632,7 @@ def integrate_frames_sparse_impl(
 
         def rgb_step(acc, frame):
             rgb_img, uvw_f = frame
-            uv_pix = to_pixel(uvw_f[:, :2])
-            s = rgb_sample(rgb_img, uv_pix)
+            s = rgb_sample(rgb_img, uvw_f[:, :2])  # exact pixel uv
             return acc + s * uvw_f[:, 2:3], None
 
         rgb_contrib, _ = jax.lax.scan(
@@ -632,7 +642,7 @@ def integrate_frames_sparse_impl(
 
         feat_contrib = einsum_feature_splat(
             jnp.zeros((capacity, g.feat_sum.shape[1]), g.feat_sum.dtype),
-            jnp.transpose(uvw_a, (1, 0, 2)),
+            jnp.transpose(to_patch(uvw_a), (1, 0, 2)),
             frames.feat_img,
         )
 
@@ -665,8 +675,7 @@ def integrate_frames_sparse_impl(
     def dense_branch(g):
         def rgb_step(acc, frame):
             rgb_img, uvw_f = frame
-            uv_pix = to_pixel(uvw_f[:, :2])
-            s = rgb_sample(rgb_img, uv_pix)
+            s = rgb_sample(rgb_img, uvw_f[:, :2])  # exact pixel uv
             return acc + s * uvw_f[:, 2:3], None
 
         rgb_contrib, _ = jax.lax.scan(
@@ -677,7 +686,8 @@ def integrate_frames_sparse_impl(
             rgb_sum=g.rgb_sum + rgb_contrib,
             w=g.w + w_counts,
             feat_sum=einsum_feature_splat(
-                g.feat_sum, jnp.transpose(uvws, (1, 0, 2)), frames.feat_img
+                g.feat_sum, jnp.transpose(to_patch(uvws), (1, 0, 2)),
+                frames.feat_img,
             ),
         )
         if track_labels:

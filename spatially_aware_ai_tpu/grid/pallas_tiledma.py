@@ -107,6 +107,11 @@ def brick_tile_bboxes(uv, valid, tile_h: int, tile_w: int, H: int, W: int):
         pixel landed inside the tile (diagnostic; out-of-tile voxels are
         also flagged per-voxel by the kernel's valid output).
     """
+    assert tile_h <= H and tile_w <= W, (
+        f"tile ({tile_h}, {tile_w}) exceeds the image ({H}, {W}): the "
+        f"clamp ceiling would collapse to 0 and the kernel's static tile "
+        f"slice would read past the image edge"
+    )
     big = jnp.float32(1e9)
     x = jnp.round(uv[..., 0])
     y = jnp.round(uv[..., 1])

@@ -114,8 +114,11 @@ def create_grid(
     """pad_to: round the flat voxel buffer up to a multiple (e.g. the device
     count for voxel-sharding, or 1024 for tile alignment). Padding voxels
     never accumulate and are sliced off at read time. min_padding forces at
-    least that many padding slots (the sparse integrator needs one as a
-    scatter sink)."""
+    least that many padding slots. NOTE: the sparse/brick integrators no
+    longer need a padding row (they scatter fill slots to an APPENDED
+    virtual dead slot at index N_buf, dropped under mode="drop" — see
+    fusion.py sparse_branch); callers passing min_padding=1 for them keep a
+    harmless vestigial row."""
     nvox = tuple(int(v) for v in np.asarray(nvox).reshape(3))
     n = int(np.prod(nvox))
     n = ((n + min_padding + pad_to - 1) // pad_to) * pad_to

@@ -252,14 +252,24 @@ def marching_cubes(vol: np.ndarray, level: float = 0.0):
 
 
 def _sample_gradient(vol, pts):
-    """Central-difference gradient at float points (nearest voxel), NaN-safe."""
+    """Central-difference gradient at float points (nearest voxel), NaN-safe.
+    Neighbor indices are clamped to the volume, so boundary voxels use a
+    one-sided difference — the old interior clamp (idx to [1, dim-2])
+    collapsed to 0 when a dim was exactly 2 and read index -1 (wrap-around
+    to the far face; out-of-bounds in the native mirror)."""
     X, Y, Z = vol.shape
-    idx = np.clip(np.round(pts).astype(np.int64), 1, None)
-    idx[:, 0] = np.clip(idx[:, 0], 1, X - 2)
-    idx[:, 1] = np.clip(idx[:, 1], 1, Y - 2)
-    idx[:, 2] = np.clip(idx[:, 2], 1, Z - 2)
+    idx = np.round(pts).astype(np.int64)
+    idx[:, 0] = np.clip(idx[:, 0], 0, X - 1)
+    idx[:, 1] = np.clip(idx[:, 1], 0, Y - 1)
+    idx[:, 2] = np.clip(idx[:, 2], 0, Z - 1)
     safe = np.nan_to_num(vol, nan=0.0)
-    gx = safe[idx[:, 0] + 1, idx[:, 1], idx[:, 2]] - safe[idx[:, 0] - 1, idx[:, 1], idx[:, 2]]
-    gy = safe[idx[:, 0], idx[:, 1] + 1, idx[:, 2]] - safe[idx[:, 0], idx[:, 1] - 1, idx[:, 2]]
-    gz = safe[idx[:, 0], idx[:, 1], idx[:, 2] + 1] - safe[idx[:, 0], idx[:, 1], idx[:, 2] - 1]
+    xp = np.minimum(idx[:, 0] + 1, X - 1)
+    xm = np.maximum(idx[:, 0] - 1, 0)
+    yp = np.minimum(idx[:, 1] + 1, Y - 1)
+    ym = np.maximum(idx[:, 1] - 1, 0)
+    zp = np.minimum(idx[:, 2] + 1, Z - 1)
+    zm = np.maximum(idx[:, 2] - 1, 0)
+    gx = safe[xp, idx[:, 1], idx[:, 2]] - safe[xm, idx[:, 1], idx[:, 2]]
+    gy = safe[idx[:, 0], yp, idx[:, 2]] - safe[idx[:, 0], ym, idx[:, 2]]
+    gz = safe[idx[:, 0], idx[:, 1], zp] - safe[idx[:, 0], idx[:, 1], zm]
     return np.stack([gx, gy, gz], axis=-1)
