@@ -58,7 +58,8 @@ from .fusion import (
     frame_geometry,
     integrate_frames_sparse_impl,
     label_vote_weights,
-    sample_image_at_uv,
+    pixel_uvw_to_patch,
+    sample_rgb_mode,
 )
 from .voxel_grid import FrameBatch, FusionGrid, accumulate_label_hist
 
@@ -192,25 +193,10 @@ def integrate_frames_brick_impl(
     xs = (frames.depth, frames.pose, frames.K, labels_xs, frames.frame_valid)
 
     def rgb_sample(rgb_img, uv_pix):
-        if rgb_mode == "bilinear":
-            from ..core.sampling import (
-                pack_bilinear_corners,
-                sample_bilinear_packed,
-            )
-
-            return sample_bilinear_packed(
-                pack_bilinear_corners(rgb_img), uv_pix, channels=3
-            )
-        return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
+        return sample_rgb_mode(rgb_img, uv_pix, rgb_mode)
 
     def to_patch(uvw_arr):
-        # the dense einsum path's exact patch-coordinate expression,
-        # applied at splat time to the carried pixel uv (a patch->pixel
-        # round trip is not bit-exact in f32 — see fusion.py)
-        return jnp.concatenate(
-            [(uvw_arr[..., :2] + 0.5) * patch_scale - 0.5,
-             uvw_arr[..., 2:]], axis=-1,
-        )
+        return pixel_uvw_to_patch(uvw_arr, patch_scale)
 
     def brick_branch(g):
         (sel,) = jnp.nonzero(active, size=brick_capacity, fill_value=NB - 1)

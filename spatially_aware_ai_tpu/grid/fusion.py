@@ -509,6 +509,32 @@ def integrate_frames_einsum(
     )
 
 
+def sample_rgb_mode(rgb_img, uv_pix, rgb_mode: str):
+    """One frame's rgb sample at PIXEL uv under the configured mode —
+    shared by the sparse and brick integrators (identical math, one
+    definition)."""
+    if rgb_mode == "bilinear":
+        from ..core.sampling import (
+            pack_bilinear_corners,
+            sample_bilinear_packed,
+        )
+
+        return sample_bilinear_packed(
+            pack_bilinear_corners(rgb_img), uv_pix, channels=3
+        )
+    return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
+
+
+def pixel_uvw_to_patch(uvw_arr, patch_scale):
+    """The dense einsum path's exact patch-coordinate expression, applied
+    at splat time to carried pixel uv (a patch->pixel round trip is not
+    bit-exact in f32 — see integrate_frames_sparse_impl)."""
+    return jnp.concatenate(
+        [(uvw_arr[..., :2] + 0.5) * patch_scale - 0.5,
+         uvw_arr[..., 2:]], axis=-1,
+    )
+
+
 def integrate_frames_sparse_impl(
     grid: FusionGrid,
     frames: FrameBatch,
@@ -597,24 +623,10 @@ def integrate_frames_sparse_impl(
     count = union.sum()
 
     def rgb_sample(rgb_img, uv_pix):
-        if rgb_mode == "bilinear":
-            from ..core.sampling import (
-                pack_bilinear_corners,
-                sample_bilinear_packed,
-            )
-
-            return sample_bilinear_packed(
-                pack_bilinear_corners(rgb_img), uv_pix, channels=3
-            )
-        return sample_image_at_uv(rgb_img, uv_pix, mode=rgb_mode)
+        return sample_rgb_mode(rgb_img, uv_pix, rgb_mode)
 
     def to_patch(uvw_arr):
-        # the dense einsum path's exact patch-coordinate expression,
-        # applied at splat time to the carried pixel uv
-        return jnp.concatenate(
-            [(uvw_arr[..., :2] + 0.5) * patch_scale - 0.5,
-             uvw_arr[..., 2:]], axis=-1,
-        )
+        return pixel_uvw_to_patch(uvw_arr, patch_scale)
 
     # ---- phase 2a: sparse branch ----
     def sparse_branch(g):
