@@ -161,6 +161,36 @@ def analyze(logdir):
          for k, v in mod_sums.items()),
         key=lambda r: -r["sum_ms"],
     )[:10]
+    # data-movement attribution: the "XLA Ops" track has one event per HLO
+    # op execution; summing the copy/reshape/pad families by op NAME (and
+    # keeping each op's longest metadata string) says WHICH copies are the
+    # 17% layout tax (SOL.md r5) — i.e. whether they sit at the Pallas
+    # custom-call boundaries, in the resize/pasting path, or elsewhere.
+    move_sums = {}
+    for (pid, tid), evs in tracks.items():
+        if tid_names.get((pid, tid), "") != "XLA Ops":
+            continue
+        for e in evs:
+            name = e.get("name", "?")
+            fam = name.split(".")[0].split("-")[0].lstrip("%")
+            if fam not in ("copy", "reshape", "pad", "transpose",
+                           "bitcast", "slice", "concatenate"):
+                continue
+            rec = move_sums.setdefault(name, {"dur": 0.0, "n": 0,
+                                              "meta": ""})
+            rec["dur"] += e["dur"]
+            rec["n"] += 1
+            args = e.get("args") or {}
+            meta = str(args.get("long_name") or args.get("tf_op") or
+                       args.get("source") or "")
+            if len(meta) > len(rec["meta"]):
+                rec["meta"] = meta
+    movement_top = sorted(
+        ({"op": k, "sum_ms": round(v["dur"] / 1e3, 2), "count": v["n"],
+          "meta": v["meta"][:160]}
+         for k, v in move_sums.items()),
+        key=lambda r: -r["sum_ms"],
+    )[:20]
     return {
         "trace_file": path,
         "span_ms": round(span_us / 1e3, 1),
@@ -168,6 +198,7 @@ def analyze(logdir):
         "device_bubble_pct": round(100.0 * (1 - dev_busy_us /
                                             max(span_us, 1)), 1),
         "modules_top": modules_top,
+        "movement_top": movement_top,
         "tracks_top": rows[:12],
     }, None
 
