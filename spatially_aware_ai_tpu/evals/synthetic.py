@@ -174,11 +174,38 @@ def eval_synthetic_labels(
         from ..models.kmax.heuristic import HeuristicSegmenter
 
         seg = HeuristicSegmenter()
+    elif segmenter == "geometric":
+        from ..models.kmax.heuristic import GeometricSegmenter
+
+        if segment_stride != 1:
+            raise ValueError(
+                "segmenter='geometric' requires segment_stride=1 (the "
+                "depth-replay adapter pairs frames by call order)")
+
+        class _DepthReplay:
+            """fuse_scan's segmenter contract is rgb-only
+            (pipeline.py:485); the depth-aware fallback also needs the
+            frame's depth/K/pose, so this adapter replays them from the
+            dataset in call order — valid because the per-frame path
+            segments real frames sequentially in dataset order
+            (pipeline.py:390) and stride is rejected above. Deliberately
+            exposes no run_on_batch so _segment_batch takes the
+            per-frame path."""
+
+            def __init__(self, ds_, seg_):
+                self.ds, self.seg, self.i = ds_, seg_, 0
+
+            def run_on_image(self, rgb):
+                f = self.ds[self.i]
+                self.i += 1
+                return self.seg.segment(rgb, f.depth, f.K, f.pose)
+
+        seg = _DepthReplay(ds, GeometricSegmenter())
     elif segmenter == "gt":
         seg = ColorSegmenter(scene)
     else:
-        raise ValueError(f"segmenter must be 'gt' or 'heuristic', "
-                         f"got {segmenter!r}")
+        raise ValueError(f"segmenter must be 'gt', 'heuristic' or "
+                         f"'geometric', got {segmenter!r}")
     if seg_shift_px or seg_flip_prob:
         from ..data.synthetic import NoisySegmenter
 
@@ -202,19 +229,28 @@ def eval_synthetic_labels(
     # score observed voxels whose GT is a real surface class
     mask = (weight > 0) & (gt >= 0)
     pred_raw = pred  # instance discovery runs on the RAW fused class ids
-    if segmenter == "heuristic":
+    if segmenter in ("heuristic", "geometric"):
         # best-map remap: each predicted id takes the GT class it most
         # overlaps on observed voxels (majority vote). The null id and
         # unobserved -1 are PINNED to -1 (errors): an abstention must not
         # collect free credit from whatever GT class it happens to sit on
         # — a null-everywhere segmenter scores ~0, not the majority-class
         # frequency. Ids seen only off the scored mask also map to -1.
+        # The geometric variant's SEMANTIC claims (floor/wall ids below
+        # the spare-cluster base) map to THEMSELVES: a real class claim
+        # must score exactly, not collect best-map credit.
+        from ..models.kmax.heuristic import SPARE_CLASS_BASE
+
         pred = np.asarray(pred)
         remap = {}
         for p in np.unique(pred[mask]):
+            p = int(p)
+            if segmenter == "geometric" and p < SPARE_CLASS_BASE:
+                remap[p] = p
+                continue
             overlap = gt[mask][pred[mask] == p]
             vals, counts = np.unique(overlap, return_counts=True)
-            remap[int(p)] = int(vals[counts.argmax()])
+            remap[p] = int(vals[counts.argmax()])
         remap[NULL_CLASS_ID] = -1
         remap[-1] = -1
         lut = np.full(max(int(pred.max()), NULL_CLASS_ID) + 2, -1,
@@ -251,7 +287,7 @@ def eval_synthetic_labels(
         np.asarray(result.feat_grid),
         result.values["rgb"].reshape(*nvox, 3),
         result.origin, voxel_size, shell_m=cfg.trunc_m,
-        class_agnostic=(segmenter == "heuristic"),
+        class_agnostic=(segmenter in ("heuristic", "geometric")),
     )
 
     return {
@@ -272,8 +308,9 @@ def eval_synthetic_labels(
         "rgb_transfer": rgb_transfer,
         "segment_stride": segment_stride,
         "segmenter": segmenter,
-        "class_matching": ("best_map" if segmenter == "heuristic"
-                           else "exact"),
+        "class_matching": {"heuristic": "best_map",
+                           "geometric": "best_map_spare"}.get(
+                               segmenter, "exact"),
     }
 
 
@@ -293,8 +330,8 @@ def main(argv=None):
     parser.add_argument("--seg-flip-prob", type=float, default=0.0)
     parser.add_argument("--segment-stride", type=int, default=1)
     parser.add_argument("--segmenter", default="gt",
-                        choices=["gt", "heuristic"],
-                        help="heuristic = the weight-free fallback "
+                        choices=["gt", "heuristic", "geometric"],
+                        help="heuristic/geometric = the weight-free fallbacks "
                              "(best-map mIoU, class-agnostic discovery)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-noise-gate", action="store_true",

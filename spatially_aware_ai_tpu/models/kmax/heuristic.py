@@ -78,29 +78,46 @@ class HeuristicSegmenter:
 
 
 class GeometricSegmenter(HeuristicSegmenter):
-    """Depth-aware weight-free segmenter: classifies large planar regions
-    from depth normals (floor-ish horizontal planes -> 'floor-wood' 87,
-    vertical planes -> 'wall-other' normalized id 131), and clusters the
-    rest by color into spare object classes. Needs per-frame depth + K, so
-    it exposes `segment(rgb, depth, K, pose)`; `run_on_image` falls back to
-    color-only clustering when no depth is given.
+    """Depth-aware weight-free segmenter: classifies planar regions from
+    depth normals (horizontal planes in the LOWEST height band ->
+    'floor-wood' 87, vertical planes spanning real height -> 'wall' 131),
+    and clusters the rest by color into spare object classes. Needs
+    per-frame depth + K, so it exposes `segment(rgb, depth, K, pose)`;
+    `run_on_image` falls back to color-only clustering when no depth is
+    given.
 
-    The camera frame is right-down-forward; with roughly upright capture the
-    world 'up' is approximately -y in camera space, which is how floors are
-    told from walls without poses. When a pose is provided, normals are
-    rotated to world space for an exact up test.
+    A bare "horizontal -> floor, vertical -> wall" rule over-claims:
+    table/box TOPS are horizontal and object SIDES are vertical, so real
+    furniture dissolves into floor/wall votes (measured on the hermetic
+    eval: table IoU 0, mIoU 0.22). Two geometric gates fix it:
+
+    - floor claims require the point's height (along world up, -y in this
+      framework's convention — see data/synthetic.py demo_room) to sit
+      within `floor_band` of the frame's lowest observed horizontal
+      surface, so a table top 0.4 m up is NOT floor;
+    - wall claims require the connected vertical region to span at least
+      `wall_min_span` of height — object sides are short, real walls run
+      floor-to-ceiling.
+
+    The camera frame is right-down-forward; with roughly upright capture
+    the world 'up' is approximately -y in camera space, which is how the
+    gates work without poses too. When a pose is provided, normals and
+    points are rotated to world space for an exact test.
     """
 
     FLOOR_ID = 87   # floor-wood
     WALL_ID = 131   # wall-other(-merged) -> "wall"
 
     def __init__(self, plane_cos: float = 0.8, min_region: float = 0.02,
+                 floor_band: float = 0.12, wall_min_span: float = 0.5,
                  **kw):
         super().__init__(**kw)
         self.plane_cos = plane_cos
         self.min_region = min_region
+        self.floor_band = floor_band
+        self.wall_min_span = wall_min_span
 
-    def _normals(self, depth, K):
+    def _normals_points(self, depth, K):
         H, W = depth.shape
         fx, fy = K[0, 0], K[1, 1]
         cx, cy = K[0, 2], K[1, 2]
@@ -112,7 +129,7 @@ class GeometricSegmenter(HeuristicSegmenter):
         dy = np.gradient(pts, axis=0)
         n = np.cross(dx, dy)
         norm = np.linalg.norm(n, axis=-1, keepdims=True)
-        return n / np.maximum(norm, 1e-9)
+        return n / np.maximum(norm, 1e-9), pts
 
     def segment(self, rgb, depth, K, pose=None) -> np.ndarray:
         rgb = np.asarray(rgb, np.float32)
@@ -122,18 +139,35 @@ class GeometricSegmenter(HeuristicSegmenter):
         valid = depth > 0
         if valid.mean() < 0.05:
             return out
-        normals = self._normals(depth, K)
+        normals, pts = self._normals_points(depth, K)
+        up = np.array([0.0, -1.0, 0.0], np.float32)
         if pose is not None:
-            normals = normals @ np.asarray(pose, np.float32)[:3, :3].T
-            up = np.array([0.0, -1.0, 0.0], np.float32)
-        else:
-            up = np.array([0.0, -1.0, 0.0], np.float32)  # camera "up"
+            pose = np.asarray(pose, np.float32)
+            normals = normals @ pose[:3, :3].T
+            pts = pts @ pose[:3, :3].T + pose[:3, 3]
         cos_up = np.abs(normals @ up)
+        height = pts @ up  # along world up; relative comparisons only
 
-        floor = valid & (cos_up > self.plane_cos)
-        wall = valid & (cos_up < (1 - self.plane_cos))
-        if floor.mean() > self.min_region:
-            out[floor] = self.FLOOR_ID
-        if wall.mean() > self.min_region:
-            out[wall] = self.WALL_ID
+        horiz = valid & (cos_up > self.plane_cos)
+        if horiz.mean() > self.min_region:
+            # the frame's lowest observed horizontal surface defines the
+            # floor level (5th percentile rejects depth-noise outliers)
+            floor_level = np.quantile(height[horiz], 0.05)
+            floor = horiz & (height < floor_level + self.floor_band)
+            if floor.mean() > self.min_region:
+                out[floor] = self.FLOOR_ID
+
+        vert = valid & (cos_up < (1 - self.plane_cos))
+        if vert.mean() > self.min_region:
+            from scipy import ndimage
+
+            cc, n_cc = ndimage.label(vert)
+            min_px = self.min_region * vert.size
+            for c in range(1, n_cc + 1):
+                m = cc == c
+                if m.sum() < min_px:
+                    continue
+                h = height[m]
+                if h.max() - h.min() >= self.wall_min_span:
+                    out[m] = self.WALL_ID
         return out

@@ -73,6 +73,49 @@ def test_geometric_segmenter_detects_floor():
     assert out2.shape == out.shape
 
 
+def test_geometric_gates_reject_furniture_planes():
+    """The r5 geometric gates: a table TOP is horizontal but 0.4 m above
+    the floor band, and object SIDES are vertical but short — neither may
+    be claimed floor/wall (the bare plane rule dissolved furniture into
+    floor/wall votes: hermetic mIoU 0.22 vs 0.62 gated)."""
+    from spatially_aware_ai_tpu.models.kmax import GeometricSegmenter
+
+    ds = SyntheticSceneDataset(num_frames=4, width=96, height=72)
+    seg = GeometricSegmenter(num_clusters=4)
+    table_px = floor_px = table_as_floor = wall_px = 0
+    for i in range(len(ds)):
+        f = ds[i]
+        out = seg.segment(f.rgb, f.depth, f.K, f.pose)
+        gt = ds.render_labels(i)
+        table = gt == 121
+        table_px += int(table.sum())
+        table_as_floor += int((out[table] == seg.FLOOR_ID).sum())
+        floor_px += int((gt == 87).sum())
+        wall_px += int((out == seg.WALL_ID).sum())
+    assert table_px > 500 and floor_px > 500  # the scene shows both
+    # table pixels must not leak into the floor claim
+    assert table_as_floor / table_px < 0.15, table_as_floor / table_px
+    # the demo room has NO walls; short object sides must not claim any
+    assert wall_px == 0, wall_px
+
+
+def test_synthetic_eval_scores_geometric_fallback():
+    """The depth-aware fallback beats the color-only one on the hermetic
+    eval (semantic floor claim scored EXACTLY — best_map_spare remaps only
+    the unsupervised cluster ids)."""
+    from spatially_aware_ai_tpu.evals.synthetic import eval_synthetic_labels
+
+    stats = eval_synthetic_labels(
+        num_frames=8, width=96, height=72, voxel_size=0.06,
+        segmenter="geometric",
+    )
+    assert stats["segmenter"] == "geometric"
+    assert stats["class_matching"] == "best_map_spare"
+    assert stats["miou"] > 0.3, stats["miou"]
+    assert stats["iou_per_class"][87] > 0.5, stats["iou_per_class"]
+    assert stats["objects"]["objects_detected"] >= 2, stats["objects"]
+
+
 def test_weight_free_manager_lifecycle(tmp_path):
     """The whole product loop with NO ground-truth segmenter and NO weights:
     heuristic clustering still yields objects that can be renamed, memorized,
