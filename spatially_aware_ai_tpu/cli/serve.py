@@ -52,6 +52,16 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=3291)
     parser.add_argument("--tiny-models", action="store_true",
                         help="small random models (smoke testing)")
+    parser.add_argument("--segmenter", default=None,
+                        choices=["kmax", "heuristic", "geometric"],
+                        help="panoptic segmenter: kmax (default; "
+                             "SAI_KMAX_CHECKPOINT or random weights), or "
+                             "the weight-free fallbacks — heuristic "
+                             "(color clustering) / geometric (depth-aware "
+                             "plane claims + color clustering; the better "
+                             "fallback whenever frames carry depth — "
+                             "docs/OPERATIONS.md §6). Overrides the "
+                             "--tiny-models synthetic segmenter")
     parser.add_argument("--multi-scene", action="store_true",
                         help="serve EVERY scene under --scan-dir from this "
                              "one process (lazy per-scene managers, shared "
@@ -103,6 +113,17 @@ def main(argv=None):
             kwargs["insitu_factory"] = _tiny_insitu
         else:
             kwargs["insitu_model"] = _tiny_insitu(args.scan_name)
+
+    if args.segmenter == "heuristic":
+        from ..models.kmax import HeuristicSegmenter
+
+        kwargs["seg_model"] = HeuristicSegmenter()
+    elif args.segmenter == "geometric":
+        from ..models.kmax import GeometricSegmenter
+
+        kwargs["seg_model"] = GeometricSegmenter()
+    elif args.segmenter == "kmax":
+        kwargs.pop("seg_model", None)  # manager default (checkpoint/random)
 
     if args.segment_stride > 0:
         # the manager reads SAI_SEG_STRIDE at construction (echoed into

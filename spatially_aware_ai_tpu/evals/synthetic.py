@@ -175,32 +175,11 @@ def eval_synthetic_labels(
 
         seg = HeuristicSegmenter()
     elif segmenter == "geometric":
+        # needs_geometry: the pipeline hands the depth-aware fallback each
+        # frame's depth/K/pose (pipeline.labels_for_chunk geometry=)
         from ..models.kmax.heuristic import GeometricSegmenter
 
-        if segment_stride != 1:
-            raise ValueError(
-                "segmenter='geometric' requires segment_stride=1 (the "
-                "depth-replay adapter pairs frames by call order)")
-
-        class _DepthReplay:
-            """fuse_scan's segmenter contract is rgb-only
-            (pipeline.py:485); the depth-aware fallback also needs the
-            frame's depth/K/pose, so this adapter replays them from the
-            dataset in call order — valid because the per-frame path
-            segments real frames sequentially in dataset order
-            (pipeline.py:390) and stride is rejected above. Deliberately
-            exposes no run_on_batch so _segment_batch takes the
-            per-frame path."""
-
-            def __init__(self, ds_, seg_):
-                self.ds, self.seg, self.i = ds_, seg_, 0
-
-            def run_on_image(self, rgb):
-                f = self.ds[self.i]
-                self.i += 1
-                return self.seg.segment(rgb, f.depth, f.K, f.pose)
-
-        seg = _DepthReplay(ds, GeometricSegmenter())
+        seg = GeometricSegmenter()
     elif segmenter == "gt":
         seg = ColorSegmenter(scene)
     else:

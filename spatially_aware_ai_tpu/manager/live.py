@@ -458,6 +458,12 @@ class LiveScanSession:
                 self.seg,
                 getattr(self.seg, "run_on_image", None),
                 rgb_dev, n_real, cfg,
+                geometry=(
+                    (depth_u16,
+                     np.stack([c["K"] for c in chunk]),
+                     np.stack([c["pose"] for c in chunk]))
+                    if getattr(self.seg, "needs_geometry", False) else None
+                ),
             )
         )
         self.timings["inference_s"] += time.perf_counter() - t0

@@ -22,6 +22,11 @@ SPARE_CLASS_BASE = 134  # "object-1"
 
 
 class HeuristicSegmenter:
+    # pipeline capability flag: segmenters that set this True receive the
+    # frame's depth/K/pose via `segment(rgb, depth, K, pose)` instead of
+    # rgb-only `run_on_image` (pipeline.labels_for_chunk)
+    needs_geometry = False
+
     def __init__(self, num_clusters: int = 6, iterations: int = 8,
                  position_weight: float = 0.3, seed: int = 0,
                  downsample: int = 4, dark_threshold: float = 0.04):
@@ -107,6 +112,7 @@ class GeometricSegmenter(HeuristicSegmenter):
 
     FLOOR_ID = 87   # floor-wood
     WALL_ID = 131   # wall-other(-merged) -> "wall"
+    needs_geometry = True
 
     def __init__(self, plane_cos: float = 0.8, min_region: float = 0.02,
                  floor_band: float = 0.12, wall_min_span: float = 0.5,

@@ -362,10 +362,43 @@ def quantized_chunk_to_device(rgb_host, depth_host, depth_upsample: int = 1,
 
 
 def _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
-                   config: FusionConfig):
-    """One rgb batch -> labels, by capability priority: device-fused
-    (labels never leave the device) > batch panoptic + host seam nulling >
-    plain batch > per-frame with null padding."""
+                   config: FusionConfig, geometry=None):
+    """One rgb batch -> labels, by capability priority: geometry-aware
+    per-frame (segmenters with `needs_geometry`, e.g. GeometricSegmenter,
+    get the frame's depth/K/pose) > device-fused (labels never leave the
+    device) > batch panoptic + host seam nulling > plain batch >
+    per-frame with null padding."""
+    if (
+        geometry is not None
+        and seg_obj is not None
+        and getattr(seg_obj, "needs_geometry", False)
+    ):
+        depth, K, pose = geometry
+        rgb_host = np.asarray(rgb_chunk)
+        depth = np.asarray(depth)
+        if depth.dtype == np.uint16:
+            depth = depth.astype(np.float32) / 1000.0
+        H, W = rgb_host.shape[1:3]
+        if depth.shape[1:] != (H, W):
+            # native-depth transfers carry quarter-res depth; a nearest
+            # enlarge is plenty for plane-normal estimation (K matches
+            # the full-res rgb per the iPhone contract, core/upsample.py)
+            fy, fx = H // depth.shape[1], W // depth.shape[2]
+            if fy * depth.shape[1] != H or fx * depth.shape[2] != W:
+                raise ValueError(
+                    f"geometry-aware segmenter needs depth at an integer "
+                    f"fraction of the rgb size, got {depth.shape[1:]} vs "
+                    f"{(H, W)}")
+            depth = depth.repeat(fy, axis=1).repeat(fx, axis=2)
+        K = np.asarray(K)
+        pose = np.asarray(pose)
+        out = [
+            seg_obj.segment(rgb_host[i], depth[i], K[i], pose[i])
+            for i in range(n_real)
+        ]
+        null = np.full((H, W), NULL_CLASS_ID, np.int32)
+        out += [null] * (len(rgb_host) - n_real)
+        return np.stack(out).astype(np.int32)
     if (
         config.split_instances
         and seg_obj is not None
@@ -394,11 +427,15 @@ def _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
 
 
 def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
-                     config: FusionConfig):
+                     config: FusionConfig, geometry=None):
     """Panoptic labels for one rgb chunk (see _segment_batch for the
     capability priority). Shared by fuse_scan and the live streaming
     session so the two ingestion paths cannot diverge. Returns device or
     host labels, or None when config.with_labels is off.
+
+    geometry: optional (depth [B,h,w], K [B,3,3], pose [B,4,4]) host
+    arrays for segmenters flagged `needs_geometry` (depth may be uint16
+    mm and/or at an integer fraction of the rgb resolution).
 
     config.segment_stride > 1 segments only chunk slots 0, k, 2k, ... and
     fills the skipped frames' label images with -1: every label-vote path
@@ -413,7 +450,7 @@ def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
     stride = int(config.segment_stride)  # >=1: validated in __post_init__
     if stride == 1:
         return _segment_batch(seg_obj, segmenter_fn, rgb_chunk, n_real,
-                              config)
+                              config, geometry=geometry)
     B = len(rgb_chunk)
     if B % stride != 0:
         raise ValueError(
@@ -425,6 +462,8 @@ def labels_for_chunk(seg_obj, segmenter_fn, rgb_chunk, n_real: int,
         # real frames among the selected slots (chunk tails are padded)
         int((sel < n_real).sum()),
         config,
+        geometry=(None if geometry is None
+                  else tuple(np.asarray(g)[sel] for g in geometry)),
     )
     if isinstance(sub, jax.Array):  # device path: scatter on device
         full = jnp.full(
@@ -735,9 +774,13 @@ def fuse_scan(
                     for i in range(F)
                 ]
             )
+        seg_obj = getattr(segmenter, "__self__", None)
         labels = labels_for_chunk(
-            getattr(segmenter, "__self__", None), segmenter, rgb_chunk,
-            n_real, config,
+            seg_obj, segmenter, rgb_chunk, n_real, config,
+            geometry=(
+                (depth_host, pad_tail(stack["K"]), pad_tail(stack["pose"]))
+                if getattr(seg_obj, "needs_geometry", False) else None
+            ),
         )
         t_inference += time.perf_counter() - t1
 

@@ -116,6 +116,56 @@ def test_synthetic_eval_scores_geometric_fallback():
     assert stats["objects"]["objects_detected"] >= 2, stats["objects"]
 
 
+def test_labels_for_chunk_geometry_capability():
+    """Segmenters flagged needs_geometry get depth/K/pose per frame —
+    winning over their inherited rgb-only batch methods — with uint16-mm
+    depth converted to meters, quarter-res depth enlarged to the rgb
+    resolution, pad slots nulled, and stride subsetting the geometry."""
+    from spatially_aware_ai_tpu.pipeline import labels_for_chunk
+
+    class SpySeg:
+        needs_geometry = True
+
+        def __init__(self):
+            self.calls = []
+
+        def run_on_batch(self, rgbs):
+            raise AssertionError("geometry path must win over run_on_batch")
+
+        def run_on_image(self, rgb):
+            raise AssertionError("geometry path must win over run_on_image")
+
+        def segment(self, rgb, depth, K, pose):
+            assert rgb.shape[:2] == depth.shape
+            self.calls.append(float(depth[0, 0]))
+            return np.full(rgb.shape[:2], 134, np.int32)
+
+    B, H, W = 4, 8, 8
+    rgb = np.random.default_rng(0).random((B, H, W, 3)).astype(np.float32)
+    depth = np.full((B, H // 4, W // 4), 1500, np.uint16)  # quarter-res mm
+    K = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    pose = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    cfg = FusionConfig(voxel_size=0.05, with_labels=True, frame_chunk=B)
+
+    seg = SpySeg()
+    out = labels_for_chunk(seg, seg.run_on_image, rgb, 3, cfg,
+                           geometry=(depth, K, pose))
+    assert out.shape == (B, H, W)
+    assert (out[:3] == 134).all()
+    assert (out[3] == NULL_CLASS_ID).all()  # pad slot
+    assert len(seg.calls) == 3
+    assert abs(seg.calls[0] - 1.5) < 1e-6  # mm -> meters
+
+    cfg2 = FusionConfig(voxel_size=0.05, with_labels=True, frame_chunk=B,
+                        segment_stride=2)
+    seg2 = SpySeg()
+    out2 = labels_for_chunk(seg2, seg2.run_on_image, rgb, 4, cfg2,
+                            geometry=(depth, K, pose))
+    assert (out2[0] == 134).all() and (out2[2] == 134).all()
+    assert (out2[1] == -1).all() and (out2[3] == -1).all()  # skipped slots
+    assert len(seg2.calls) == 2
+
+
 def test_weight_free_manager_lifecycle(tmp_path):
     """The whole product loop with NO ground-truth segmenter and NO weights:
     heuristic clustering still yields objects that can be renamed, memorized,
