@@ -169,11 +169,18 @@ class GeometricSegmenter(HeuristicSegmenter):
 
             cc, n_cc = ndimage.label(vert)
             min_px = self.min_region * vert.size
+            # depth speckle can shatter vert into thousands of tiny
+            # components; filter by area first and touch only each big
+            # component's bounding box (find_objects) so the pass stays
+            # O(HW), not O(n_cc * HW)
+            areas = np.bincount(cc.ravel())
+            slices = ndimage.find_objects(cc)
             for c in range(1, n_cc + 1):
-                m = cc == c
-                if m.sum() < min_px:
+                if areas[c] < min_px:
                     continue
-                h = height[m]
+                sl = slices[c - 1]
+                m = cc[sl] == c
+                h = height[sl][m]
                 if h.max() - h.min() >= self.wall_min_span:
-                    out[m] = self.WALL_ID
+                    out[sl][m] = self.WALL_ID
         return out
